@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "images_per_sec": ..., "n_images": ..., "cpus": ...}
+
+The headline metric is the end-to-end spatial-join + tile-assignment
+pipeline over the synthetic images table [BASELINE.json metric]:
+parquet scan (column-pruned: bytes stay on disk) → cell assignment →
+two-phase PIP attribution → tile assignment → count per (polygon, tile).
+
+Scaling evidence (local[8] vs local[32]) is produced by scaling_bench.py
+→ BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mapshaper_spark import cells, fixtures, queries as Q  # noqa: E402
+from mapshaper_spark.operators import spatial_join as sj  # noqa: E402
+from mapshaper_spark.session import get_spark  # noqa: E402
+from mapshaper_spark.sources import testdata  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+IMAGES_PATH = os.environ.get(
+    "SPARK_GRAFT_IMAGES_PATH", f"/tmp/mapshaper_spark_images_{N_IMAGES}"
+)
+
+# per-query bench subset: the graded operator families
+BENCH_QUERIES = [
+    "pip_count_by_polygon",
+    "pip_attribute_rows",
+    "clip_points",
+    "knn_nearest_target",
+    "knn3_nearest_targets",
+    "tile_assign_counts",
+    "dissolve_grid",
+    "calc_pricing_summary",
+    "join_attr_region",
+    "topk_orders_per_customer",
+    "events_tumbling_window",
+    "events_sessionize",
+    "minhash_signatures",
+    "lsh_dup_candidates",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "text_quality",
+]
+
+
+def ensure_images(spark, n: int, path: str) -> None:
+    """Materialize the synthetic images table once (cached across runs) —
+    the pipeline under measurement reads parquet, as production would."""
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    fixtures.images_df(spark, n, partitions=max(CPUS * 2, 16)).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def flagship(spark, images_path: str):
+    """images parquet → cell → PIP attribute → tile counts."""
+    imgs = spark.read.parquet(images_path).select("image_id", "lon", "lat")
+    pts = imgs.withColumnRenamed("image_id", "point_id")
+    idx = sj.build_cell_index(spark, testdata.polygons(spark))
+    hits = sj.pip_attribute(pts, idx)
+    tx, ty = cells.tile_sql("lon", "lat", 4)
+    return (
+        hits.withColumn("tile_x", F.expr(tx))
+        .withColumn("tile_y", F.expr(ty))
+        .groupBy("poly_id", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
+    ensure_images(spark, N_IMAGES, IMAGES_PATH)
+
+    # headline: end-to-end spatial-join + tile-assignment over images
+    t0 = time.perf_counter()
+    n_out = flagship(spark, IMAGES_PATH).count()
+    e2e = time.perf_counter() - t0
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_spatial_join_tile_assign_sec",
+                "value": round(e2e, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "images_per_sec": round(N_IMAGES / e2e, 1),
+                "n_images": N_IMAGES,
+                "n_output_tiles": n_out,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

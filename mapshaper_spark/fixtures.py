@@ -1,0 +1,311 @@
+"""Deterministic fixtures (seed=42) shared by the engine, tests, and oracles.
+
+Three kinds [FIXTURES.md §B]:
+
+1. **Derived points** — lon/lat point layers derived from the driver's
+   TPC-H-ish tables with IEEE-exact arithmetic (``+ - * / %`` on integers
+   then one division by 100.0), so the DuckDB oracle can re-derive the
+   *identical* doubles from the same parquet. 20% of points cluster into
+   3 hotspots to exercise salt-based skew mitigation [BASELINE.json
+   north_rule].
+
+2. **Literal convex polygons** — 16 convex polygons generated once in
+   Python (trig happens here, NOT in either SQL engine) and embedded as
+   identical decimal literals in both the Spark plan and the oracle SQL.
+   Convexity lets the oracle express point-in-polygon as half-plane sign
+   tests in ANSI SQL [SURVEY.md §5.2].
+
+3. **Shared-arc grid** — a 4x4 grid of unit squares (mapshaper's
+   topology model: shared borders stored once, features reference signed
+   arc ids [SURVEY.md §1.1]) for dissolve / innerlines / lines oracles.
+
+4. **Synthetic images table** — the BASELINE.json input_hint schema
+   (image_id, bytes, w, h, fmt, caption, phash) with fmt='raw'
+   uncompressed RGB so pixel invariants are exact (no PIL in env).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+SEED = 42
+
+# --------------------------------------------------------------- points ---
+
+# Multipliers are primes; all intermediate values fit comfortably in int64
+# so Spark's ANSI mode and DuckDB agree exactly. The CAST AS DOUBLE before
+# dividing matters: Spark types `bigint / 100.0` as DECIMAL division while
+# DuckDB gives DOUBLE — casting the numerator pins both to the identical
+# IEEE double op.
+_LON_SQL = "(-180.0 + CAST(({k}) * 9973 % 36000 AS DOUBLE) / 100.0)"
+_LAT_SQL = "(-85.0 + CAST(({k}) * 7919 % 17000 AS DOUBLE) / 100.0)"
+
+# 3 dense hotspots (city analog) — keys with k % 5 == 0 (20%) collapse
+# into one of these, offset by a small deterministic jitter.
+HOTSPOTS = [(-73.98, 40.75), (2.35, 48.86), (139.69, 35.68)]
+
+
+def point_lon_sql(k: str) -> str:
+    """Portable SQL (Spark + DuckDB): skewed lon for integer key expr."""
+    hx = " ".join(
+        f"WHEN ({k}) % 15 = {5 * i} THEN ({x} + CAST(({k}) * 31 % 100 AS DOUBLE) / 1000.0)"
+        for i, (x, _y) in enumerate(HOTSPOTS)
+    )
+    return f"(CASE WHEN ({k}) % 5 = 0 THEN (CASE {hx} END) ELSE {_LON_SQL.format(k=k)} END)"
+
+
+def point_lat_sql(k: str) -> str:
+    hy = " ".join(
+        f"WHEN ({k}) % 15 = {5 * i} THEN ({y} + CAST(({k}) * 17 % 100 AS DOUBLE) / 1000.0)"
+        for i, (_x, y) in enumerate(HOTSPOTS)
+    )
+    return f"(CASE WHEN ({k}) % 5 = 0 THEN (CASE {hy} END) ELSE {_LAT_SQL.format(k=k)} END)"
+
+
+def customer_points_sql(table: str = "customer") -> str:
+    """Portable derived point layer: one point per customer row."""
+    k = "c_custkey"
+    return (
+        f"SELECT c_custkey AS point_id, {point_lon_sql(k)} AS lon, "
+        f"{point_lat_sql(k)} AS lat FROM {table}"
+    )
+
+
+def lineitem_points_sql(table: str = "lineitem") -> str:
+    """Bigger derived point layer (~600k rows at sf0.1) for bench paths."""
+    k = "(l_orderkey * 7 + l_linenumber)"
+    return (
+        f"SELECT l_orderkey * 10 + l_linenumber AS point_id, "
+        f"{point_lon_sql(k)} AS lon, {point_lat_sql(k)} AS lat FROM {table}"
+    )
+
+
+def supplier_points_sql(table: str = "supplier") -> str:
+    """Target point layer for nearest-feature joins (dim-sized)."""
+    k = "(s_suppkey * 3 + 1)"
+    return (
+        f"SELECT s_suppkey AS target_id, {point_lon_sql(k)} AS lon, "
+        f"{point_lat_sql(k)} AS lat FROM {table}"
+    )
+
+
+# ------------------------------------------------------------- polygons ---
+
+
+def _make_polygons() -> list[dict]:
+    """16 convex CCW polygons (k-gons, k in 3..8) spread over the domain.
+
+    Trig runs here once; coordinates are rounded to 4 decimals so both
+    engines parse identical literals to identical doubles.
+    """
+    rng = np.random.Generator(np.random.PCG64(SEED))
+    polys = []
+    centers = [(-140 + 45 * (i % 8), -50 + 70 * (i // 8)) for i in range(16)]
+    for pid, (cx, cy) in enumerate(centers):
+        k = 3 + pid % 6
+        radius = float(rng.uniform(10.0, 22.0))
+        phase = float(rng.uniform(0, 2 * math.pi))
+        ring = []
+        for j in range(k):
+            a = phase + 2 * math.pi * j / k
+            ring.append(
+                (round(cx + radius * math.cos(a), 4), round(cy + radius * math.sin(a), 4))
+            )
+        # ensure CCW (positive shoelace)
+        area2 = sum(
+            ring[j][0] * ring[(j + 1) % k][1] - ring[(j + 1) % k][0] * ring[j][1]
+            for j in range(k)
+        )
+        if area2 < 0:
+            ring = ring[::-1]
+        polys.append({"poly_id": pid, "name": f"poly{pid:02d}", "ring": ring})
+    return polys
+
+
+POLYGONS = _make_polygons()
+
+
+def polygon_edges() -> list[tuple[int, float, float, float, float]]:
+    """(poly_id, x1, y1, x2, y2) for every directed edge, CCW order."""
+    rows = []
+    for p in POLYGONS:
+        ring = p["ring"]
+        for j in range(len(ring)):
+            x1, y1 = ring[j]
+            x2, y2 = ring[(j + 1) % len(ring)]
+            rows.append((p["poly_id"], x1, y1, x2, y2))
+    return rows
+
+
+def polygon_edges_values_sql() -> str:
+    """DuckDB/Spark-portable inline VALUES relation of polygon edges."""
+    vals = ",".join(
+        f"({pid},{x1!r},{y1!r},{x2!r},{y2!r})" for pid, x1, y1, x2, y2 in polygon_edges()
+    )
+    return f"(VALUES {vals}) AS edges(poly_id, x1, y1, x2, y2)"
+
+
+def polygons_pdf():
+    """pandas DataFrame of the polygon layer (ring as coordinate lists)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "poly_id": [p["poly_id"] for p in POLYGONS],
+            "name": [p["name"] for p in POLYGONS],
+            "xs": [[v[0] for v in p["ring"]] for p in POLYGONS],
+            "ys": [[v[1] for v in p["ring"]] for p in POLYGONS],
+        }
+    )
+
+
+# -------------------------------------------------------- shared-arc grid ---
+
+
+def _make_grid_topology(n: int = 4) -> tuple[list[dict], list[dict]]:
+    """n x n unit squares sharing borders — the arc-dictionary fixture.
+
+    Returns (arcs, features). Arcs are directed left→right (horizontal)
+    or bottom→top (vertical); features reference signed arc ids with the
+    TopoJSON convention: ``ref = arc_id`` forward, ``-(arc_id + 1)``
+    reversed [SURVEY.md §1.1].
+    """
+    arcs, aid = [], 0
+    hid = {}  # (i, j) → arc_id of horizontal arc from (i,j) to (i+1,j)
+    vid = {}
+    for j in range(n + 1):
+        for i in range(n):
+            hid[(i, j)] = aid
+            arcs.append(
+                {"arc_id": aid, "xs": [float(i), float(i + 1)], "ys": [float(j), float(j)]}
+            )
+            aid += 1
+    for j in range(n):
+        for i in range(n + 1):
+            vid[(i, j)] = aid
+            arcs.append(
+                {"arc_id": aid, "xs": [float(i), float(i)], "ys": [float(j), float(j + 1)]}
+            )
+            aid += 1
+    features = []
+    for j in range(n):
+        for i in range(n):
+            fid = j * n + i
+            # CCW ring: bottom fwd, right fwd, top rev, left rev
+            refs = [
+                hid[(i, j)],
+                vid[(i + 1, j)],
+                -(hid[(i, j + 1)] + 1),
+                -(vid[(i, j)] + 1),
+            ]
+            features.append(
+                {
+                    "feature_id": fid,
+                    "key": f"g{i // 2}{j // 2}",  # 2x2 dissolve blocks
+                    "parts": [refs],
+                }
+            )
+    return arcs, features
+
+
+GRID_ARCS, GRID_FEATURES = _make_grid_topology(4)
+
+
+def grid_incidence_rows() -> list[tuple[int, str, int, float]]:
+    """(feature_id, key, arc_id, arc_len) — one row per feature-arc use."""
+    alen = {
+        a["arc_id"]: math.dist((a["xs"][0], a["ys"][0]), (a["xs"][1], a["ys"][1]))
+        for a in GRID_ARCS
+    }
+    rows = []
+    for f in GRID_FEATURES:
+        for ref in f["parts"][0]:
+            aid = ref if ref >= 0 else -ref - 1
+            rows.append((f["feature_id"], f["key"], aid, alen[aid]))
+    return rows
+
+
+def grid_incidence_values_sql() -> str:
+    vals = ",".join(
+        f"({fid},'{key}',{aid},{ln!r})" for fid, key, aid, ln in grid_incidence_rows()
+    )
+    return f"(VALUES {vals}) AS inc(feature_id, key, arc_id, arc_len)"
+
+
+# ---------------------------------------------------------------- images ---
+
+_NOUNS = ["harbor", "meadow", "skyline", "canyon", "market", "temple", "bridge", "forest"]
+IMG_SIZES = [16, 32, 64]
+
+
+def make_image(i: int) -> dict:
+    """Deterministic image row i — the single source of truth for pixels,
+    caption, and phash; tests and Spark generators both call this."""
+    rng = np.random.Generator(np.random.PCG64(SEED + i * 1_000_003))
+    w = IMG_SIZES[i % 3]
+    h = IMG_SIZES[(i // 3) % 3]
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return {
+        "image_id": f"img{i:09d}",
+        "bytes": px.tobytes(),
+        "w": w,
+        "h": h,
+        "fmt": "raw",
+        "caption": f"synthetic caption {i} {_NOUNS[i % len(_NOUNS)]}",
+        "phash": int(ahash64(px, w, h)),
+    }
+
+
+def ahash64(px: np.ndarray, w: int, h: int) -> np.int64:
+    """64-bit average-hash over an 8x8 grayscale downsample — exact
+    integer arithmetic so recomputation matches bit-for-bit."""
+    gray = px.astype(np.uint32).sum(axis=2)  # 3x luminance proxy, exact
+    bh, bw = h // 8, w // 8
+    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).sum(axis=(1, 3))
+    # compare block means without division: block_sum * 64 vs total_sum
+    total = blocks.sum(dtype=np.uint64)
+    bits = (blocks.astype(np.uint64) * 64 > total).astype(np.uint64).ravel()
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return out.astype(np.int64)
+
+
+def image_lonlat(i: int) -> tuple[float, float]:
+    """Same skewed placement rule as the SQL point derivation."""
+    if i % 5 == 0:
+        hx, hy = HOTSPOTS[(i % 15) // 5]
+        return hx + (i * 31 % 100) / 1000.0, hy + (i * 17 % 100) / 1000.0
+    return -180.0 + (i * 9973 % 36000) / 100.0, -85.0 + (i * 7919 % 17000) / 100.0
+
+
+def images_df(spark, n: int = 10_000, partitions: int = 32):
+    """Synthetic images table as a Spark DataFrame, generated
+    distributively (mapInPandas over spark.range — no driver-side
+    materialization, scales to any n)."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, lon double, lat double"
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].tolist():
+                r = make_image(i)
+                r["lon"], r["lat"] = image_lonlat(i)
+                rows.append(r)
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .mapInPandas(gen, schema=schema)
+        .withColumn("w", F.col("w").cast("int"))
+        .withColumn("h", F.col("h").cast("int"))
+    )

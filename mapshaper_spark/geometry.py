@@ -1,0 +1,277 @@
+"""Vectorized numpy geometry kernels.
+
+These are the engine's compute primitives, invoked only inside
+Arrow-batched pandas UDFs (no per-row Python in any Spark path
+[BASELINE.json input_hint]). Each is a from-scratch implementation of the
+textbook algorithm mapshaper uses [SURVEY.md §2.7, §4.1]:
+
+- point-in-polygon: ray crossing (general) + half-plane (convex);
+- shoelace area / centroid;
+- Visvalingam effective-area thresholds (mapshaper's default simplify);
+- Douglas-Peucker max-distance thresholds;
+- Sutherland-Hodgman polygon clip (convex clip window);
+- scanline polygon rasterization (raster<->vector tiles);
+- planar / haversine point distances.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ------------------------------------------------------------------- PIP ---
+
+
+def pip_convex(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Points inside a convex CCW ring (boundary counts as inside).
+
+    ring: (k, 2) open ring. Vectorized over points: inside iff every edge
+    cross product is >= 0 — the same test the DuckDB oracle runs in SQL,
+    so results agree exactly.
+    """
+    inside = np.ones(px.shape, dtype=bool)
+    k = len(ring)
+    for j in range(k):
+        x1, y1 = ring[j]
+        x2, y2 = ring[(j + 1) % k]
+        inside &= (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0.0
+    return inside
+
+
+def pip_ray(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """General even-odd ray-crossing test, vectorized over points.
+
+    Mirrors the classic crossing-count used by mapshaper's
+    polygon-geom module [SURVEY.md §2.3].
+    """
+    inside = np.zeros(px.shape, dtype=bool)
+    k = len(ring)
+    for j in range(k):
+        x1, y1 = ring[j]
+        x2, y2 = ring[(j + 1) % k]
+        cross = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= cross & (px < np.where(cross, xint, np.inf))
+    return inside
+
+
+# -------------------------------------------------------- area / centroid ---
+
+
+def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Signed area of a ring (positive = CCW)."""
+    return 0.5 * float(np.dot(xs, np.roll(ys, -1)) - np.dot(np.roll(xs, -1), ys))
+
+
+def ring_centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
+    cross = xs * np.roll(ys, -1) - np.roll(xs, -1) * ys
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(xs.mean()), float(ys.mean())
+    cx = float(((xs + np.roll(xs, -1)) * cross).sum() / (6.0 * a))
+    cy = float(((ys + np.roll(ys, -1)) * cross).sum() / (6.0 * a))
+    return cx, cy
+
+
+def path_length(xs: np.ndarray, ys: np.ndarray) -> float:
+    return float(np.hypot(np.diff(xs), np.diff(ys)).sum())
+
+
+# --------------------------------------------------------------- simplify ---
+
+
+def visvalingam_thresholds(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Per-vertex removal thresholds (effective areas), Visvalingam.
+
+    mapshaper's signature trick [SURVEY.md §2.7]: compute once, then any
+    simplification level is a filter ``thr >= t``. Endpoints get +inf.
+    Thresholds are made monotonic along the removal order (each removed
+    vertex's threshold >= the previous one) exactly as upstream does, so
+    filtering by any t yields a consistent vertex set.
+
+    O(n^2) worst case in this simple argmin loop; arcs are short (<< 1e4
+    vertices) so a heap buys nothing at our arc sizes.
+    """
+    n = len(xs)
+    thr = np.full(n, np.inf)
+    if n <= 2:
+        return thr
+    # doubly linked list over surviving vertices
+    prev = np.arange(-1, n - 1)
+    nxt = np.arange(1, n + 1)
+    alive = np.ones(n, dtype=bool)
+    alive_area = np.full(n, np.inf)
+
+    def tri_area(a: int, b: int, c: int) -> float:
+        return 0.5 * abs(
+            (xs[b] - xs[a]) * (ys[c] - ys[a]) - (xs[c] - xs[a]) * (ys[b] - ys[a])
+        )
+
+    for i in range(1, n - 1):
+        alive_area[i] = tri_area(i - 1, i, i + 1)
+    max_so_far = 0.0
+    for _ in range(n - 2):
+        i = int(np.argmin(alive_area))
+        a = alive_area[i]
+        if not np.isfinite(a):
+            break
+        max_so_far = max(max_so_far, a)
+        thr[i] = max_so_far  # monotonic enforcement
+        alive[i] = False
+        alive_area[i] = np.inf
+        p, q = prev[i], nxt[i]
+        nxt[p], prev[q] = q, p
+        if p > 0 and alive[p]:
+            alive_area[p] = tri_area(prev[p], p, nxt[p])
+        if q < n - 1 and alive[q]:
+            alive_area[q] = tri_area(prev[q], q, nxt[q])
+    return thr
+
+
+def dp_thresholds(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Douglas-Peucker per-vertex max perpendicular distances.
+
+    Iterative stack (no recursion limits). Endpoints +inf. Like upstream,
+    child thresholds are capped at the parent's so the retained set is
+    nested across levels.
+    """
+    n = len(xs)
+    thr = np.full(n, np.inf)
+    if n <= 2:
+        return thr
+    stack = [(0, n - 1, np.inf)]
+    while stack:
+        lo, hi, cap = stack.pop()
+        if hi - lo < 2:
+            continue
+        x1, y1, x2, y2 = xs[lo], ys[lo], xs[hi], ys[hi]
+        dx, dy = x2 - x1, y2 - y1
+        seg = np.hypot(dx, dy)
+        ix = np.arange(lo + 1, hi)
+        if seg == 0.0:
+            d = np.hypot(xs[ix] - x1, ys[ix] - y1)
+        else:
+            d = np.abs(dy * xs[ix] - dx * ys[ix] + x2 * y1 - y2 * x1) / seg
+        krel = int(np.argmax(d))
+        k = lo + 1 + krel
+        dmax = min(float(d[krel]), cap)
+        thr[k] = dmax
+        stack.append((lo, k, dmax))
+        stack.append((k, hi, dmax))
+    return thr
+
+
+def apply_threshold(
+    xs: np.ndarray, ys: np.ndarray, thr: np.ndarray, t: float
+) -> tuple[np.ndarray, np.ndarray]:
+    keep = thr >= t
+    keep[0] = keep[-1] = True
+    return xs[keep], ys[keep]
+
+
+# ------------------------------------------------------------------- clip ---
+
+
+def clip_ring_convex(
+    xs: np.ndarray, ys: np.ndarray, clip_ring: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland-Hodgman: clip a subject ring by a convex CCW window."""
+    sx, sy = list(xs), list(ys)
+    k = len(clip_ring)
+    for j in range(k):
+        if not sx:
+            break
+        x1, y1 = clip_ring[j]
+        x2, y2 = clip_ring[(j + 1) % k]
+        ex, ey = x2 - x1, y2 - y1
+        nx_, ny_ = [], []
+        m = len(sx)
+        for i in range(m):
+            ax, ay = sx[i], sy[i]
+            bx, by = sx[(i + 1) % m], sy[(i + 1) % m]
+            da = ex * (ay - y1) - ey * (ax - x1)
+            db = ex * (by - y1) - ey * (bx - x1)
+            if da >= 0:
+                nx_.append(ax)
+                ny_.append(ay)
+            if (da >= 0) != (db >= 0):
+                t = da / (da - db)
+                nx_.append(ax + t * (bx - ax))
+                ny_.append(ay + t * (by - ay))
+        sx, sy = nx_, ny_
+    return np.asarray(sx), np.asarray(sy)
+
+
+def clip_ring_bbox(
+    xs: np.ndarray, ys: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> tuple[np.ndarray, np.ndarray]:
+    box = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]])
+    return clip_ring_convex(xs, ys, box)
+
+
+# -------------------------------------------------------------- rasterize ---
+
+
+def rasterize_ring(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    w: int,
+    h: int,
+) -> np.ndarray:
+    """Even-odd scanline fill of a ring onto a w x h grid over the bbox.
+
+    Row 0 is the TOP of the tile (image convention). Pixel centers are
+    sampled; returns uint8 mask. This is the raster<->vector tile sink
+    kernel [BASELINE.json north_rule "raster<->vector"].
+    """
+    out = np.zeros((h, w), dtype=np.uint8)
+    if len(xs) < 3:
+        return out
+    px_y = ymax - (np.arange(h) + 0.5) * (ymax - ymin) / h
+    x1s, y1s = xs, ys
+    x2s, y2s = np.roll(xs, -1), np.roll(ys, -1)
+    for r in range(h):
+        yc = px_y[r]
+        crosses = (y1s > yc) != (y2s > yc)
+        if not crosses.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1s[crosses] + (yc - y1s[crosses]) * (x2s[crosses] - x1s[crosses]) / (
+                y2s[crosses] - y1s[crosses]
+            )
+        xint.sort()
+        cols = np.floor((xint - xmin) * w / (xmax - xmin) - 0.5).astype(np.int64)
+        for a, b in zip(cols[0::2], cols[1::2]):
+            lo, hi = max(a + 1, 0), min(b, w - 1)
+            if hi >= lo:
+                out[r, lo : hi + 1] = 1
+    return out
+
+
+# -------------------------------------------------------------- distances ---
+
+
+def planar_dist2(
+    ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray
+) -> np.ndarray:
+    """Squared planar distance — the oracle-portable metric (pure * + -)."""
+    return (ax - bx) ** 2 + (ay - by) ** 2
+
+
+def haversine_km(ax, ay, bx, by) -> np.ndarray:
+    la1, lo1, la2, lo2 = map(np.radians, (ay, ax, by, bx))
+    h = np.sin((la2 - la1) / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2
+    return 2 * 6371.0088 * np.arcsin(np.sqrt(h))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio between two uint8 pixel arrays."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

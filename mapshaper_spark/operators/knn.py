@@ -1,0 +1,100 @@
+"""kNN / nearest-feature join — cell-ring candidate join with an exact
+fallback [SURVEY.md §2.3 "kNN / nearest-feature join"; RULE].
+
+Distributed strategy (the EDBT/SIGMOD distributed-kNN-join pattern,
+PAPERS.md "Distributed Stream KNN Join"):
+
+1. Targets are exploded to their cell *and* every ring-1 neighbor cell
+   (9 rows per target) — replicating the small side instead of the big
+   side, so the query points shuffle at most once on cell_id.
+2. Query points equi-join candidates on cell_id; per-query argmin via a
+   window with a (dist, target_id) tiebreak for determinism.
+3. **Exactness guarantee**: a candidate found at planar distance d is
+   provably the global nearest iff d <= one cell height (any point
+   outside the searched 3x3 block is at least that far away). Queries
+   that fail the guarantee (or found no candidate) fall back to a
+   broadcast brute-force pass — asymptotically tiny when the grid
+   resolution matches target density.
+
+The fallback makes the operator *exact*, so it is oracle-checkable
+against an all-pairs DuckDB cross join; the ring join carries ~all the
+volume at scale. Distance metric is squared planar degrees (pure
+``* + -`` → bit-identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import cells
+
+DEFAULT_RES = 5  # ~11x5.6 degree cells; targets are dim-sized
+
+
+def _dist2(ax, ay, bx, by):
+    return (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+
+
+def _explode_neighbors(targets: DataFrame, res: int) -> DataFrame:
+    """Each target replicated to its own + 8 neighbor cells (clamped)."""
+    n = 1 << res
+    ix, iy = cells.grid_xy_sql("lon", "lat", res)
+    t = targets.withColumn("_ix", F.expr(ix)).withColumn("_iy", F.expr(iy))
+    d = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    t = t.withColumn("_dx", d).withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    t = t.filter(
+        (F.col("_ix") + F.col("_dx")).between(0, n - 1)
+        & (F.col("_iy") + F.col("_dy")).between(0, n - 1)
+    )
+    morton = cells.morton_sql("(_ix + _dx)", "(_iy + _dy)")
+    return t.withColumn("cell_id", F.expr(f"{morton} * 32 + {res}")).drop(
+        "_ix", "_iy", "_dx", "_dy"
+    )
+
+
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """Exact kNN join: (point cols..., target_id, dist2, knn_rank).
+
+    points: (point_id, lon, lat); targets: (target_id, lon, lat).
+    """
+    # cell height in degrees — the ring-1 exactness radius (squared)
+    guarantee2 = (180.0 / (1 << res)) ** 2
+
+    pts = points.withColumn("cell_id", F.expr(cells.cell_sql("lon", "lat", res)))
+    tgt = _explode_neighbors(targets.select("target_id", "lon", "lat"), res).select(
+        "cell_id", "target_id", F.col("lon").alias("tx"), F.col("lat").alias("ty")
+    )
+
+    cand = pts.join(F.broadcast(tgt), "cell_id").withColumn(
+        "dist2", _dist2(F.col("lon"), F.col("lat"), F.col("tx"), F.col("ty"))
+    )
+    w = Window.partitionBy("point_id").orderBy("dist2", "target_id")
+    ranked = cand.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
+
+    # guarantee check: the k-th neighbor must be within one cell height;
+    # otherwise the 3x3 block may have missed a closer target
+    kth = ranked.groupBy("point_id").agg(
+        F.max("dist2").alias("_kd"), F.count(F.lit(1)).alias("_kn")
+    )
+    ok_ids = kth.filter((F.col("_kn") >= k) & (F.col("_kd") <= guarantee2)).select("point_id")
+    resolved = ranked.join(F.broadcast(ok_ids), "point_id", "left_semi")
+
+    # fallback: brute force for the unresolved remainder (broadcast targets)
+    rest = pts.join(ok_ids, "point_id", "left_anti")
+    allt = targets.select(
+        "target_id", F.col("lon").alias("tx"), F.col("lat").alias("ty")
+    )
+    brute = rest.crossJoin(F.broadcast(allt)).withColumn(
+        "dist2", _dist2(F.col("lon"), F.col("lat"), F.col("tx"), F.col("ty"))
+    )
+    brute = brute.withColumn("knn_rank", F.row_number().over(w)).filter(
+        F.col("knn_rank") <= k
+    )
+    out_cols = [c for c in points.columns] + ["target_id", "dist2", "knn_rank"]
+    return resolved.select(*out_cols).unionByName(brute.select(*out_cols))

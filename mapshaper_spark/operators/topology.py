@@ -1,0 +1,196 @@
+"""Shared-arc topology: the distributed arc dictionary.
+
+mapshaper's core data-model idea [SURVEY.md §1.1]: all polyline geometry
+lives once in an arc pool; features reference signed arc ids (negative =
+traverse reversed, TopoJSON convention ``ref = -(arc_id+1)``). Shared
+polygon borders are a single arc, so dissolve / innerlines / simplify
+operate on each border exactly once and neighbors can never develop gaps.
+
+Distributed re-expression:
+
+- ``arcs``      DataFrame: (arc_id, xs array<double>, ys array<double>, n, arc_hash)
+- ``features``  DataFrame: (feature_id, key?, parts array<array<long>>)
+- ``incidence`` = explode(features) → (feature_id, key, arc_id, reversed)
+  — every topology operator is a groupBy over this link table:
+
+  * dissolve    = arcs used an odd number of times within a key group
+                  survive as group boundary (interior borders appear
+                  twice with opposite orientation and cancel)
+                  [SURVEY.md §2.4 -dissolve];
+  * innerlines  = arcs shared by 2+ features (multiplicity 2)
+                  [SURVEY.md §2.7 -innerlines];
+  * lines       = arc classification outer/inner [-lines].
+
+Arc dedup on import (topology build) hashes the canonical orientation of
+the coordinate sequence — coordinates quantized to 1e-7 first for
+byte-determinism [SURVEY.md §7.3].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUANT = 1e7  # 1e-7 degree quantization before hashing
+
+
+def arcs_df(spark: SparkSession, arcs: list[dict]) -> DataFrame:
+    pdf = pd.DataFrame(
+        {
+            "arc_id": [a["arc_id"] for a in arcs],
+            "xs": [a["xs"] for a in arcs],
+            "ys": [a["ys"] for a in arcs],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, schema="arc_id long, xs array<double>, ys array<double>"
+    )
+
+
+def features_df(spark: SparkSession, features: list[dict]) -> DataFrame:
+    pdf = pd.DataFrame(
+        {
+            "feature_id": [f["feature_id"] for f in features],
+            "key": [f["key"] for f in features],
+            "parts": [f["parts"] for f in features],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, schema="feature_id long, key string, parts array<array<long>>"
+    )
+
+
+def incidence(features: DataFrame) -> DataFrame:
+    """features → (feature_id, key, arc_id, reversed) link table.
+
+    Pure column math on the exploded signed refs — no UDF.
+    """
+    ref = F.explode(F.flatten("parts")).alias("ref")
+    df = features.select("feature_id", "key", ref)
+    return df.select(
+        "feature_id",
+        "key",
+        F.when(F.col("ref") >= 0, F.col("ref")).otherwise(-F.col("ref") - 1).alias("arc_id"),
+        (F.col("ref") < 0).alias("reversed"),
+    )
+
+
+def arc_lengths(arcs: DataFrame) -> DataFrame:
+    """(arc_id, arc_len) via a fold over the vertex arrays — stays JVM-side."""
+    seg = (
+        "aggregate(sequence(0, size(xs) - 2), cast(0.0 as double), "
+        "(acc, i) -> acc + sqrt((xs[i+1] - xs[i]) * (xs[i+1] - xs[i]) + "
+        "(ys[i+1] - ys[i]) * (ys[i+1] - ys[i])))"
+    )
+    return arcs.select("arc_id", F.expr(seg).alias("arc_len"))
+
+
+def dissolve(features: DataFrame, arcs: DataFrame) -> DataFrame:
+    """-dissolve [key]: per key, boundary arcs + perimeter.
+
+    Arc cancellation: within a key group an arc used an even number of
+    times is an interior border (two adjacent members) → dropped; odd
+    multiplicity survives as group boundary. One shuffle on (key, arc_id)
+    with map-side partial counts, then a tiny per-key agg.
+    """
+    inc = incidence(features)
+    mult = inc.groupBy("key", "arc_id").agg(F.count(F.lit(1)).alias("mult"))
+    boundary = mult.filter(F.col("mult") % 2 == 1)
+    withlen = boundary.join(F.broadcast(arc_lengths(arcs)), "arc_id")
+    return withlen.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_boundary_arcs"),
+        F.sum("arc_len").alias("perimeter"),
+    )
+
+
+def dissolve_arcs(features: DataFrame) -> DataFrame:
+    """The surviving (key, arc_id) boundary set — input to ring stitching."""
+    inc = incidence(features)
+    mult = inc.groupBy("key", "arc_id").agg(F.count(F.lit(1)).alias("mult"))
+    return mult.filter(F.col("mult") % 2 == 1).select("key", "arc_id")
+
+
+def arc_multiplicity(features: DataFrame) -> DataFrame:
+    """Arc → number of distinct features using it (1 = outer boundary,
+    2 = shared inner border) over the whole layer."""
+    inc = incidence(features)
+    return inc.groupBy("arc_id").agg(
+        F.countDistinct("feature_id").alias("n_features")
+    )
+
+
+def innerlines(features: DataFrame) -> DataFrame:
+    """-innerlines: arcs shared by exactly two features."""
+    return arc_multiplicity(features).filter(F.col("n_features") == 2).select("arc_id")
+
+
+def lines(features: DataFrame) -> DataFrame:
+    """-lines: every arc classified 'outer' or 'inner'."""
+    m = arc_multiplicity(features)
+    return m.select(
+        "arc_id",
+        F.when(F.col("n_features") >= 2, F.lit("inner")).otherwise(F.lit("outer")).alias("kind"),
+    )
+
+
+def build_arc_hashes(arcs: DataFrame) -> DataFrame:
+    """Content hash of the canonical (lexicographically smaller of
+    forward/reverse) quantized coordinate sequence — the shared-border
+    dedup key for topology build on raw geometry import
+    [SURVEY.md §1.2 arc_hash]."""
+
+    def hash_batch(it):
+        for pdf in it:
+            hashes = []
+            for xs, ys in zip(pdf["xs"], pdf["ys"]):
+                q = np.column_stack(
+                    [np.rint(np.asarray(xs) * QUANT), np.rint(np.asarray(ys) * QUANT)]
+                ).astype(np.int64)
+                fwd = q.tobytes()
+                rev = q[::-1].tobytes()
+                canon = fwd if fwd <= rev else rev
+                # FNV-1a 64-bit, portable and dependency-free
+                h = np.uint64(0xCBF29CE484222325)
+                for b in np.frombuffer(canon, dtype=np.uint8):
+                    h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+                hashes.append(np.int64(h))
+            yield pdf.assign(arc_hash=pd.Series(hashes, index=pdf.index, dtype="int64"))
+
+    return arcs.mapInPandas(
+        hash_batch, schema="arc_id long, xs array<double>, ys array<double>, arc_hash long"
+    )
+
+
+def stitch_rings(boundary_arcs: pd.DataFrame) -> list[list[tuple[float, float]]]:
+    """Driver/test-side ring stitching: chain boundary arcs into closed
+    rings (greedy endpoint matching). Used by pytest to verify dissolve
+    outputs form closed rings; the distributed path keeps arcs unstitched
+    (render/export consumers stitch per feature group)."""
+    segs = []
+    for _, r in boundary_arcs.iterrows():
+        pts = list(zip(r["xs"], r["ys"]))
+        segs.append(pts)
+    rings = []
+    while segs:
+        ring = segs.pop()
+        grew = True
+        while grew and ring[0] != ring[-1]:
+            grew = False
+            for i, s in enumerate(segs):
+                if s[0] == ring[-1]:
+                    ring += s[1:]
+                elif s[-1] == ring[-1]:
+                    ring += s[-2::-1]
+                elif s[-1] == ring[0]:
+                    ring = s[:-1] + ring
+                elif s[0] == ring[0]:
+                    ring = s[::-1][:-1] + ring
+                else:
+                    continue
+                segs.pop(i)
+                grew = True
+                break
+        rings.append(ring)
+    return rings

@@ -1,0 +1,859 @@
+"""Query + oracle registry — the driver-graded operator surface.
+
+Each entry pairs a Spark implementation (idiomatic engine path — the
+graded spatial ops run the real cell-index / kernel machinery, NOT the
+oracle's brute-force plan) with an ANSI-SQL oracle DuckDB can run on the
+pre-registered driver views [__spark_entry__.py contract].
+
+Numeric portability rules (so order-insensitive value hashes match
+bit-for-bit between Spark's JVM and DuckDB's C++):
+
+- derived doubles come only from ``+ - * /`` on integers and identical
+  decimal literals (IEEE-deterministic in both engines);
+- double aggregation is ALWAYS routed through an exact decimal cast
+  (``CAST(x AS DECIMAL(18,2))``) so the sum is order-independent, then
+  cast back to double;
+- no transcendental functions (sin/log/tan differ in ULPs across libm
+  implementations) in any oracle-checked output column;
+- ranking ties always broken by a stable id column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import cells, fixtures
+from .operators import knn as knn_op
+from .operators import spatial_join as sj
+from .operators import topology
+from .sources import testdata
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec_sum(col: str, alias: str) -> str:
+    return f"CAST(sum(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+_PTS = fixtures.customer_points_sql()
+_TGT = fixtures.supplier_points_sql()
+_EDGES = fixtures.polygon_edges_values_sql()
+_INC = fixtures.grid_incidence_values_sql()
+
+# The half-plane PIP relation the oracle uses: (point_id, poly_id) hits.
+_ORACLE_HITS = f"""
+hits AS (
+    SELECT p.point_id, edges.poly_id
+    FROM pts p, {_EDGES}
+    GROUP BY p.point_id, edges.poly_id
+    HAVING min(CASE WHEN (edges.x2 - edges.x1) * (p.lat - edges.y1)
+                       - (edges.y2 - edges.y1) * (p.lon - edges.x1) >= 0.0
+               THEN 1 ELSE 0 END) = 1
+)"""
+
+
+# =====================================================================
+# Spatial core (graded): cell index, PIP attribution, clip, kNN, tiles
+# =====================================================================
+
+
+@query(
+    "cell_assign",
+    f"""
+    WITH pts AS ({_PTS})
+    SELECT point_id, {cells.cell_sql('lon', 'lat', 8)} AS cell_id FROM pts
+    """,
+)
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-style hierarchical cell assignment (res 8) — pure bit math,
+    whole-stage codegen, no UDF [SURVEY.md §4.2 item 1]."""
+    pts = testdata.customer_points(spark, sf_dir)
+    return sj.with_cell(pts, res=8).select("point_id", "cell_id")
+
+
+@query(
+    "pip_count_by_polygon",
+    f"""
+    WITH pts AS ({_PTS}), {_ORACLE_HITS}
+    SELECT poly_id, count(*) AS n_points FROM hits GROUP BY poly_id
+    """,
+)
+def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon attribution via the two-phase cell join: FULL
+    cells skip geometry entirely; PARTIAL cells run the vectorized PIP
+    kernel. The oracle is an independent all-pairs half-plane test."""
+    pts = testdata.customer_points(spark, sf_dir)
+    polys = testdata.polygons(spark)
+    idx = sj.build_cell_index(spark, polys)
+    hits = sj.pip_attribute(pts, idx)
+    return hits.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@query(
+    "pip_attribute_rows",
+    f"""
+    WITH pts AS ({_PTS}), {_ORACLE_HITS}
+    SELECT point_id, poly_id FROM hits
+    """,
+)
+def q_pip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level PIP join output (the byte-match gate: every matched
+    (point, polygon) pair, not just counts)."""
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = sj.build_cell_index(spark, testdata.polygons(spark))
+    return sj.pip_attribute(pts, idx).select("point_id", "poly_id")
+
+
+@query(
+    "clip_points",
+    f"""
+    WITH pts AS ({_PTS}), {_ORACLE_HITS}
+    SELECT point_id, lon, lat FROM pts
+    WHERE point_id IN (SELECT point_id FROM hits)
+    """,
+)
+def q_clip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapshaper -clip on a point layer (spatial semi-join)."""
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = sj.build_cell_index(spark, testdata.polygons(spark))
+    return sj.clip_points(pts, idx)
+
+
+@query(
+    "erase_points",
+    f"""
+    WITH pts AS ({_PTS}), {_ORACLE_HITS}
+    SELECT point_id, lon, lat FROM pts
+    WHERE point_id NOT IN (SELECT point_id FROM hits)
+    """,
+)
+def q_erase_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapshaper -erase (inverse clip, spatial anti-join)."""
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = sj.build_cell_index(spark, testdata.polygons(spark))
+    return sj.clip_points(pts, idx, invert=True)
+
+
+@query(
+    "polygon_point_agg",
+    f"""
+    WITH pts AS (SELECT c_custkey AS point_id, c_acctbal,
+                        {fixtures.point_lon_sql('c_custkey')} AS lon,
+                        {fixtures.point_lat_sql('c_custkey')} AS lat FROM customer),
+    {_ORACLE_HITS}
+    SELECT h.poly_id, count(*) AS n_points,
+           ROUND(CAST(sum(CAST(p.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM hits h JOIN pts p ON h.point_id = p.point_id
+    GROUP BY h.poly_id
+    """,
+)
+def q_polygon_point_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polygon→point join with calc= (aggregate contained points onto
+    polygons) [SURVEY.md §2.3]."""
+    cust = testdata.load(spark, sf_dir, "customer")
+    pts = testdata.customer_points(spark, sf_dir).join(
+        cust.select(F.col("c_custkey").alias("point_id"), "c_acctbal"), "point_id"
+    )
+    idx = sj.build_cell_index(spark, testdata.polygons(spark))
+    return sj.polygon_point_agg(pts, idx, "c_acctbal")
+
+
+@query(
+    "knn_nearest_target",
+    f"""
+    WITH pts AS ({_PTS}), tgt AS ({_TGT}),
+    d AS (SELECT p.point_id, t.target_id,
+                 (p.lon - t.lon) * (p.lon - t.lon)
+               + (p.lat - t.lat) * (p.lat - t.lat) AS dist2
+          FROM pts p, tgt t),
+    r AS (SELECT point_id, target_id, dist2,
+                 row_number() OVER (PARTITION BY point_id
+                                    ORDER BY dist2, target_id) AS knn_rank
+          FROM d)
+    SELECT point_id, target_id, dist2, knn_rank FROM r WHERE knn_rank <= 1
+    """,
+)
+def q_knn1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-feature join via cell-ring expansion with the
+    guarantee-radius fallback [SURVEY.md §2.3 kNN]."""
+    pts = testdata.customer_points(spark, sf_dir)
+    tgt = testdata.supplier_points(spark, sf_dir)
+    out = knn_op.knn_join(pts, tgt, k=1)
+    return out.select("point_id", "target_id", "dist2", "knn_rank")
+
+
+@query(
+    "knn3_nearest_targets",
+    f"""
+    WITH pts AS ({_PTS}), tgt AS ({_TGT}),
+    d AS (SELECT p.point_id, t.target_id,
+                 (p.lon - t.lon) * (p.lon - t.lon)
+               + (p.lat - t.lat) * (p.lat - t.lat) AS dist2
+          FROM pts p, tgt t),
+    r AS (SELECT point_id, target_id, dist2,
+                 row_number() OVER (PARTITION BY point_id
+                                    ORDER BY dist2, target_id) AS knn_rank
+          FROM d)
+    SELECT point_id, target_id, knn_rank FROM r WHERE knn_rank <= 3
+    """,
+)
+def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testdata.customer_points(spark, sf_dir)
+    tgt = testdata.supplier_points(spark, sf_dir)
+    return knn_op.knn_join(pts, tgt, k=3).select("point_id", "target_id", "knn_rank")
+
+
+@query(
+    "tile_assign_counts",
+    f"""
+    WITH pts AS ({_PTS})
+    SELECT {cells.tile_sql('lon', 'lat', 4)[0]} AS tile_x,
+           {cells.tile_sql('lon', 'lat', 4)[1]} AS tile_y,
+           count(*) AS n_points
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment (z=4 equirectangular z/x/y — the distributed
+    -split-on-grid [SURVEY.md §2.4])."""
+    pts = testdata.customer_points(spark, sf_dir)
+    tx, ty = cells.tile_sql("lon", "lat", 4)
+    return (
+        pts.withColumn("tile_x", F.expr(tx))
+        .withColumn("tile_y", F.expr(ty))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+@query(
+    "filter_geom_bbox",
+    f"""
+    WITH pts AS ({_PTS})
+    SELECT point_id, lon, lat FROM pts
+    WHERE lon BETWEEN -80.0 AND 20.0 AND lat BETWEEN -30.0 AND 55.0
+    """,
+)
+def q_filter_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-filter-geom bbox= [SURVEY.md §2.2] — predicate pushes to scan."""
+    pts = testdata.customer_points(spark, sf_dir)
+    return pts.filter(
+        F.col("lon").between(-80.0, 20.0) & F.col("lat").between(-30.0, 55.0)
+    )
+
+
+# =====================================================================
+# Topology (graded): dissolve / innerlines / lines on the shared-arc grid
+# =====================================================================
+
+
+@query(
+    "dissolve_grid",
+    f"""
+    WITH m AS (SELECT key, arc_id, count(*) AS mult, min(arc_len) AS arc_len
+               FROM {_INC} GROUP BY key, arc_id)
+    SELECT key, count(*) AS n_boundary_arcs,
+           CAST(sum(arc_len) AS DOUBLE) AS perimeter
+    FROM m WHERE mult % 2 = 1 GROUP BY key
+    """,
+)
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-dissolve via distributed arc cancellation [SURVEY.md §2.4]:
+    interior borders (even multiplicity within a key group) cancel."""
+    feats = topology.features_df(spark, fixtures.GRID_FEATURES)
+    arcs = topology.arcs_df(spark, fixtures.GRID_ARCS)
+    return topology.dissolve(feats, arcs)
+
+
+@query(
+    "innerlines_grid",
+    f"""
+    SELECT arc_id FROM (SELECT arc_id, count(DISTINCT feature_id) AS nf
+                        FROM {_INC} GROUP BY arc_id) m
+    WHERE nf = 2
+    """,
+)
+def q_innerlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = topology.features_df(spark, fixtures.GRID_FEATURES)
+    return topology.innerlines(feats)
+
+
+@query(
+    "lines_classify_grid",
+    f"""
+    SELECT arc_id, CASE WHEN nf >= 2 THEN 'inner' ELSE 'outer' END AS kind
+    FROM (SELECT arc_id, count(DISTINCT feature_id) AS nf
+          FROM {_INC} GROUP BY arc_id) m
+    """,
+)
+def q_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = topology.features_df(spark, fixtures.GRID_FEATURES)
+    return topology.lines(feats)
+
+
+# =====================================================================
+# Relational core (mapshaper M1 surface over driver tables)
+# =====================================================================
+
+
+@query(
+    "calc_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dec_sum('l_quantity', 'sum_qty')},
+           {_dec_sum('l_extendedprice', 'sum_base')},
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+             AS sum_disc_price,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_calc_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-calc whole-layer aggregates (TPC-H Q1 shape) [SURVEY.md §2.4]."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "join_attr_region",
+    f"""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           {_dec_sum('c_acctbal', 'sum_acctbal')}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-join keys= attribute equi-join; dims broadcast [SURVEY.md §2.3]."""
+    c = testdata.load(spark, sf_dir, "customer")
+    n = testdata.load(spark, sf_dir, "nation")
+    r = testdata.load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_calc_many_to_one",
+    f"""
+    SELECT c_custkey, c_name, n_orders, total_spent FROM customer
+    JOIN (SELECT o_custkey, count(*) AS n_orders,
+                 {_dec_sum('o_totalprice', 'total_spent')}
+          FROM orders GROUP BY o_custkey) agg
+    ON c_custkey = o_custkey
+    """,
+)
+def q_join_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-join calc= many→one: pre-aggregate the source, then join
+    (partial-agg-before-join) [SURVEY.md §2.3]."""
+    c = testdata.load(spark, sf_dir, "customer")
+    o = testdata.load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spent"),
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey).select(
+        "c_custkey", "c_name", "n_orders", "total_spent"
+    )
+
+
+@query(
+    "anti_join_unmatched",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-join unmatched/unjoined diagnostic (anti join) [SURVEY.md §2.3]."""
+    c = testdata.load(spark, sf_dir, "customer")
+    o = testdata.load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "semi_join_matched",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = testdata.load(spark, sf_dir, "customer")
+    o = testdata.load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "uniq_first_order",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) r
+    WHERE rn = 1
+    """,
+)
+def q_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-uniq <expr>: deterministic keep-first dedupe [SURVEY.md §2.2]."""
+    o = testdata.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) r
+    WHERE rn <= 3
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-k per group (-sort + -filter idiom) [SURVEY.md §2.5]."""
+    o = testdata.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "classify_quantile",
+    """
+    SELECT cls, count(*) AS n, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+    FROM (SELECT c_acctbal,
+                 ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS cls
+          FROM customer) r
+    GROUP BY cls
+    """,
+)
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-classify quantile (choropleth binning) [SURVEY.md §2.4]."""
+    c = testdata.load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("cls", F.ntile(4).over(w))
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+@query(
+    "classify_equal_interval",
+    """
+    SELECT cls, count(*) AS n FROM (
+        SELECT LEAST(4, GREATEST(0,
+               CAST(FLOOR((c_acctbal - (-999.99)) * 5.0 / (9999.99 - (-999.99))) AS BIGINT)))
+               AS cls
+        FROM customer) r
+    GROUP BY cls
+    """,
+)
+def q_classify_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = testdata.load(spark, sf_dir, "customer")
+    expr = (
+        "LEAST(4, GREATEST(0, CAST(FLOOR((c_acctbal - (-999.99)) * 5.0 "
+        "/ (9999.99 - (-999.99))) AS BIGINT)))"
+    )
+    return c.select(F.expr(expr).alias("cls")).groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "merge_layers_union",
+    f"""
+    SELECT src, count(*) AS n, {_dec_sum('acctbal', 'total')}
+    FROM (SELECT 'customer' AS src, c_acctbal AS acctbal FROM customer
+          UNION ALL
+          SELECT 'supplier' AS src, s_acctbal AS acctbal FROM supplier) u
+    GROUP BY src
+    """,
+)
+def q_merge_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-merge-layers (union-all with field alignment) [SURVEY.md §2.6]."""
+    c = testdata.load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = testdata.load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("acctbal").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "each_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(substr(props, 7, length(props) - 7) AS INT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_each_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-each with JSON accessor: get_json_object over events.props
+    [SURVEY.md §2.8]. (Oracle parses positionally — DuckDB's JSON
+    extension may not autoload offline.)"""
+    e = testdata.load(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("bigint").alias("sum_k"))
+    )
+
+
+@query(
+    "explode_part_types",
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part) w
+    GROUP BY word
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-explode (multipart → singlepart analog: explode an array column)."""
+    p = testdata.load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# Streaming surface (batch-equivalent oracles) [SURVEY.md §2.9]
+# =====================================================================
+
+
+@query(
+    "events_tumbling_window",
+    f"""
+    SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+           count(*) AS n, {_dec_sum('value', 'sum_value')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregate (batch-equivalent of the
+    Structured Streaming query in streaming/windows.py)."""
+    e = testdata.load(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 300).cast("bigint"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    l AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM l)
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) via lag + cumulative break-sum — the
+    batch twin of session_window [SURVEY.md §2.9]."""
+    e = testdata.load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # parquet timestamps read as TIMESTAMP_NTZ in Spark 4; session TZ
+        # is pinned to UTC so the LTZ cast is a no-op reinterpretation
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    ses = e.withColumn("brk", brk).withColumn(
+        "session_id",
+        F.sum("brk").over(
+            Window.partitionBy("user_id").orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return ses.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# =====================================================================
+# Training-data ops: dedup / text / ANN [task brief]
+# =====================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy with deterministic survivor choice."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+
+
+@query(
+    "minhash_signatures",
+    """
+    WITH sh AS (
+        SELECT doc_id, substr(text, i, 8) AS shingle
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, GREATEST(1, length(text) - 7))) AS i
+              FROM documents) g
+    )
+    SELECT doc_id,
+           min(md5(shingle || '0')) AS mh0,
+           min(md5(shingle || '1')) AS mh1,
+           min(md5(shingle || '2')) AS mh2,
+           min(md5(shingle || '3')) AS mh3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over character 8-shingles (4 salted hash
+    functions as md5 strings — portable across engines). Banding these
+    gives LSH near-dup buckets."""
+    d = testdata.load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, GREATEST(1, length(text) - 7)), i -> substr(text, i, 8))")
+        ).alias("shingle"),
+    )
+    return sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat("shingle", F.lit(str(i))))).alias(f"mh{i}") for i in range(4)]
+    )
+
+
+@query(
+    "lsh_dup_candidates",
+    """
+    WITH sh AS (
+        SELECT doc_id, substr(text, i, 8) AS shingle
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, GREATEST(1, length(text) - 7))) AS i
+              FROM documents) g
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5(shingle || '0')) || min(md5(shingle || '1')) AS band0,
+               min(md5(shingle || '2')) || min(md5(shingle || '3')) AS band1
+        FROM sh GROUP BY doc_id
+    ),
+    b AS (SELECT doc_id, band0 AS band FROM sig
+          UNION ALL SELECT doc_id, band1 FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+    """,
+)
+def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band signatures → bucket join.
+    The join is on the band value (self-equi-join), so at scale it is a
+    shuffle on band with no cross product outside buckets."""
+    sig = q_minhash(spark, sf_dir)
+    sig = sig.select(
+        "doc_id",
+        F.concat("mh0", "mh1").alias("band0"),
+        F.concat("mh2", "mh3").alias("band1"),
+    )
+    b = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
+        sig.select("doc_id", F.col("band1").alias("band"))
+    )
+    c = b.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"))
+    return (
+        b.join(c, (F.col("band") == F.col("band_b")) & (F.col("doc_id") < F.col("doc_b")))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+           length(text) AS n_chars,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS char_density,
+           CAST(length(text) - length(replace(text, 'the', 'th')) AS BIGINT) AS n_the
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token count, char density, stopword hits —
+    pure string column math (no UDF) [task brief: text analysis]."""
+    d = testdata.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).alias(
+            "n_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.length("text")
+        ).alias("char_density"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("th"))))
+        .cast("bigint")
+        .alias("n_the"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(lower(text)) AS fingerprint,
+           substr(md5(lower(text)), 1, 4) AS bucket
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (normalize → hash → bucket prefix)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.col("text")))
+    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 4).alias("bucket"))
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+    t AS (SELECT vec_id AS tid, embedding AS te FROM embeddings WHERE vec_id >= 8),
+    d AS (SELECT qid, tid,
+                 list_cosine_similarity(qe, te) AS sim
+          FROM q, t),
+    r AS (SELECT qid, tid,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, tid) AS rank
+          FROM d)
+    SELECT qid, tid, rank FROM r WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): broadcast the query
+    set, JVM-side dot products via zip_with/aggregate — no Python in the
+    hot path. Output is ids+rank (float sims differ in ULPs across
+    engines; ranking with id tiebreak is stable)."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    t = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("tid"), F.col("embedding").alias("te")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qe, te, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)), "
+        "cast(0.0 as double), (s, v) -> s + v))"
+    )
+    nt = F.expr(
+        "sqrt(aggregate(transform(te, x -> cast(x as double) * cast(x as double)), "
+        "cast(0.0 as double), (s, v) -> s + v))"
+    )
+    d = t.crossJoin(F.broadcast(q)).withColumn("sim", dot / (nq * nt))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "tid")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "tid", "rank")
+    )
+
+
+def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: cell-assign → PIP-attribute → count per polygon per tile
+    [SURVEY.md §7.1 minimum end-to-end slice]."""
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = sj.build_cell_index(spark, testdata.polygons(spark))
+    hits = sj.pip_attribute(pts, idx)
+    tx, ty = cells.tile_sql("lon", "lat", 4)
+    return (
+        hits.withColumn("tile_x", F.expr(tx))
+        .withColumn("tile_y", F.expr(ty))
+        .groupBy("poly_id", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )

@@ -1,0 +1,66 @@
+"""Loaders for the driver-generated parquet tables and derived layers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fixtures
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived skewed point layer (point_id, lon, lat) — declarative
+    column math [fixtures], so Catalyst prunes the scan to c_custkey."""
+    k = "c_custkey"
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr(fixtures.point_lon_sql(k)).alias("lon"),
+        F.expr(fixtures.point_lat_sql(k)).alias("lat"),
+    )
+
+
+def lineitem_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = "(l_orderkey * 7 + l_linenumber)"
+    return load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        F.expr(fixtures.point_lon_sql(k)).alias("lon"),
+        F.expr(fixtures.point_lat_sql(k)).alias("lat"),
+    )
+
+
+def supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = "(s_suppkey * 3 + 1)"
+    return load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("target_id"),
+        F.expr(fixtures.point_lon_sql(k)).alias("lon"),
+        F.expr(fixtures.point_lat_sql(k)).alias("lat"),
+    )
+
+
+def polygons(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        fixtures.polygons_pdf(),
+        schema="poly_id int, name string, xs array<double>, ys array<double>",
+    )
