@@ -234,6 +234,61 @@ def grid_incidence_values_sql() -> str:
     return f"(VALUES {vals}) AS inc(feature_id, key, arc_id, arc_len)"
 
 
+# ------------------------------------------------------------- polylines ---
+
+
+def _make_polylines(n_arcs: int = 6) -> list[dict]:
+    """Deterministic noisy polylines (random-walk, 4-decimal coords) for
+    the simplify kernels — mapshaper's test arcs are small hand fixtures;
+    ours are seeded walks so threshold goldens are reproducible."""
+    rng = np.random.Generator(np.random.PCG64(SEED + 7))
+    arcs = []
+    for aid in range(n_arcs):
+        n = 40 + 25 * aid
+        xs = np.round(np.cumsum(rng.uniform(0.05, 1.0, n)) + aid * 150.0, 4)
+        ys = np.round(np.cumsum(rng.uniform(-1.0, 1.0, n)), 4)
+        arcs.append({"arc_id": aid, "xs": xs.tolist(), "ys": ys.tolist()})
+    return arcs
+
+
+POLYLINES = _make_polylines()
+
+
+def polyline_thresholds(method: str):
+    """Driver-side golden thresholds for POLYLINES (same numpy kernels the
+    executors run — used to build oracle literals and pytest goldens)."""
+    from . import geometry
+
+    kern = {"visvalingam": geometry.visvalingam_thresholds, "dp": geometry.dp_thresholds}[
+        method
+    ]
+    out = []
+    for a in POLYLINES:
+        thr = np.minimum(
+            kern(np.asarray(a["xs"]), np.asarray(a["ys"])), 1e308
+        )
+        out.append({"arc_id": a["arc_id"], "thr": thr.tolist()})
+    return out
+
+
+def polyline_thr_values_sql(method: str) -> str:
+    """(arc_id, thr) VALUES relation of the golden thresholds — repr()
+    round-trips doubles exactly, so DuckDB parses bit-identical values."""
+    rows = []
+    for a in polyline_thresholds(method):
+        for t in a["thr"]:
+            rows.append(f"({a['arc_id']},{t!r})")
+    return f"(VALUES {','.join(rows)}) AS thrv(arc_id, thr)"
+
+
+def polyline_median_threshold(method: str) -> float:
+    """Median finite threshold — the fixture 'simplify level' literal."""
+    vals = []
+    for a in polyline_thresholds(method):
+        vals.extend(t for t in a["thr"] if t < 1e308)
+    return float(np.median(vals))
+
+
 # ---------------------------------------------------------------- images ---
 
 _NOUNS = ["harbor", "meadow", "skyline", "canyon", "market", "temple", "bridge", "forest"]

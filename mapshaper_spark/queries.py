@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 
 from . import cells, fixtures
 from .operators import knn as knn_op
+from .operators import raster as raster_op
+from .operators import simplify as simplify_op
+from .operators import skew as skew_op
 from .operators import spatial_join as sj
 from .operators import topology
 from .sources import testdata
@@ -254,6 +257,151 @@ def q_filter_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.filter(
         F.col("lon").between(-80.0, 20.0) & F.col("lat").between(-30.0, 55.0)
     )
+
+
+@query(
+    "pip_count_salted",
+    f"""
+    WITH pts AS ({_PTS}), {_ORACLE_HITS}
+    SELECT poly_id, count(*) AS n_points FROM hits GROUP BY poly_id
+    """,
+)
+def q_pip_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as pip_count_by_polygon through the SALTED shuffle-join
+    path [north_rule "explicit salt-based skew mitigation"]: hot cells
+    (the 3 hotspot cities hold 20% of points) measured, salted with
+    pmod(xxhash64(point_id), k), index replicated per salt. The low
+    target_rows_per_task forces salting even at sf0.01 so the path is
+    exercised by the correctness gate, not just at scale."""
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = sj.build_cell_index(spark, testdata.polygons(spark))
+    hits = skew_op.pip_attribute_salted(pts, idx, target_rows_per_task=50)
+    return hits.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+# ---- raster↔vector tiles [north_rule] --------------------------------
+
+_Z = 3  # 8x8 tile grid; tile = 45 x 22.5 deg; pixel = 2.8125 x 1.40625
+_PX_HITS = f"""
+px AS (
+    SELECT t.v AS tx, u.v AS ty, c.v AS col, r.v AS row,
+           -180.0 + t.v * 45.0 + (CAST(c.v AS DOUBLE) + 0.5) * 2.8125 AS x,
+           -90.0 + (u.v + 1) * 22.5 - (CAST(r.v AS DOUBLE) + 0.5) * 1.40625 AS y
+    FROM generate_series(0, 7) t(v), generate_series(0, 7) u(v),
+         generate_series(0, 15) c(v), generate_series(0, 15) r(v)
+),
+pxhits AS (
+    SELECT px.tx, px.ty, px.col, px.row, edges.poly_id
+    FROM px, {_EDGES}
+    GROUP BY px.tx, px.ty, px.col, px.row, px.x, px.y, edges.poly_id
+    HAVING min(CASE WHEN (edges.x2 - edges.x1) * (px.y - edges.y1)
+                       - (edges.y2 - edges.y1) * (px.x - edges.x1) >= 0.0
+               THEN 1 ELSE 0 END) = 1
+)"""
+
+
+@query(
+    "raster_tile_pixel_counts",
+    f"""
+    WITH {_PX_HITS}
+    SELECT poly_id, tx AS tile_x, ty AS tile_y, count(*) AS n_pixels
+    FROM pxhits GROUP BY 1, 2, 3
+    """,
+)
+def q_raster_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster: scanline-rasterize every polygon onto the pixel
+    grids of its z=3 tiles (16x16 px), count covered pixels per tile.
+    The oracle is an independent pixel-center PIP in ANSI SQL."""
+    polys = testdata.polygons(spark)
+    return raster_op.rasterize_polygons(polys, z=_Z).select(
+        "poly_id", "tile_x", "tile_y", "n_pixels"
+    )
+
+
+@query(
+    "raster_vectorize_runs",
+    f"""
+    WITH {_PX_HITS}
+    SELECT poly_id, tx AS tile_x, ty AS tile_y, row,
+           min(col) AS col_lo, max(col) AS col_hi
+    FROM pxhits GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster→vector: run-length vectorization of the rasterized tiles.
+    For convex polygons each pixel row holds exactly one run, so the runs
+    are oracle-checkable as (row, min col, max col) of inside pixels —
+    a full row-level check of the raster↔vector roundtrip."""
+    polys = testdata.polygons(spark)
+    raster = raster_op.rasterize_polygons(polys, z=_Z)
+    return raster_op.vectorize_tiles(raster).select(
+        "poly_id", "tile_x", "tile_y", "row", "col_lo", "col_hi"
+    )
+
+
+# ---- simplify (graded): Visvalingam / DP over the arc dictionary -----
+
+_T_VIS = fixtures.polyline_median_threshold("visvalingam")
+_T_DP = fixtures.polyline_median_threshold("dp")
+
+
+@query(
+    "simplify_visvalingam_counts",
+    f"""
+    SELECT arc_id, count(*) AS n_kept
+    FROM {fixtures.polyline_thr_values_sql('visvalingam')}
+    WHERE thr >= {_T_VIS!r} GROUP BY arc_id
+    """,
+)
+def q_simplify_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-simplify visvalingam: per-arc effective-area thresholds computed
+    distributively (mapInPandas over the arc dictionary), then one level
+    applied as a pure array filter [SURVEY.md §2.7]. The oracle embeds
+    driver-side golden thresholds as literals — checking executor-kernel
+    determinism AND the threshold-filter application."""
+    arcs = topology.arcs_df(spark, fixtures.POLYLINES)
+    thr = simplify_op.compute_thresholds(arcs, "visvalingam")
+    return simplify_op.apply_level(thr, _T_VIS).select(
+        "arc_id", F.col("n_kept").cast("long").alias("n_kept")
+    )
+
+
+@query(
+    "simplify_dp_counts",
+    f"""
+    SELECT arc_id, count(*) AS n_kept
+    FROM {fixtures.polyline_thr_values_sql('dp')}
+    WHERE thr >= {_T_DP!r} GROUP BY arc_id
+    """,
+)
+def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-simplify dp (Douglas-Peucker max-distance thresholds)."""
+    arcs = topology.arcs_df(spark, fixtures.POLYLINES)
+    thr = simplify_op.compute_thresholds(arcs, "dp")
+    return simplify_op.apply_level(thr, _T_DP).select(
+        "arc_id", F.col("n_kept").cast("long").alias("n_kept")
+    )
+
+
+@query("simplify_pct_multiresolution")
+def q_simplify_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapshaper's multi-resolution trick end-to-end: compute thresholds
+    ONCE, then apply three zoom levels (keep 80/50/20% of vertices) as
+    cheap filters — no kernel re-run [SURVEY.md §2.7]. Rows-only check
+    (percentile_approx cut is engine-specific); pytest asserts the
+    monotonicity invariant n_kept(80) >= n_kept(50) >= n_kept(20)."""
+    arcs = topology.arcs_df(spark, fixtures.POLYLINES)
+    thr = simplify_op.compute_thresholds(arcs, "visvalingam").cache()
+    outs = []
+    for pct in (0.8, 0.5, 0.2):
+        t = simplify_op.threshold_for_pct(thr, pct)
+        outs.append(
+            simplify_op.apply_level(thr, t)
+            .select("arc_id", "n_kept")
+            .withColumn("pct", F.lit(int(pct * 100)))
+        )
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select("arc_id", "pct", F.col("n_kept").cast("long").alias("n_kept"))
 
 
 # =====================================================================

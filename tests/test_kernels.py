@@ -1,0 +1,187 @@
+"""Unit tests for the numpy geometry kernels and cell index — the
+mapshaper-style per-module unit layer [SURVEY.md §5.1: upstream keeps one
+test file per command/module with hand-computed expectations]."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from mapshaper_spark import cells, fixtures, geometry
+from mapshaper_spark.operators import raster as raster_op
+
+# ---------------------------------------------------------------- cells ---
+
+
+def test_cell_parent_child_roundtrip():
+    c = int(cells.cell_id_np(np.array([12.34]), np.array([-56.78]), 9)[0])
+    assert cells.cell_res(c) == 9
+    for ch in cells.children(c):
+        assert cells.parent(ch) == c
+
+
+def test_cell_neighbors_interior_count():
+    c = int(cells.cell_id_np(np.array([0.0]), np.array([0.0]), 6)[0])
+    assert len(cells.neighbor_cells(c, 1)) == 9
+
+
+def test_cell_bounds_contains_point():
+    lon, lat = 12.34, -56.78
+    c = int(cells.cell_id_np(np.array([lon]), np.array([lat]), 10)[0])
+    x0, y0, x1, y1 = cells.cell_bounds(c)
+    assert x0 <= lon < x1 and y0 <= lat < y1
+
+
+def test_cell_sql_matches_numpy():
+    """The SQL template (run through DuckDB) and the numpy kernel must be
+    bit-identical — that's the portability contract with the oracle."""
+    rng = np.random.Generator(np.random.PCG64(1))
+    lon = np.round(rng.uniform(-180, 180, 500), 6)
+    lat = np.round(rng.uniform(-90, 90, 500), 6)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", list(zip(lon.tolist(), lat.tolist())))
+    got = con.sql(f"SELECT {cells.cell_sql('lon', 'lat', 8)} AS c FROM p").df()["c"].to_numpy()
+    want = cells.cell_id_np(lon, lat, 8)
+    assert (got == want).all()
+
+
+# ------------------------------------------------------------- simplify ---
+
+
+def test_visvalingam_triangle():
+    thr = geometry.visvalingam_thresholds(
+        np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 0.0])
+    )
+    assert np.isinf(thr[0]) and np.isinf(thr[2])
+    assert thr[1] == pytest.approx(1.0)  # triangle area 0.5*2*1
+
+
+def test_dp_triangle():
+    thr = geometry.dp_thresholds(np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 0.0]))
+    assert np.isinf(thr[0]) and np.isinf(thr[2])
+    assert thr[1] == pytest.approx(1.0)  # perpendicular distance to base
+
+
+def test_visvalingam_monotone_removal():
+    """Thresholds must be monotone along removal order: filtering at any
+    level yields a consistent nested vertex set (mapshaper invariant)."""
+    a = fixtures.POLYLINES[3]
+    xs, ys = np.asarray(a["xs"]), np.asarray(a["ys"])
+    thr = geometry.visvalingam_thresholds(xs, ys)
+    levels = np.unique(thr[np.isfinite(thr)])
+    prev = None
+    for t in levels:
+        kept = set(np.flatnonzero(thr >= t).tolist())
+        if prev is not None:
+            assert kept <= prev  # nested
+        prev = kept
+
+
+def test_apply_threshold_keeps_endpoints():
+    xs = np.array([0.0, 1.0, 2.0, 3.0])
+    ys = np.array([0.0, 0.001, -0.001, 0.0])
+    thr = geometry.dp_thresholds(xs, ys)
+    kx, ky = geometry.apply_threshold(xs, ys, thr, 1e9)
+    assert kx.tolist() == [0.0, 3.0] and ky.tolist() == [0.0, 0.0]
+
+
+# ------------------------------------------------------------------ PIP ---
+
+
+def test_pip_convex_square():
+    ring = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])  # CCW
+    px = np.array([1.0, 3.0, 0.0, 2.0, -0.001])
+    py = np.array([1.0, 1.0, 0.0, 2.0, 1.0])
+    got = geometry.pip_convex(px, py, ring)
+    assert got.tolist() == [True, False, True, True, False]  # boundary inside
+
+
+def test_pip_ray_matches_convex_interior():
+    ring = np.asarray(fixtures.POLYGONS[5]["ring"])
+    rng = np.random.Generator(np.random.PCG64(2))
+    px = rng.uniform(ring[:, 0].min() - 5, ring[:, 0].max() + 5, 2000)
+    py = rng.uniform(ring[:, 1].min() - 5, ring[:, 1].max() + 5, 2000)
+    assert (geometry.pip_ray(px, py, ring) == geometry.pip_convex(px, py, ring)).all()
+
+
+# ------------------------------------------------------- area / centroid ---
+
+
+def test_shoelace_and_centroid_unit_square():
+    xs, ys = np.array([0.0, 1.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0, 1.0])
+    assert geometry.shoelace_area(xs, ys) == pytest.approx(1.0)
+    assert geometry.ring_centroid(xs, ys) == pytest.approx((0.5, 0.5))
+
+
+# ----------------------------------------------------------- raster tiles ---
+
+
+def test_rasterize_vectorize_roundtrip_exact():
+    """rasterize(vectorize(mask)) == mask bit-for-bit for every fixture
+    polygon tile — the raster↔vector exactness gate."""
+    w = h = 16
+    checked = 0
+    for p in fixtures.POLYGONS:
+        xs, ys = np.asarray(p["ring"])[:, 0], np.asarray(p["ring"])[:, 1]
+        ix0, iy0 = cells.grid_xy_np(np.array([xs.min()]), np.array([ys.min()]), 3)
+        ix1, iy1 = cells.grid_xy_np(np.array([xs.max()]), np.array([ys.max()]), 3)
+        for ty in range(int(iy0[0]), int(iy1[0]) + 1):
+            for tx in range(int(ix0[0]), int(ix1[0]) + 1):
+                bounds = raster_op.tile_bounds(3, tx, ty)
+                mask = geometry.rasterize_ring(xs, ys, *bounds, w, h)
+                if mask.sum() == 0:
+                    continue
+                runs = raster_op.vectorize_mask(mask)
+                back = raster_op.runs_to_mask(runs, w, h)
+                assert (back == mask).all()
+                checked += 1
+    assert checked > 20
+
+
+def test_rasterized_area_approximates_polygon_area():
+    """Total covered pixel area ≈ shoelace area (within pixel-perimeter
+    error) for every polygon — sanity on the scanline fill."""
+    for p in fixtures.POLYGONS:
+        ring = np.asarray(p["ring"])
+        xs, ys = ring[:, 0], ring[:, 1]
+        area = abs(geometry.shoelace_area(xs, ys))
+        w = h = 64
+        x0, y0, x1, y1 = xs.min(), ys.min(), xs.max(), ys.max()
+        mask = geometry.rasterize_ring(xs, ys, x0, y0, x1, y1, w, h)
+        pix_area = (x1 - x0) * (y1 - y0) / (w * h)
+        got = mask.sum() * pix_area
+        perim = geometry.path_length(np.append(xs, xs[0]), np.append(ys, ys[0]))
+        cell_diag = np.hypot((x1 - x0) / w, (y1 - y0) / h)
+        assert abs(got - area) <= perim * cell_diag  # boundary band bound
+
+
+# ----------------------------------------------------------------- images ---
+
+
+def test_ahash_deterministic_and_recomputable():
+    r1, r2 = fixtures.make_image(7), fixtures.make_image(7)
+    assert r1["phash"] == r2["phash"] and r1["bytes"] == r2["bytes"]
+    px = np.frombuffer(r1["bytes"], dtype=np.uint8).reshape(r1["h"], r1["w"], 3)
+    assert int(fixtures.ahash64(px, r1["w"], r1["h"])) == r1["phash"]
+
+
+def test_psnr_quantization_above_40db():
+    """The 'lossy' stand-in (2-LSB quantization) stays above the 40 dB
+    gate [BASELINE.json input_hint PSNR>=40dB]."""
+    r = fixtures.make_image(11)
+    px = np.frombuffer(r["bytes"], dtype=np.uint8).reshape(r["h"], r["w"], 3)
+    lossy = (px & 0xFC).astype(np.uint8)
+    assert geometry.psnr(px, lossy) >= 40.0
+    assert geometry.psnr(px, px) == float("inf")
+
+
+# ----------------------------------------------------------------- dist ---
+
+
+def test_haversine_equator_degree():
+    d = geometry.haversine_km(
+        np.array([0.0]), np.array([0.0]), np.array([1.0]), np.array([0.0])
+    )
+    assert d[0] == pytest.approx(111.19, abs=0.1)
