@@ -1,0 +1,189 @@
+"""Declarative pipeline runner — the mapshaper command-list analog
+[SURVEY.md §3.2 Entry 3].
+
+mapshaper's IR is an ordered command list folded over mutable datasets;
+ours is a JSON op list folded over a *lazy* DataFrame — nothing executes
+until a sink, so Catalyst optimizes across op boundaries (a ``filter``
+op placed after ``with_cell`` still pushes to the parquet scan). Each op
+is a pure DataFrame→DataFrame function; ``checkpoint`` ops cut the plan
+at stage boundaries through plans.lineage (resumable, per-partition
+lineage + metrics [north_rule]).
+
+Spec shape::
+
+    {"source": {"kind": "parquet", "path": ...}
+             | {"kind": "customer_points" | "images", ...},
+     "ops": [{"op": "filter", "expr": "lon > 0"},
+             {"op": "with_cell", "res": 6},
+             {"op": "pip_attribute"},
+             {"op": "tile_assign", "z": 4},
+             {"op": "count_by", "keys": ["poly_id", "tile_x", "tile_y"]},
+             {"op": "checkpoint", "stage": "s1", "out": ..., "lineage": ...}]}
+
+Run via ``spark-submit --py-files dist/mapshaper_spark.zip
+jobs/run_pipeline.py --spec spec.json --out out.parquet`` [north_rule].
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cells, fixtures
+from ..operators import knn as knn_op
+from ..operators import raster as raster_op
+from ..operators import simplify as simplify_op
+from ..operators import skew as skew_op
+from ..operators import spatial_join as sj
+from ..sources import testdata
+from . import lineage as lineage_mod
+
+OpFn = Callable[[SparkSession, DataFrame, dict], DataFrame]
+OPS: dict[str, OpFn] = {}
+
+
+def op(name: str):
+    def deco(fn: OpFn):
+        OPS[name] = fn
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------- sources ---
+
+
+def load_source(spark: SparkSession, src: dict) -> DataFrame:
+    kind = src["kind"]
+    if kind == "parquet":
+        return spark.read.parquet(src["path"])
+    if kind == "customer_points":
+        return testdata.customer_points(spark, src["sf_dir"])
+    if kind == "lineitem_points":
+        return testdata.lineitem_points(spark, src["sf_dir"])
+    if kind == "table":
+        return testdata.load(spark, src["sf_dir"], src["table"])
+    if kind == "images":
+        return fixtures.images_df(spark, src.get("n", 10_000), src.get("partitions", 32))
+    raise ValueError(f"unknown source kind {kind!r}")
+
+
+# ----------------------------------------------------------------- ops ---
+
+
+@op("filter")
+def _filter(spark, df, o):
+    return df.filter(F.expr(o["expr"]))
+
+
+@op("select")
+def _select(spark, df, o):
+    return df.selectExpr(*o["exprs"])
+
+
+@op("with_column")
+def _with_column(spark, df, o):
+    return df.withColumn(o["name"], F.expr(o["expr"]))
+
+
+@op("with_cell")
+def _with_cell(spark, df, o):
+    return sj.with_cell(df, res=o.get("res", sj.DEFAULT_RES))
+
+
+@op("pip_attribute")
+def _pip(spark, df, o):
+    idx = sj.build_cell_index(spark, testdata.polygons(spark), o.get("res", sj.DEFAULT_RES))
+    return sj.pip_attribute(df, idx, res=o.get("res", sj.DEFAULT_RES))
+
+
+@op("pip_attribute_salted")
+def _pip_salted(spark, df, o):
+    idx = sj.build_cell_index(spark, testdata.polygons(spark), o.get("res", sj.DEFAULT_RES))
+    return skew_op.pip_attribute_salted(
+        df,
+        idx,
+        res=o.get("res", sj.DEFAULT_RES),
+        target_rows_per_task=o.get("target_rows_per_task", 250_000),
+    )
+
+
+@op("clip")
+def _clip(spark, df, o):
+    idx = sj.build_cell_index(spark, testdata.polygons(spark), o.get("res", sj.DEFAULT_RES))
+    return sj.clip_points(df, idx, res=o.get("res", sj.DEFAULT_RES), invert=o.get("invert", False))
+
+
+@op("knn_join")
+def _knn(spark, df, o):
+    tgt = testdata.supplier_points(spark, o["sf_dir"])
+    return knn_op.knn_join(df, tgt, k=o.get("k", 1))
+
+
+@op("tile_assign")
+def _tile(spark, df, o):
+    tx, ty = cells.tile_sql(o.get("lon", "lon"), o.get("lat", "lat"), o.get("z", 4))
+    return df.withColumn("tile_x", F.expr(tx)).withColumn("tile_y", F.expr(ty))
+
+
+@op("count_by")
+def _count_by(spark, df, o):
+    return df.groupBy(*o["keys"]).agg(F.count(F.lit(1)).alias(o.get("alias", "n")))
+
+
+@op("rasterize")
+def _rasterize(spark, df, o):
+    return raster_op.rasterize_polygons(df, z=o.get("z", 3))
+
+
+@op("simplify_thresholds")
+def _simpl(spark, df, o):
+    return simplify_op.compute_thresholds(df, o.get("method", "visvalingam"))
+
+
+@op("simplify_apply")
+def _simpl_apply(spark, df, o):
+    return simplify_op.apply_level(df, o["t"])
+
+
+@op("repartition_by_cell_range")
+def _repart(spark, df, o):
+    return df.repartitionByRange(o.get("n", 32), F.col(o.get("cell_col", "cell_id")))
+
+
+@op("checkpoint")
+def _checkpoint(spark, df, o):
+    m = lineage_mod.run_stage(
+        df,
+        stage=o["stage"],
+        out_path=o["out"],
+        lineage_path=o["lineage"],
+        res=o.get("res", sj.DEFAULT_RES),
+        bucket_res=o.get("bucket_res", 2),
+        cell_col=o.get("cell_col", "cell_id"),
+    )
+    # stage boundary: downstream reads the durable output
+    out = spark.read.parquet(o["out"]).drop("_bucket")
+    out._lineage_metrics = m  # surfaced for callers/tests
+    return out
+
+
+# ---------------------------------------------------------------- runner ---
+
+
+def run_pipeline(spark: SparkSession, spec: dict) -> DataFrame:
+    df = load_source(spark, spec["source"])
+    for o in spec.get("ops", []):
+        fn = OPS.get(o["op"])
+        if fn is None:
+            raise ValueError(f"unknown op {o['op']!r}; known: {sorted(OPS)}")
+        df = fn(spark, df, o)
+    return df
+
+
+def run_pipeline_file(spark: SparkSession, spec_path: str) -> DataFrame:
+    with open(spec_path) as f:
+        return run_pipeline(spark, json.load(f))

@@ -1,0 +1,151 @@
+"""Lineage/checkpoint + resume, pipeline runner, spark-submit packaging
+[BASELINE.json north_rule: resumable per-partition lineage; spark-submit
+--py-files]."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark.operators import spatial_join as sj
+from mapshaper_spark.plans import lineage, pipeline
+from mapshaper_spark.sources import testdata
+
+from .conftest import SF_SMOKE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "lineage")
+
+
+def _staged_input(spark):
+    return sj.with_cell(testdata.customer_points(spark, SF_SMOKE), res=6)
+
+
+def test_stage_writes_lineage_and_verifies(spark, tmpdirs):
+    out, ln = tmpdirs
+    df = _staged_input(spark)
+    m = lineage.run_stage(df, "s1", out, ln, res=6, bucket_res=2)
+    assert m["buckets_skipped"] == 0 and m["rows"] == df.count()
+    assert lineage.verify_lineage(spark, out, ln, "s1")
+    rec = spark.read.parquet(ln)
+    # every lineage row carries a real cell range
+    assert rec.filter(F.col("cell_lo") > F.col("cell_hi")).count() == 0
+
+
+def test_resume_processes_only_missing_buckets(spark, tmpdirs):
+    out, ln = tmpdirs
+    df = _staged_input(spark)
+    bex = lineage.bucket_expr("cell_id", 6, 2)
+    half = df.filter(F.expr(bex) % 2 == 0)
+
+    m1 = lineage.run_stage(half, "s1", out, ln, res=6, bucket_res=2)
+    assert m1["buckets_skipped"] == 0
+
+    # resume with the FULL input: completed buckets must be skipped
+    m2 = lineage.run_stage(df, "s1", out, ln, res=6, bucket_res=2)
+    assert m2["buckets_skipped"] == m1["buckets_done"]
+    assert m1["rows"] + m2["rows"] == df.count()
+
+    # final durable output == a clean full run (order-insensitive)
+    got = spark.read.parquet(out).drop("_bucket")
+    assert got.count() == df.count()
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+    assert lineage.verify_lineage(spark, out, ln, "s1")
+
+
+def test_rerun_after_complete_is_noop(spark, tmpdirs):
+    out, ln = tmpdirs
+    df = _staged_input(spark)
+    lineage.run_stage(df, "s1", out, ln, res=6, bucket_res=2)
+    m = lineage.run_stage(df, "s1", out, ln, res=6, bucket_res=2)
+    assert m["buckets_done"] == 0 and m["rows"] == 0
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_pipeline_matches_direct_query(spark):
+    spec = {
+        "source": {"kind": "customer_points", "sf_dir": SF_SMOKE},
+        "ops": [
+            {"op": "pip_attribute"},
+            {"op": "tile_assign", "z": 4},
+            {"op": "count_by", "keys": ["poly_id", "tile_x", "tile_y"], "alias": "n_images"},
+        ],
+    }
+    got = pipeline.run_pipeline(spark, spec)
+    from mapshaper_spark import queries as Q
+
+    want = Q.entry_query(spark, SF_SMOKE)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_pipeline_checkpoint_stage_boundary(spark, tmp_path):
+    out = str(tmp_path / "ckpt")
+    ln = str(tmp_path / "ckpt_lineage")
+    spec = {
+        "source": {"kind": "customer_points", "sf_dir": SF_SMOKE},
+        "ops": [
+            {"op": "with_cell", "res": 6},
+            {"op": "checkpoint", "stage": "cells", "out": out, "lineage": ln, "res": 6},
+            {"op": "count_by", "keys": ["cell_id"]},
+        ],
+    }
+    got = pipeline.run_pipeline(spark, spec)
+    base = sj.with_cell(testdata.customer_points(spark, SF_SMOKE), 6).groupBy("cell_id").count()
+    assert got.count() == base.count()
+    assert lineage.verify_lineage(spark, out, ln, "cells")
+
+
+def test_spark_submit_py_files_pipeline(tmp_path):
+    """The ship path: zip the package, spark-submit with --py-files from a
+    cwd OUTSIDE the repo (so only the zip provides the engine)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import package as pkg
+
+    zip_path = pkg.build(str(tmp_path / "mapshaper_spark.zip"))
+    spec = {
+        "source": {"kind": "customer_points", "sf_dir": SF_SMOKE},
+        "ops": [
+            {"op": "pip_attribute"},
+            {"op": "count_by", "keys": ["poly_id"], "alias": "n"},
+        ],
+    }
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    out = str(tmp_path / "out.parquet")
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    r = subprocess.run(
+        [
+            spark_submit,
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--spec",
+            str(spec_path),
+            "--out",
+            out,
+        ],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    last = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    assert json.loads(last)["rows"] > 0
