@@ -295,6 +295,10 @@ _NOUNS = ["harbor", "meadow", "skyline", "canyon", "market", "temple", "bridge",
 IMG_SIZES = [16, 32, 64]
 
 
+def make_caption(i: int) -> str:
+    return f"synthetic caption {i} {_NOUNS[i % len(_NOUNS)]}"
+
+
 def make_image(i: int) -> dict:
     """Deterministic image row i — the single source of truth for pixels,
     caption, and phash; tests and Spark generators both call this."""
@@ -308,7 +312,7 @@ def make_image(i: int) -> dict:
         "w": w,
         "h": h,
         "fmt": "raw",
-        "caption": f"synthetic caption {i} {_NOUNS[i % len(_NOUNS)]}",
+        "caption": make_caption(i),
         "phash": int(ahash64(px, w, h)),
     }
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import cells, fixtures
+from .operators import images as images_op
 from .operators import knn as knn_op
 from .operators import raster as raster_op
 from .operators import simplify as simplify_op
@@ -990,6 +991,125 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "tid", "rank")
     )
+
+
+# =====================================================================
+# Images pipeline [BASELINE.json input_hint / north_rule]
+# =====================================================================
+
+_N_IMG = 256
+
+# caption/metadata derivation as portable SQL over DuckDB generate_series
+_NOUN_CASE = "CASE i % 8 " + " ".join(
+    f"WHEN {j} THEN '{n}'" for j, n in enumerate(fixtures._NOUNS)
+) + " END"
+_SIZE_CASE_W = "CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END"
+_SIZE_CASE_H = "CASE (i // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END"
+_IMG_META_CTE = f"""
+m AS (
+    SELECT printf('img%09d', i) AS image_id,
+           {_SIZE_CASE_W} AS w, {_SIZE_CASE_H} AS h, 'raw' AS fmt,
+           printf('synthetic caption %d %s', i, {_NOUN_CASE}) AS caption,
+           {fixtures.point_lon_sql('i')} AS lon,
+           {fixtures.point_lat_sql('i')} AS lat
+    FROM generate_series(0, {_N_IMG - 1}) g(i)
+)"""
+
+
+def _images_slim(spark: SparkSession):
+    return fixtures.images_df(spark, _N_IMG, partitions=8)
+
+
+@query(
+    "images_meta_cells",
+    f"""
+    WITH {_IMG_META_CTE}
+    SELECT image_id, w, h, fmt, caption, lon, lat,
+           {cells.cell_sql('lon', 'lat', 8)} AS cell_id
+    FROM m
+    """,
+)
+def q_images_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The images table through the real distributed generator
+    (mapInPandas — bytes produced executor-side, never collected), slim
+    metadata + cell assignment projected out. The oracle re-derives every
+    column incl. caption byte-equality from pure SQL [input_hint
+    'caption equality']."""
+    imgs = _images_slim(spark)
+    return sj.with_cell(imgs, res=8).select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "caption",
+        "lon",
+        "lat",
+        "cell_id",
+    )
+
+
+@query(
+    "images_tile_stats",
+    f"""
+    WITH {_IMG_META_CTE}
+    SELECT {cells.tile_sql('lon', 'lat', 4)[0]} AS tile_x,
+           {cells.tile_sql('lon', 'lat', 4)[1]} AS tile_y,
+           count(*) AS n_images,
+           sum(CAST(w AS BIGINT) * h) AS sum_pixels
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q_images_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images per z=4 tile with total pixel payload — the tile-planning
+    aggregate (how much raster data lands on each tile)."""
+    imgs = _images_slim(spark)
+    tx, ty = cells.tile_sql("lon", "lat", 4)
+    return (
+        imgs.withColumn("tile_x", F.expr(tx))
+        .withColumn("tile_y", F.expr(ty))
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("w").cast("bigint") * F.col("h")).alias("sum_pixels"),
+        )
+    )
+
+
+def _phash_values_sql() -> str:
+    rows = ",".join(
+        f"('{fixtures.make_image(i)['image_id']}',{fixtures.make_image(i)['phash']})"
+        for i in range(_N_IMG)
+    )
+    return f"(VALUES {rows}) AS ph(image_id, phash)"
+
+
+@query(
+    "images_phash_near_dup",
+    f"""
+    WITH b AS (SELECT image_id, phash, (phash >> 60) & 15 AS bucket
+               FROM {_phash_values_sql()})
+    SELECT a.image_id AS id_a, c.image_id AS id_b,
+           bit_count(xor(a.phash, c.phash)) AS hamming
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.image_id < c.image_id
+    WHERE bit_count(xor(a.phash, c.phash)) <= 28
+    """,
+)
+def q_images_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs via phash-prefix blocking + Hamming
+    distance [task brief: dedup over multimodal payloads]. The shuffle
+    carries only (id, phash) — bytes stay columnar on disk. Oracle
+    recomputes blocking+popcount over golden phash literals."""
+    imgs = _images_slim(spark).select("image_id", "phash")
+    out = images_op.phash_near_dup_pairs(imgs, prefix_bits=4, max_hamming=28)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query("images_invariants")
+def q_images_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row payload invariants [north_rule]: recomputed phash match,
+    lossy-roundtrip PSNR, caption byte-equality. Rows-only for the driver
+    (pixel checks aren't SQL); pytest asserts every row passes."""
+    return images_op.verify_invariants(fixtures.images_df(spark, 64, partitions=4))
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

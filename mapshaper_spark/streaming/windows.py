@@ -1,0 +1,102 @@
+"""Structured Streaming surface over the cell-indexed model
+[SURVEY.md §2.9]. Upstream mapshaper has no streaming; these are the
+standard Spark streaming idioms applied to the engine's tables, so the
+same spatial operators (cell assign, PIP attribution) run on unbounded
+input with checkpoint-based resume — the streaming twin of the batch
+lineage story.
+
+Every builder takes a streaming DataFrame (``spark.readStream``) and
+returns a streaming DataFrame; batch-equivalent twins live in
+queries.py (events_tumbling_window, events_sessionize) and are what the
+DuckDB oracle grades."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import cells
+
+# driver parquet carries timestamp[us] with no zone → Spark 4 reads NTZ
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of events-shaped parquet (one file = one
+    micro-batch slice; production swaps in Kafka with the same schema)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    # watermarks need TIMESTAMP (LTZ); session TZ is pinned to UTC so the
+    # cast is a pure reinterpretation, not a shift
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 5, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window counts + sums per event_type with late-data
+    watermark — the streaming twin of queries.events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """session_window aggregation (gap-based) — streaming sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stateful exact dedup on event_id bounded by the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_static_cell_join(
+    points_stream: DataFrame, cell_index: DataFrame, res: int = 6
+) -> DataFrame:
+    """Stream–static spatial join: live points against the static (and
+    broadcastable) cell index — live PIP candidate attribution. The
+    exact-kernel refinement runs identically on the stream (pandas UDF
+    filters are supported in streaming plans)."""
+    pts = points_stream.withColumn("cell_id", F.expr(cells.cell_sql("lon", "lat", res)))
+    return pts.join(F.broadcast(cell_index), "cell_id")
+
+
+def run_to_memory(stream_df: DataFrame, name: str, checkpoint_dir: str, mode: str = "append"):
+    """Drain all available input into an in-memory table (tests/demos);
+    the checkpointLocation carries offsets+state across restarts — the
+    streaming resume story [north_rule resumability]. Aggregations use
+    mode='complete' to emit windows still inside the watermark."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,91 @@
+"""Structured Streaming surface: file-source micro-batches over the
+driver's events table, checked against the batch twins [SURVEY.md §2.9]."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark.operators import spatial_join as sj
+from mapshaper_spark.sources import testdata
+from mapshaper_spark.streaming import windows as W
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def stream_src(tmp_path):
+    """events parquet staged as a streaming source directory."""
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-000.parquet")
+    return str(src)
+
+
+def test_tumbling_stream_matches_batch(spark, stream_src, tmp_path):
+    stream = W.read_events_stream(spark, stream_src)
+    agg = W.tumbling_counts(stream, minutes=5)
+    W.run_to_memory(agg, "t_tumbling", str(tmp_path / "ckpt1"), mode="complete")
+    got = spark.table("t_tumbling")
+
+    batch = testdata.load(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = (
+        batch.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_session_window_stream(spark, stream_src, tmp_path):
+    stream = W.read_events_stream(spark, stream_src)
+    agg = W.session_counts(stream, gap="30 minutes")
+    W.run_to_memory(agg, "t_sessions", str(tmp_path / "ckpt2"), mode="complete")
+    got = spark.table("t_sessions")
+
+    # session count per user must match the batch lag/cumsum twin
+    batch = testdata.load(spark, SF_SMOKE, "events")
+    n_events = batch.count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == n_events
+    from mapshaper_spark import queries as Q
+
+    want_sessions = Q.QUERIES["events_sessionize"](spark, SF_SMOKE).count()
+    assert got.count() == want_sessions
+
+
+def test_dedup_within_watermark(spark, stream_src, tmp_path):
+    stream = W.read_events_stream(spark, stream_src)
+    # duplicate the stream against itself by unioning two file copies
+    dedup = W.dedup_within_watermark(stream)
+    W.run_to_memory(dedup, "t_dedup", str(tmp_path / "ckpt3"))
+    got = spark.table("t_dedup")
+    batch = testdata.load(spark, SF_SMOKE, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_stream_static_pip_attribution(spark, tmp_path):
+    """Live points joined to the static cell index — streaming spatial
+    attribution candidates match the batch equi-join."""
+    pts = testdata.customer_points(spark, SF_SMOKE)
+    src = tmp_path / "pts_stream"
+    src.mkdir()
+    pts.coalesce(1).write.parquet(str(src / "batch0"), mode="overwrite")
+
+    stream = (
+        spark.readStream.schema("point_id long, lon double, lat double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src) + "/*/")
+    )
+    idx = sj.build_cell_index(spark, testdata.polygons(spark)).cache()
+    idx.count()
+    joined = W.stream_static_cell_join(stream, idx)
+    W.run_to_memory(joined, "t_pip_stream", str(tmp_path / "ckpt4"))
+    got = spark.table("t_pip_stream")
+
+    want = sj.with_cell(pts, 6).join(idx, "cell_id")
+    assert got.count() == want.count()
