@@ -74,6 +74,27 @@ def ring_centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
     return cx, cy
 
 
+def shoelace_seq(xs, ys) -> tuple[float, float, float]:
+    """Sequential-order shoelace accumulators (a2, sx, sy):
+    a2 = Σ cross_i, sx = Σ (x_i+x_j)·cross_i, sy = Σ (y_i+y_j)·cross_i.
+
+    Plain left-to-right float accumulation in ring order — bit-identical
+    to a SQL ``sum()`` over the edge relation in ring order, which is
+    what the DuckDB oracle computes (np.sum's pairwise summation would
+    NOT match). centroid = (sx/(3·a2), sy/(3·a2)); area = a2/2.
+    """
+    a2 = sx = sy = 0.0
+    n = len(xs)
+    for i in range(n):
+        x1, y1 = float(xs[i]), float(ys[i])
+        x2, y2 = float(xs[(i + 1) % n]), float(ys[(i + 1) % n])
+        cr = x1 * y2 - x2 * y1
+        a2 += cr
+        sx += (x1 + x2) * cr
+        sy += (y1 + y2) * cr
+    return a2, sx, sy
+
+
 def path_length(xs: np.ndarray, ys: np.ndarray) -> float:
     return float(np.hypot(np.diff(xs), np.diff(ys)).sum())
 

@@ -72,18 +72,20 @@ def verify_invariants(images: DataFrame) -> DataFrame:
     def run(it):
         for pdf in it:
             out = []
-            for _, r in pdf.iterrows():
-                px = decode(r["bytes"], r["w"], r["h"], r["fmt"])
-                ph = int(fixtures.ahash64(px, r["w"], r["h"]))
+            for img_id, buf, w, h, fmt, caption, phash in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["fmt"], pdf["caption"], pdf["phash"],
+            ):
+                px = decode(buf, w, h, fmt)
+                ph = int(fixtures.ahash64(px, w, h))
                 p = geometry.psnr(px, quantize(px))
-                i = int(r["image_id"].replace("img", ""))
-                expect_caption = fixtures.make_caption(i)
+                i = int(img_id[3:])
                 out.append(
                     {
-                        "image_id": r["image_id"],
-                        "phash_ok": ph == int(r["phash"]),
+                        "image_id": img_id,
+                        "phash_ok": ph == int(phash),
                         "psnr_db": float(min(p, 1e6)),
-                        "caption_ok": r["caption"] == expect_caption,
+                        "caption_ok": caption == fixtures.make_caption(i),
                     }
                 )
             yield pd.DataFrame(out, columns=["image_id", "phash_ok", "psnr_db", "caption_ok"])
@@ -99,12 +101,12 @@ def thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
     def run(it):
         for pdf in it:
             out = []
-            for _, r in pdf.iterrows():
-                px = decode(r["bytes"], r["w"], r["h"], r["fmt"])
+            for img_id, buf, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                px = decode(buf, w, h, fmt)
                 t = resize_nearest(px, size, size)
-                out.append(
-                    {"image_id": r["image_id"], "thumb": t.tobytes(), "tw": size, "th": size}
-                )
+                out.append({"image_id": img_id, "thumb": t.tobytes(), "tw": size, "th": size})
             yield pd.DataFrame(out, columns=["image_id", "thumb", "tw", "th"])
 
     return images.mapInPandas(run, schema="image_id string, thumb binary, tw int, th int")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from . import cells, fixtures
 from .operators import images as images_op
 from .operators import knn as knn_op
+from .operators import points as points_op
 from .operators import raster as raster_op
 from .operators import simplify as simplify_op
 from .operators import skew as skew_op
@@ -990,6 +991,380 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("qid", "tid", "rank")
+    )
+
+
+# =====================================================================
+# Shape ops: centroid / area / islands / affine / snap [SURVEY.md §2.2, §2.7]
+# =====================================================================
+
+
+@query(
+    "centroid_polygons",
+    f"""
+    WITH eg AS (SELECT edges.poly_id, CAST(edges.x1 AS DOUBLE) AS x1,
+                       CAST(edges.y1 AS DOUBLE) AS y1, CAST(edges.x2 AS DOUBLE) AS x2,
+                       CAST(edges.y2 AS DOUBLE) AS y2
+                FROM {_EDGES}),
+    agg AS (
+        SELECT poly_id,
+               sum(x1 * y2 - x2 * y1) AS a2,
+               sum((x1 + x2) * (x1 * y2 - x2 * y1)) AS sx,
+               sum((y1 + y2) * (x1 * y2 - x2 * y1)) AS sy
+        FROM eg GROUP BY poly_id)
+    SELECT poly_id, sx / (3.0 * a2) AS cx, sy / (3.0 * a2) AS cy FROM agg
+    """,
+)
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-points centroid: per-polygon shoelace centroid in a grouped
+    kernel; ring-order sequential accumulation matches the SQL sum
+    bit-for-bit."""
+    return points_op.centroids(testdata.polygons(spark))
+
+
+@query(
+    "filter_islands_area",
+    f"""
+    WITH eg AS (SELECT edges.poly_id, CAST(edges.x1 AS DOUBLE) AS x1,
+                       CAST(edges.y1 AS DOUBLE) AS y1, CAST(edges.x2 AS DOUBLE) AS x2,
+                       CAST(edges.y2 AS DOUBLE) AS y2
+                FROM {_EDGES}),
+    agg AS (
+        SELECT poly_id, sum(x1 * y2 - x2 * y1) / 2.0 AS area
+        FROM eg GROUP BY poly_id)
+    SELECT poly_id, area FROM agg WHERE area >= 400.0
+    """,
+)
+def q_filter_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-filter-islands min-area= (area kernel → filter)."""
+    return points_op.filter_islands(testdata.polygons(spark), 400.0)
+
+
+@query(
+    "affine_points",
+    f"""
+    WITH pts AS ({_PTS})
+    SELECT point_id, lon * 0.5 + 10.0 AS x, lat * 2.0 - 5.0 AS y FROM pts
+    """,
+)
+def q_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-affine shift=/scale= — declarative column math."""
+    pts = testdata.customer_points(spark, sf_dir)
+    return points_op.affine(pts, 0.5, 2.0, 10.0, -5.0).select("point_id", "x", "y")
+
+
+@query(
+    "snap_grid_half_degree",
+    f"""
+    WITH pts AS ({_PTS})
+    SELECT FLOOR(lon * 2.0) / 2.0 AS sx, FLOOR(lat * 2.0) / 2.0 AS sy,
+           count(*) AS n_points, min(point_id) AS rep_id
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def q_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-snap interval=0.5: quantize, merge coincident vertices, keep the
+    deterministic min-id representative."""
+    return points_op.snap(testdata.customer_points(spark, sf_dir), 0.5)
+
+
+@query(
+    "sort_top_global",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+    """,
+)
+def q_sort_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-sort + head: global stable top-k (TakeOrdered — no full sort)."""
+    c = testdata.load(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.desc("c_acctbal"), "c_custkey")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(20)
+    )
+
+
+@query(
+    "subdivide_hot_cells",
+    f"""
+    WITH pts AS ({_PTS}),
+    c AS (SELECT point_id, lon, lat, {cells.cell_sql('lon', 'lat', 6)} AS cell6 FROM pts),
+    n AS (SELECT cell6, count(*) AS cnt FROM c GROUP BY cell6)
+    SELECT c.point_id,
+           CASE WHEN n.cnt > 50 THEN {cells.cell_sql('c.lon', 'c.lat', 7)}
+                ELSE c.cell6 END AS cell_id
+    FROM c JOIN n ON c.cell6 = n.cell6
+    """,
+)
+def q_subdivide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-subdivide as cell-hierarchy split: cells holding > 50 points
+    reassign their points to child cells (res 6 → 7) — the engine's
+    skew-splitting primitive [SURVEY.md §2.4]."""
+    pts = sj.with_cell(testdata.customer_points(spark, sf_dir), 6).withColumnRenamed(
+        "cell_id", "cell6"
+    )
+    counts = pts.groupBy("cell6").agg(F.count(F.lit(1)).alias("cnt"))
+    child = F.expr(cells.cell_sql("lon", "lat", 7))
+    return (
+        pts.join(counts, "cell6")
+        .withColumn("cell_id", F.when(F.col("cnt") > 50, child).otherwise(F.col("cell6")))
+        .select("point_id", "cell_id")
+    )
+
+
+@query(
+    "calc_median_quantity",
+    """
+    SELECT l_returnflag, median(l_quantity) AS med_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-calc median()/min()/max() — exact median (integral values, so
+    the even-count midpoint interpolation is IEEE-identical)."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "rollup_region_nation",
+    f"""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           {_dec_sum('c_acctbal', 'sum_acctbal')}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total) — free in
+    Spark, listed as engine surface beyond upstream [SURVEY.md §2.4]."""
+    c = testdata.load(spark, sf_dir, "customer")
+    n = testdata.load(spark, sf_dir, "nation")
+    r = testdata.load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+# =====================================================================
+# Training-data ops II: simhash, jaccard, language-ID, quantized ANN
+# =====================================================================
+
+
+@query(
+    "token_distinct_counts",
+    """
+    SELECT doc_id, count(DISTINCT tok) AS n_distinct, count(*) AS n_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+    GROUP BY doc_id
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): total + distinct per doc."""
+    d = testdata.load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return t.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("n_distinct"), F.count(F.lit(1)).alias("n_tokens")
+    )
+
+
+@query(
+    "language_id_stopword",
+    """
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' the ', ' th ')) AS BIGINT) AS n_the,
+           CAST((length(text) - length(replace(text, ' a ', ' '))) // 2 AS BIGINT) AS n_a,
+           CASE WHEN length(text) - length(replace(text, ' the ', ' th ')) >= 2
+                THEN 'en' ELSE 'other' END AS predicted,
+           (lang = 'en') AS is_en_label
+    FROM documents
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit counts via the replace-length
+    trick (pure string math, no UDF, no regex divergence)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    n_the = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit(" th ")))
+    ).cast("bigint")
+    n_a = F.expr(
+        "CAST((length(text) - length(replace(text, ' a ', ' '))) DIV 2 AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        n_the.alias("n_the"),
+        n_a.alias("n_a"),
+        F.when(n_the >= 2, F.lit("en")).otherwise(F.lit("other")).alias("predicted"),
+        (F.col("lang") == "en").alias("is_en_label"),
+    )
+
+
+@query(
+    "jaccard_ngram_pairs",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, GREATEST(1, length(text) - 4))) AS i
+                 FROM d) g),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    """,
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring: distinct char-5-gram sets,
+    |A∩B| and |A∪B| as exact integers (float-free → hash-stable). The
+    shingle self-join shuffles on the shingle value — bucketed, no cross
+    product."""
+    d = testdata.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, GREATEST(1, length(text) - 4)), i -> substr(text, i, 5))")
+        ).alias("s"),
+    ).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+
+
+# 16-bit SimHash: bit p = sign of Σ_tokens (2·bit_p(md5 nibble) − 1)
+_SIMHASH_NIBS = [
+    f"(instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1)" for k in range(4)
+]
+_SIMHASH_BITS = [
+    f"(CAST(FLOOR({_SIMHASH_NIBS[p // 4]} / {1 << (p % 4)}) AS BIGINT) % 2)"
+    for p in range(16)
+]
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN sum(2 * {b} - 1) > 0 THEN {1 << p} ELSE 0 END)"
+    for p, b in enumerate(_SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash16_docs",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, md5(tok) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 100) t
+    )
+    SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (16-bit over md5 token hashes) —
+    identical integer bit math on both engines, so the fingerprints are
+    oracle-checkable exactly [task brief: SimHash dedup]."""
+    d = testdata.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * {b} - 1")).alias(f"s{p}")
+            for p, b in enumerate(_SIMHASH_BITS)
+        ]
+    )
+    sim = sum(
+        F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(16)
+    )
+    return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+@query(
+    "ann_ivf_bucketed_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    ev AS (SELECT vec_id, bucket, i,
+                  CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+           FROM e, range(64) r(i)),
+    d AS (SELECT q.vec_id AS qid, t.vec_id AS tid, q.bucket,
+                 sum(q.qv * t.qv) AS dot_q
+          FROM ev q JOIN ev t ON q.i = t.i AND q.bucket = t.bucket
+                            AND q.vec_id < 8 AND t.vec_id >= 8
+          GROUP BY 1, 2, 3),
+    r AS (SELECT qid, tid, dot_q,
+                 row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, tid) AS rank
+          FROM d)
+    SELECT qid, tid, dot_q, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer (sign bits of the first two
+    components → 4 buckets) restricts the search to same-bucket
+    candidates; similarity is an exact integer dot product over
+    1e-3-quantized components (order-independent sum → hash-stable).
+    The scale path for ann_cosine_topk's brute force [task brief]."""
+    e = testdata.load(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "(CASE WHEN element_at(embedding, 1) >= 0 THEN 2 ELSE 0 END)"
+        " + (CASE WHEN element_at(embedding, 2) >= 0 THEN 1 ELSE 0 END)"
+    )
+    ev = (
+        e.withColumn("bucket", bucket)
+        .select("vec_id", "bucket", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("qv", F.floor(F.col("v").cast("double") * 1000.0).cast("bigint"))
+    )
+    q = ev.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("bucket").alias("bq"), "i", F.col("qv").alias("qa")
+    )
+    t = ev.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("tid"), F.col("bucket").alias("bt"),
+        F.col("i").alias("it"), F.col("qv").alias("qb"),
+    )
+    d = (
+        q.join(t, (F.col("i") == F.col("it")) & (F.col("bq") == F.col("bt")))
+        .groupBy("qid", "tid")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot_q"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot_q"), "tid")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "tid", "dot_q", "rank")
     )
 
 
