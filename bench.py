@@ -54,8 +54,17 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "lsh_dup_candidates",
     "ann_cosine_topk",
+    "ann_ivf_bucketed_topk",
     "dedup_exact",
     "text_quality",
+    "pip_count_salted",
+    "raster_tile_pixel_counts",
+    "simplify_visvalingam_counts",
+    "simhash16_docs",
+    "jaccard_ngram_pairs",
+    "subdivide_hot_cells",
+    "images_meta_cells",
+    "images_phash_near_dup",
 ]
 
 

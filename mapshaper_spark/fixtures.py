@@ -94,15 +94,19 @@ def supplier_points_sql(table: str = "supplier") -> str:
 # ------------------------------------------------------------- polygons ---
 
 
-def _make_polygons() -> list[dict]:
-    """16 convex CCW polygons (k-gons, k in 3..8) spread over the domain.
+def _make_polygons(
+    seed: int = SEED,
+    centers: list[tuple[float, float]] | None = None,
+) -> list[dict]:
+    """Convex CCW polygons (k-gons, k in 3..8) spread over the domain.
 
     Trig runs here once; coordinates are rounded to 4 decimals so both
     engines parse identical literals to identical doubles.
     """
-    rng = np.random.Generator(np.random.PCG64(SEED))
+    rng = np.random.Generator(np.random.PCG64(seed))
     polys = []
-    centers = [(-140 + 45 * (i % 8), -50 + 70 * (i // 8)) for i in range(16)]
+    if centers is None:
+        centers = [(-140 + 45 * (i % 8), -50 + 70 * (i // 8)) for i in range(16)]
     for pid, (cx, cy) in enumerate(centers):
         k = 3 + pid % 6
         radius = float(rng.uniform(10.0, 22.0))
@@ -126,11 +130,19 @@ def _make_polygons() -> list[dict]:
 
 POLYGONS = _make_polygons()
 
+# second layer for polygon↔polygon overlay joins: offset centers so each
+# clip polygon straddles several base polygons
+CLIP_POLYGONS = _make_polygons(
+    SEED + 13, [(-120 + 48 * (i % 6), -30 + 55 * (i // 6)) for i in range(12)]
+)
 
-def polygon_edges() -> list[tuple[int, float, float, float, float]]:
+
+def polygon_edges(
+    polys: list[dict] | None = None,
+) -> list[tuple[int, float, float, float, float]]:
     """(poly_id, x1, y1, x2, y2) for every directed edge, CCW order."""
     rows = []
-    for p in POLYGONS:
+    for p in polys if polys is not None else POLYGONS:
         ring = p["ring"]
         for j in range(len(ring)):
             x1, y1 = ring[j]
@@ -139,24 +151,35 @@ def polygon_edges() -> list[tuple[int, float, float, float, float]]:
     return rows
 
 
-def polygon_edges_values_sql() -> str:
+def polygon_edges_values_sql(polys: list[dict] | None = None, name: str = "edges") -> str:
     """DuckDB/Spark-portable inline VALUES relation of polygon edges."""
     vals = ",".join(
-        f"({pid},{x1!r},{y1!r},{x2!r},{y2!r})" for pid, x1, y1, x2, y2 in polygon_edges()
+        f"({pid},{x1!r},{y1!r},{x2!r},{y2!r})"
+        for pid, x1, y1, x2, y2 in polygon_edges(polys)
     )
-    return f"(VALUES {vals}) AS edges(poly_id, x1, y1, x2, y2)"
+    return f"(VALUES {vals}) AS {name}(poly_id, x1, y1, x2, y2)"
 
 
-def polygons_pdf():
-    """pandas DataFrame of the polygon layer (ring as coordinate lists)."""
+def polygon_vertices_values_sql(polys: list[dict], name: str) -> str:
+    """(poly_id, x, y) VALUES relation of ring vertices."""
+    rows = []
+    for p in polys:
+        for x, y in p["ring"]:
+            rows.append(f"({p['poly_id']},{x!r},{y!r})")
+    return f"(VALUES {','.join(rows)}) AS {name}(poly_id, x, y)"
+
+
+def polygons_pdf(polys: list[dict] | None = None):
+    """pandas DataFrame of a polygon layer (ring as coordinate lists)."""
     import pandas as pd
 
+    polys = polys if polys is not None else POLYGONS
     return pd.DataFrame(
         {
-            "poly_id": [p["poly_id"] for p in POLYGONS],
-            "name": [p["name"] for p in POLYGONS],
-            "xs": [[v[0] for v in p["ring"]] for p in POLYGONS],
-            "ys": [[v[1] for v in p["ring"]] for p in POLYGONS],
+            "poly_id": [p["poly_id"] for p in polys],
+            "name": [p["name"] for p in polys],
+            "xs": [[v[0] for v in p["ring"]] for p in polys],
+            "ys": [[v[1] for v in p["ring"]] for p in polys],
         }
     )
 

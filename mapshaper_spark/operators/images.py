@@ -62,36 +62,52 @@ def quantize(px: np.ndarray, keep_bits: int = 6) -> np.ndarray:
 # ------------------------------------------------------------ map stages ---
 
 
-def verify_invariants(images: DataFrame) -> DataFrame:
+def verify_invariants(images: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
     """Per-row invariant check [north_rule]: recomputed phash equals the
     stored phash; decoded pixels round-trip the lossy stand-in at
     PSNR>=40dB; caption is byte-equal to the deterministic expected
     caption. Map-only; returns slim (image_id, phash_ok, psnr_db,
-    caption_ok)."""
+    caption_ok [, passthrough...]).
+
+    ``passthrough`` carries slim columns (e.g. lon/lat) through the map
+    stage so downstream spatial ops need NO re-join back to the payload
+    table — one pass over bytes, zero shuffles of anything image-sized.
+    """
+    passthrough = passthrough or []
+    base = ["image_id", "phash_ok", "psnr_db", "caption_ok"]
 
     def run(it):
         for pdf in it:
             out = []
-            for img_id, buf, w, h, fmt, caption, phash in zip(
-                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
-                pdf["fmt"], pdf["caption"], pdf["phash"],
+            for idx_row, (img_id, buf, w, h, fmt, caption, phash) in enumerate(
+                zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"], pdf["caption"], pdf["phash"],
+                )
             ):
                 px = decode(buf, w, h, fmt)
                 ph = int(fixtures.ahash64(px, w, h))
                 p = geometry.psnr(px, quantize(px))
                 i = int(img_id[3:])
-                out.append(
-                    {
-                        "image_id": img_id,
-                        "phash_ok": ph == int(phash),
-                        "psnr_db": float(min(p, 1e6)),
-                        "caption_ok": caption == fixtures.make_caption(i),
-                    }
-                )
-            yield pd.DataFrame(out, columns=["image_id", "phash_ok", "psnr_db", "caption_ok"])
+                rec = {
+                    "image_id": img_id,
+                    "phash_ok": ph == int(phash),
+                    "psnr_db": float(min(p, 1e6)),
+                    "caption_ok": caption == fixtures.make_caption(i),
+                }
+                for c in passthrough:
+                    rec[c] = pdf[c].iloc[idx_row]
+                out.append(rec)
+            yield pd.DataFrame(out, columns=base + passthrough)
 
+    extra = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in images.schema.fields
+        if f.name in passthrough
+    )
     return images.mapInPandas(
-        run, schema="image_id string, phash_ok boolean, psnr_db double, caption_ok boolean"
+        run,
+        schema="image_id string, phash_ok boolean, psnr_db double, caption_ok boolean" + extra,
     )
 
 

@@ -1,0 +1,139 @@
+"""Polygon clip / overlap joins — the convex-window overlay family
+[SURVEY.md §2.3 polygon↔polygon join, §2.6 -clip on polygon layers].
+
+Scope: clip windows are convex (Sutherland–Hodgman is exact there);
+general planar overlay (-union/-mosaic/-clean) is explicitly out of MVS
+[SURVEY.md §7.5]. Distribution shape: bbox-candidate equi-pairs via the
+cell grid, then the numpy S-H kernel per candidate pair inside
+``applyInPandas`` — the same two-phase prune-then-exact pattern as PIP.
+
+largest-overlap attribution (upstream ``-join`` polygon↔polygon with the
+largest-overlap option) = intersection-area kernel → window argmax with
+a stable (area desc, source_id) tiebreak.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import geometry
+
+
+def _bbox_cols(df: DataFrame, prefix: str) -> DataFrame:
+    return (
+        df.withColumn(f"{prefix}_xmin", F.array_min("xs"))
+        .withColumn(f"{prefix}_xmax", F.array_max("xs"))
+        .withColumn(f"{prefix}_ymin", F.array_min("ys"))
+        .withColumn(f"{prefix}_ymax", F.array_max("ys"))
+    )
+
+
+def _candidate_pairs(subject: DataFrame, clip: DataFrame) -> DataFrame:
+    """bbox-overlap candidate pairs (broadcast the clip layer — it is the
+    dim side; at scale swap for the cell-grid equi-join)."""
+    s = _bbox_cols(subject, "s").select(
+        F.col("poly_id").alias("subject_id"),
+        F.col("xs").alias("sxs"),
+        F.col("ys").alias("sys"),
+        "s_xmin",
+        "s_xmax",
+        "s_ymin",
+        "s_ymax",
+    )
+    c = _bbox_cols(clip, "c").select(
+        F.col("poly_id").alias("clip_id"),
+        F.col("xs").alias("cxs"),
+        F.col("ys").alias("cys"),
+        "c_xmin",
+        "c_xmax",
+        "c_ymin",
+        "c_ymax",
+    )
+    cond = (
+        (F.col("s_xmin") <= F.col("c_xmax"))
+        & (F.col("s_xmax") >= F.col("c_xmin"))
+        & (F.col("s_ymin") <= F.col("c_ymax"))
+        & (F.col("s_ymax") >= F.col("c_ymin"))
+    )
+    return s.join(F.broadcast(c), cond).select(
+        "subject_id", "sxs", "sys", "clip_id", "cxs", "cys"
+    )
+
+
+def clip_polygons(subject: DataFrame, clip: DataFrame) -> DataFrame:
+    """-clip with a (convex) polygon clip layer on polygon subjects:
+    every (subject ∩ clip) piece with its ring and area.
+
+    Output: (subject_id, clip_id, n_vertices, area, xs, ys)."""
+    pairs = _candidate_pairs(subject, clip)
+
+    def run(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                cx, cy = geometry.clip_ring_convex(
+                    np.asarray(r["sxs"]),
+                    np.asarray(r["sys"]),
+                    np.column_stack([r["cxs"], r["cys"]]),
+                )
+                if len(cx) >= 3:
+                    a2, _, _ = geometry.shoelace_seq(cx, cy)
+                    out.append(
+                        {
+                            "subject_id": r["subject_id"],
+                            "clip_id": r["clip_id"],
+                            "n_vertices": len(cx),
+                            "area": a2 / 2.0,
+                            "xs": cx.tolist(),
+                            "ys": cy.tolist(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["subject_id", "clip_id", "n_vertices", "area", "xs", "ys"]
+            )
+
+    return pairs.mapInPandas(
+        run,
+        schema=(
+            "subject_id int, clip_id int, n_vertices int, area double, "
+            "xs array<double>, ys array<double>"
+        ),
+    )
+
+
+def erase_polygons_area(subject: DataFrame, clip: DataFrame) -> DataFrame:
+    """-erase area accounting for convex clip layers: per subject, the
+    remaining area = own area − Σ intersection areas (valid when clip
+    polygons don't overlap each other within a subject)."""
+    from . import points as points_op
+
+    own = points_op.areas(subject).withColumnRenamed("poly_id", "subject_id")
+    cut = (
+        clip_polygons(subject, clip)
+        .groupBy("subject_id")
+        .agg(F.sum("area").alias("cut_area"))
+    )
+    return own.join(cut, "subject_id", "left").select(
+        "subject_id",
+        (F.col("area") - F.coalesce(F.col("cut_area"), F.lit(0.0))).alias("remaining_area"),
+    )
+
+
+def largest_overlap_join(target: DataFrame, source: DataFrame) -> DataFrame:
+    """polygon↔polygon attribute join, largest-overlap winner:
+    (target poly_id, src_id of the source polygon with max intersection
+    area, that area). Stable tiebreak on (area desc, src_id)."""
+    inter = clip_polygons(target, source).select(
+        F.col("subject_id").alias("poly_id"),
+        F.col("clip_id").alias("src_id"),
+        "area",
+    )
+    w = Window.partitionBy("poly_id").orderBy(F.desc("area"), "src_id")
+    return (
+        inter.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("poly_id", "src_id", F.col("area").alias("overlap_area"))
+    )

@@ -39,16 +39,25 @@ def cell_salt_factors(
     target_rows_per_task: int = 250_000,
     hot_threshold: int | None = None,
     max_salt: int = 64,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Per-cell salt domain size from measured counts: (cell_id, salt_k).
 
     Only hot cells appear (cold cells implicitly salt_k=1), so the result
-    is tiny and always broadcastable.
+    is tiny and always broadcastable. ``sample_fraction`` estimates the
+    counts from a seeded sample (scaled back up) — at production scale
+    the stats pass shouldn't re-scan the full fact table; salting is a
+    plan choice, so sampling error never changes results, only balance.
     """
     hot_threshold = hot_threshold or target_rows_per_task
+    src = points_with_cell
+    scale = 1.0
+    if sample_fraction and sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=42)
+        scale = 1.0 / sample_fraction
     return (
-        points_with_cell.groupBy("cell_id")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        src.groupBy("cell_id")
+        .agg((F.count(F.lit(1)) * F.lit(scale)).alias("_n"))
         .filter(F.col("_n") >= hot_threshold)
         .select(
             "cell_id",
@@ -98,7 +107,11 @@ def salted_equi_join(
         .withColumn("_salt", F.col("_salt").cast("int"))
         .drop("salt_k")
     )
-    return f.join(d, [key, "_salt"]).drop("_salt")
+    # hint at the join site (hints attached upstream are lost through
+    # the explode/withColumn transforms): keep this a shuffled join so
+    # salting is actually exercised; production hits this shape once the
+    # dim exceeds the broadcast threshold anyway
+    return f.join(d.hint("shuffle_hash"), [key, "_salt"]).drop("_salt")
 
 
 def pip_attribute_salted(
@@ -108,6 +121,8 @@ def pip_attribute_salted(
     res: int = DEFAULT_RES,
     target_rows_per_task: int = 250_000,
     hot_threshold: int | None = None,
+    sample_fraction: float | None = None,
+    stats_points: DataFrame | None = None,
 ) -> DataFrame:
     """PIP attribution via the salted shuffle join — bit-identical output
     to :func:`spatial_join.pip_attribute`, different physical plan.
@@ -115,18 +130,27 @@ def pip_attribute_salted(
     ``pip_attribute`` broadcasts the index (right when it fits); this
     path is for the regime where the index itself is shuffle-joined
     (continent-scale polygon layers) and hot cells would straggle.
+
+    ``stats_points``: optional cheaper source for the salt statistics
+    (e.g. the raw column-pruned scan when ``points`` sits downstream of
+    an expensive map stage — sampling cannot push through a UDF).
     """
     rings = rings or fixture_rings()
     pts = with_cell(points, res)
-    factors = cell_salt_factors(pts, target_rows_per_task, hot_threshold)
+    stats_src = with_cell(stats_points, res) if stats_points is not None else pts
+    factors = cell_salt_factors(
+        stats_src, target_rows_per_task, hot_threshold, sample_fraction=sample_fraction
+    )
     # hint shuffle_hash: keep it a shuffled (not broadcast) join so the
     # salting is actually exercised; at production scale Spark would pick
     # this shape on its own once the index exceeds the broadcast limit.
     cand = salted_equi_join(
         pts, cell_index.hint("shuffle_hash"), "cell_id", factors, "point_id"
     )
-    full = cand.filter(F.col("coverage") == FULL).drop("coverage")
-    part = cand.filter(F.col("coverage") == "PARTIAL").drop("coverage")
     inside = _pip_udf(rings)
-    part = part.filter(inside(F.col("poly_id"), F.col("lon"), F.col("lat")))
-    return full.unionByName(part)
+    # single filter — union(full, part) would recompute upstream twice
+    # [see spatial_join.pip_attribute]
+    keep = (F.col("coverage") == FULL) | inside(
+        F.col("poly_id"), F.col("lon"), F.col("lat")
+    )
+    return cand.filter(keep).drop("coverage")

@@ -129,11 +129,16 @@ def pip_attribute(
     rings = rings or fixture_rings()
     pts = with_cell(points, res)
     cand = pts.join(F.broadcast(cell_index), "cell_id")
-    full = cand.filter(F.col("coverage") == FULL).drop("coverage")
-    part = cand.filter(F.col("coverage") == PARTIAL).drop("coverage")
     inside = _pip_udf(rings)
-    part = part.filter(inside(F.col("poly_id"), F.col("lon"), F.col("lat")))
-    return full.unionByName(part)
+    # ONE filter, not union(full, part): a union would make Spark
+    # recompute the whole upstream lineage once per branch (ruinous when
+    # upstream is an expensive map stage). The UDF also runs on FULL
+    # rows, but it is vectorized and candidate-sized — far cheaper than
+    # a second pass over the source.
+    keep = (F.col("coverage") == FULL) | inside(
+        F.col("poly_id"), F.col("lon"), F.col("lat")
+    )
+    return cand.filter(keep).drop("coverage")
 
 
 def clip_points(

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 from . import cells, fixtures
 from .operators import images as images_op
+from .functions import proj as proj_fn
 from .operators import knn as knn_op
+from .operators import overlay as overlay_op
 from .operators import points as points_op
 from .operators import raster as raster_op
 from .operators import simplify as simplify_op
@@ -1156,6 +1158,160 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
         )
+    )
+
+
+# =====================================================================
+# Polygon overlay: clip / erase / largest-overlap [SURVEY.md §2.3, §2.6]
+# =====================================================================
+
+_AE = fixtures.polygon_edges_values_sql(None, "ae")
+_BE = fixtures.polygon_edges_values_sql(fixtures.CLIP_POLYGONS, "be")
+_AV = fixtures.polygon_vertices_values_sql(fixtures.POLYGONS, "av")
+_BV = fixtures.polygon_vertices_values_sql(fixtures.CLIP_POLYGONS, "bv")
+
+
+@query(
+    "overlay_pairs_nonempty",
+    f"""
+    WITH sep_a AS (
+        SELECT ae.poly_id AS a, bv.poly_id AS b
+        FROM {_AE}, {_BV}
+        GROUP BY ae.poly_id, bv.poly_id, ae.x1, ae.y1, ae.x2, ae.y2
+        HAVING max(CASE WHEN (CAST(ae.x2 AS DOUBLE) - ae.x1) * (bv.y - ae.y1)
+                           - (CAST(ae.y2 AS DOUBLE) - ae.y1) * (bv.x - ae.x1) >= 0.0
+                   THEN 1 ELSE 0 END) = 0
+    ),
+    sep_b AS (
+        SELECT av.poly_id AS a, be.poly_id AS b
+        FROM {_BE}, {_AV}
+        GROUP BY be.poly_id, av.poly_id, be.x1, be.y1, be.x2, be.y2
+        HAVING max(CASE WHEN (CAST(be.x2 AS DOUBLE) - be.x1) * (av.y - be.y1)
+                           - (CAST(be.y2 AS DOUBLE) - be.y1) * (av.x - be.x1) >= 0.0
+                   THEN 1 ELSE 0 END) = 0
+    ),
+    sep AS (SELECT a, b FROM sep_a UNION SELECT a, b FROM sep_b),
+    allp AS (SELECT DISTINCT av.poly_id AS a, bv.poly_id AS b FROM {_AV}, {_BV})
+    SELECT a AS subject_id, b AS clip_id FROM allp
+    WHERE NOT EXISTS (SELECT 1 FROM sep WHERE sep.a = allp.a AND sep.b = allp.b)
+    """,
+)
+def q_overlay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polygon↔polygon intersection pairs via the Sutherland-Hodgman
+    kernel; the oracle proves/refutes each pair independently with the
+    separating-axis theorem in ANSI SQL (convex layers)."""
+    out = overlay_op.clip_polygons(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    )
+    return out.filter(F.col("area") > 0.0).select("subject_id", "clip_id")
+
+
+@query("clip_polygons_pieces")
+def q_clip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-clip on a polygon layer: every (subject ∩ clip) piece with vertex
+    count + area. Rows-only (piece geometry isn't SQL-expressible);
+    pytest holds hand-computed goldens [tests/test_overlay.py]."""
+    out = overlay_op.clip_polygons(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    )
+    return out.filter(F.col("area") > 0.0).select(
+        "subject_id", "clip_id", "n_vertices", "area"
+    )
+
+
+@query("erase_polygons_remaining_area")
+def q_erase_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-erase area accounting per subject polygon (rows-only)."""
+    return overlay_op.erase_polygons_area(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    )
+
+
+@query("largest_overlap_attribution")
+def q_largest_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-join polygon↔polygon largest-overlap winner (rows-only; winner
+    identity verified in pytest against per-pair golden areas)."""
+    return overlay_op.largest_overlap_join(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    )
+
+
+# =====================================================================
+# Projections / generators / info [SURVEY.md §2.2, §2.7, §2.4]
+# =====================================================================
+
+
+@query("proj_webmercator_roundtrip")
+def q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-proj lonlat↔WebMercator roundtrip (rows-only: tan/log are not
+    ULP-portable across libm [SURVEY.md §5.2]; pytest asserts inverse
+    error < 1e-9 deg)."""
+    pts = testdata.customer_points(spark, sf_dir)
+    m = proj_fn.to_webmercator(pts)
+    return proj_fn.from_webmercator(m).select(
+        "point_id", "lon", "lat", "mx", "my", "lon2", "lat2"
+    )
+
+
+@query(
+    "grid_generate_z3",
+    """
+    SELECT i AS cell_i, i % 8 AS ix, i // 8 AS iy,
+           -180.0 + (i % 8) * 45.0 AS x0, -90.0 + (i // 8) * 22.5 AS y0,
+           -180.0 + (i % 8 + 1) * 45.0 AS x1, -90.0 + (i // 8 + 1) * 22.5 AS y1
+    FROM range(64) r(i)
+    """,
+)
+def q_grid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-grid / -rectangle generator: the z=3 tile grid as cell bbox rows
+    from pure arithmetic over spark.range (no data source at all)."""
+    return spark.range(64).selectExpr(
+        "id AS cell_i",
+        "id % 8 AS ix",
+        "id DIV 8 AS iy",
+        "-180.0 + (id % 8) * 45.0 AS x0",
+        "-90.0 + (id DIV 8) * 22.5 AS y0",
+        "-180.0 + (id % 8 + 1) * 45.0 AS x1",
+        "-90.0 + (id DIV 8 + 1) * 22.5 AS y1",
+    )
+
+
+@query(
+    "info_summary_customer",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           count(DISTINCT c_nationkey) AS n_nations,
+           min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+    FROM customer
+    """,
+)
+def q_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-info: layer summary stats in one aggregate."""
+    c = testdata.load(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "project_rename_fields",
+    """
+    SELECT c_custkey AS id, upper(c_name) AS name_u, c_mktsegment AS segment
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-filter-fields / -rename-fields / -each string transform."""
+    c = testdata.load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select(
+        F.col("c_custkey").alias("id"),
+        F.upper("c_name").alias("name_u"),
+        F.col("c_mktsegment").alias("segment"),
     )
 
 

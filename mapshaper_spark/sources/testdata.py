@@ -64,3 +64,11 @@ def polygons(spark: SparkSession) -> DataFrame:
         fixtures.polygons_pdf(),
         schema="poly_id int, name string, xs array<double>, ys array<double>",
     )
+
+
+def clip_polygons(spark: SparkSession) -> DataFrame:
+    """Second convex layer for polygon↔polygon overlay joins."""
+    return spark.createDataFrame(
+        fixtures.polygons_pdf(fixtures.CLIP_POLYGONS),
+        schema="poly_id int, name string, xs array<double>, ys array<double>",
+    )

@@ -85,6 +85,38 @@ def stream_static_cell_join(
     return pts.join(F.broadcast(cell_index), "cell_id")
 
 
+def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState [SURVEY.md
+    §2.9]: a per-user running (count, sum) accumulator that emits one
+    updated row per user per micro-batch — the arbitrary-state analog of
+    mapshaper's per-feature accumulation, distributed by group."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, checkpoint_dir: str, mode: str = "append"):
     """Drain all available input into an in-memory table (tests/demos);
     the checkpointLocation carries offsets+state across restarts — the

@@ -1,0 +1,126 @@
+"""Polygon overlay kernels: Sutherland-Hodgman clip goldens, erase area
+accounting, largest-overlap join, WebMercator roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark import geometry
+from mapshaper_spark.functions import proj as proj_fn
+from mapshaper_spark.operators import overlay
+from mapshaper_spark.sources import testdata
+
+from .conftest import SF_SMOKE
+
+
+# ------------------------------------------------ kernel goldens (no Spark)
+
+
+def test_sh_clip_square_by_offset_square():
+    """Unit square ∩ unit square shifted by (0.5, 0.5) = 0.5x0.5 square."""
+    xs = np.array([0.0, 1.0, 1.0, 0.0])
+    ys = np.array([0.0, 0.0, 1.0, 1.0])
+    win = np.array([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5]])
+    cx, cy = geometry.clip_ring_convex(xs, ys, win)
+    a2, _, _ = geometry.shoelace_seq(cx, cy)
+    assert a2 / 2.0 == pytest.approx(0.25)
+
+
+def test_sh_clip_disjoint_is_empty():
+    xs = np.array([0.0, 1.0, 1.0, 0.0])
+    ys = np.array([0.0, 0.0, 1.0, 1.0])
+    win = np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0]])
+    cx, _cy = geometry.clip_ring_convex(xs, ys, win)
+    assert len(cx) == 0
+
+
+def test_sh_clip_contained_returns_subject():
+    xs = np.array([0.4, 0.6, 0.6, 0.4])
+    ys = np.array([0.4, 0.4, 0.6, 0.6])
+    win = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    cx, cy = geometry.clip_ring_convex(xs, ys, win)
+    a2, _, _ = geometry.shoelace_seq(cx, cy)
+    assert a2 / 2.0 == pytest.approx(0.04)
+
+
+def test_sh_clip_triangle_by_halfcovering_square():
+    """Triangle (0,0)(2,0)(0,2) ∩ square [0,1]² = area 1.5·(1/2)? No —
+    hand-computed: pieces (0,0)(1,0)(1,1)(0,1) minus corner above line
+    x+y=2 → the full unit square is inside the triangle except nothing:
+    x+y<=2 everywhere on the square boundary except corner (1,1) where
+    x+y=2 exactly → area 1.0."""
+    xs = np.array([0.0, 2.0, 0.0])
+    ys = np.array([0.0, 0.0, 2.0])
+    win = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    cx, cy = geometry.clip_ring_convex(xs, ys, win)
+    a2, _, _ = geometry.shoelace_seq(cx, cy)
+    assert a2 / 2.0 == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------- Spark operators
+
+
+def test_clip_polygons_area_bounds(spark):
+    out = overlay.clip_polygons(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    ).collect()
+    assert len(out) > 10
+    from mapshaper_spark import fixtures
+
+    own = {}
+    for p in fixtures.POLYGONS:
+        ring = np.asarray(p["ring"])
+        a2, _, _ = geometry.shoelace_seq(ring[:, 0], ring[:, 1])
+        own[p["poly_id"]] = a2 / 2.0
+    for r in out:
+        assert r["area"] > -1e-9
+        assert r["area"] <= own[r["subject_id"]] + 1e-6  # piece ≤ subject
+
+
+def test_erase_remaining_area_bounds(spark):
+    rem = overlay.erase_polygons_area(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    ).collect()
+    assert len(rem) == 16
+    for r in rem:
+        # clip layer polygons may overlap each other, so remaining can
+        # undershoot, but it must never exceed the subject's own area
+        assert r["remaining_area"] <= 2000.0
+
+
+def test_largest_overlap_winner_is_argmax(spark):
+    pieces = overlay.clip_polygons(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    ).collect()
+    best = {}
+    for r in pieces:
+        k = r["subject_id"]
+        cand = (-r["area"], r["clip_id"])
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    got = overlay.largest_overlap_join(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    ).collect()
+    for r in got:
+        assert best[r["poly_id"]][1] == r["src_id"]
+        assert -best[r["poly_id"]][0] == pytest.approx(r["overlap_area"])
+
+
+def test_webmercator_roundtrip(spark):
+    pts = testdata.customer_points(spark, SF_SMOKE)
+    m = proj_fn.from_webmercator(proj_fn.to_webmercator(pts))
+    bad = m.filter(
+        (F.abs(F.col("lon2") - F.col("lon")) > 1e-9)
+        | (F.abs(F.col("lat2") - F.col("lat")) > 1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_webmercator_known_point(spark):
+    df = spark.createDataFrame([(0.0, 0.0), (180.0, 0.0)], "lon double, lat double")
+    rows = proj_fn.to_webmercator(df).orderBy("lon").collect()
+    assert rows[0]["mx"] == pytest.approx(0.0, abs=1e-6)
+    assert rows[0]["my"] == pytest.approx(0.0, abs=1e-6)
+    assert rows[1]["mx"] == pytest.approx(20037508.342789244)

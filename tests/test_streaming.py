@@ -68,6 +68,40 @@ def test_dedup_within_watermark(spark, stream_src, tmp_path):
     assert got.count() == batch.select("event_id").distinct().count()
 
 
+def test_stateful_running_totals(spark, stream_src, tmp_path):
+    """applyInPandasWithState custom stateful operator: final per-user
+    totals must equal the batch aggregate."""
+    stream = W.read_events_stream(spark, stream_src)
+    tot = W.running_user_totals(stream)
+    W.run_to_memory(tot, "t_state", str(tmp_path / "ckpt_state"), mode="update")
+    got = spark.table("t_state")
+    # update mode may emit a row per micro-batch; the LAST row per user
+    # carries the final accumulated state
+    from pyspark.sql import Window
+
+    last = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = testdata.load(spark, SF_SMOKE, "events")
+    want = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    assert last.count() == want.count()
+    joined = last.alias("g").join(want.alias("w"), "user_id")
+    bad = joined.filter(
+        (F.col("g.n_events") != F.col("w.n_events"))
+        | (F.abs(F.col("g.sum_value") - F.col("w.sum_value")) > 1e-6)
+    ).count()
+    assert bad == 0
+
+
 def test_stream_static_pip_attribution(spark, tmp_path):
     """Live points joined to the static cell index — streaming spatial
     attribution candidates match the batch equi-join."""
