@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "subdivide_hot_cells",
     "images_meta_cells",
     "images_phash_near_dup",
+    "asof_last_purchase_before_click",
+    "window_rolling_sum",
+    "embedding_near_dup_pairs",
+    "overlay_pairs_nonempty",
 ]
 
 

@@ -53,16 +53,31 @@ def _explode_neighbors(targets: DataFrame, res: int) -> DataFrame:
     )
 
 
+def auto_res(n_targets: int, per_cell: float = 4.0) -> int:
+    """Pick the grid resolution from target density: ~per_cell targets
+    per cell keeps the 3x3 candidate block small while leaving few empty
+    blocks (empty blocks fall back to brute force — exact but slow).
+    res = round(log4(n/per_cell)), clamped to [2, 10]."""
+    import math
+
+    cells = max(1.0, n_targets / per_cell)
+    return max(2, min(10, round(math.log2(cells) / 2.0)))
+
+
 def knn_join(
     points: DataFrame,
     targets: DataFrame,
     k: int = 1,
-    res: int = DEFAULT_RES,
+    res: int | None = None,
 ) -> DataFrame:
     """Exact kNN join: (point cols..., target_id, dist2, knn_rank).
 
     points: (point_id, lon, lat); targets: (target_id, lon, lat).
+    res=None picks the resolution from the measured target count (the
+    dim side is counted anyway to size the broadcast).
     """
+    if res is None:
+        res = auto_res(targets.count())
     # cell height in degrees — the ring-1 exactness radius (squared)
     guarantee2 = (180.0 / (1 << res)) ** 2
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from . import cells, fixtures
 from .operators import images as images_op
 from .functions import proj as proj_fn
+from .operators import asof as asof_op
 from .operators import knn as knn_op
 from .operators import overlay as overlay_op
 from .operators import points as points_op
@@ -1521,6 +1522,141 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("qid", "tid", "dot_q", "rank")
+    )
+
+
+@query(
+    "asof_last_purchase_before_click",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, max(value) AS val_r FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           COALESCE(epoch_us(r.ts), -1) AS ts_r_us,
+           COALESCE(r.val_r, -1.0) AS val_r
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the most recent purchase value at or
+    before it, per user — cogrouped applyInPandas + merge_asof vs
+    DuckDB's native ASOF JOIN [SURVEY.md §2.3]. Right side deduped to
+    one row per (user, ts) so tie-breaking is engine-independent."""
+    e = testdata.load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("val_r"))
+    )
+    out = asof_op.asof_join(left, right, on="ts", by="user_id", right_cols=["val_r"])
+    # null-free, timestamp-free outputs: epoch micros as bigint (raw
+    # timestamps hash differently across engines: Spark→ns, DuckDB→us)
+    # and sentinels for unmatched lefts (NaN/NaT never equal themselves)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.coalesce(F.unix_micros(F.col("ts_r").cast("timestamp")), F.lit(-1)).alias(
+            "ts_r_us"
+        ),
+        F.coalesce(F.col("val_r"), F.lit(-1.0)).alias("val_r"),
+    )
+
+
+@query(
+    "calc_every_some",
+    """
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > 0.0) AS all_positive,
+           bool_or(c_acctbal > 9000.0) AS any_rich,
+           count(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_every_some(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-calc every()/some() → bool_and/bool_or [SURVEY.md §2.4]."""
+    c = testdata.load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") > 9000.0).alias("any_rich"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "window_rolling_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling3
+    FROM orders
+    """,
+)
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (rowsBetween) — rolling 3-order spend per
+    customer [SURVEY.md §2.5 frame specs]."""
+    o = testdata.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling3"),
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH ev AS (SELECT vec_id, i,
+                       CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+                FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 128) e,
+                     range(64) r(i)),
+    n AS (SELECT vec_id, sum(qv * qv) AS nq FROM ev GROUP BY vec_id),
+    d AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.qv * b.qv) AS dot_q
+          FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+    SELECT va, vb, dot_q FROM d
+    JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
+    WHERE dot_q > 0 AND dot_q * dot_q * 100 > 16 * na.nq * nb.nq
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with an EXACT integer test:
+    cos > 0.4  ⟺  dot_q > 0 ∧ 100·dot_q² > 16·‖a‖²·‖b‖² over
+    1e-3-quantized components — float-free, so the pair set is
+    hash-stable across engines [task brief: embedding-cosine near-dup]."""
+    e = testdata.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 128)
+    ev = e.select("vec_id", F.posexplode("embedding").alias("i", "v")).withColumn(
+        "qv", F.floor(F.col("v").cast("double") * 1000.0).cast("bigint")
+    )
+    n = ev.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nq"))
+    a = ev.select(F.col("vec_id").alias("va"), "i", F.col("qv").alias("qa"))
+    b = ev.select(F.col("vec_id").alias("vb"), F.col("i").alias("ib"), F.col("qv").alias("qb"))
+    d = (
+        a.join(b, (F.col("i") == F.col("ib")) & (F.col("va") < F.col("vb")))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot_q"))
+    )
+    na = n.select(F.col("vec_id").alias("va"), F.col("nq").alias("nqa"))
+    nb = n.select(F.col("vec_id").alias("vb"), F.col("nq").alias("nqb"))
+    return (
+        d.join(na, "va")
+        .join(nb, "vb")
+        .filter(
+            (F.col("dot_q") > 0)
+            & (F.col("dot_q") * F.col("dot_q") * 100 > 16 * F.col("nqa") * F.col("nqb"))
+        )
+        .select("va", "vb", "dot_q")
     )
 
 
