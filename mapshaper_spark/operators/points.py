@@ -55,6 +55,57 @@ def filter_islands(polygons: DataFrame, min_area: float) -> DataFrame:
     return areas(polygons).filter(F.col("area") >= min_area)
 
 
+def geometry_properties(polygons: DataFrame) -> DataFrame:
+    """mapshaper's lazy feature-proxy accessors ($.area, $.perimeter,
+    $.centroidX/Y, $.bounds, $.vertexCount [SURVEY.md §2.8]) as ONE
+    materialized property table — computed once per feature, then
+    referenced as ordinary columns. Sequential ring-order accumulation
+    keeps every value bit-identical to the SQL oracle."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        out = []
+        for _, r in pdf.iterrows():
+            xs, ys = list(r["xs"]), list(r["ys"])
+            a2, sx, sy = geometry.shoelace_seq(xs, ys)
+            perim = 0.0
+            n = len(xs)
+            for i in range(n):
+                dx = xs[(i + 1) % n] - xs[i]
+                dy = ys[(i + 1) % n] - ys[i]
+                perim += math.sqrt(dx * dx + dy * dy)
+            out.append(
+                {
+                    "poly_id": int(r["poly_id"]),
+                    "area": a2 / 2.0,
+                    "perimeter": perim,
+                    "cx": sx / (3.0 * a2),
+                    "cy": sy / (3.0 * a2),
+                    "n_vertices": n,
+                    "xmin": min(xs),
+                    "ymin": min(ys),
+                    "xmax": max(xs),
+                    "ymax": max(ys),
+                }
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "poly_id", "area", "perimeter", "cx", "cy",
+                "n_vertices", "xmin", "ymin", "xmax", "ymax",
+            ],
+        )
+
+    return polygons.groupBy("poly_id").applyInPandas(
+        run,
+        schema=(
+            "poly_id int, area double, perimeter double, cx double, cy double, "
+            "n_vertices int, xmin double, ymin double, xmax double, ymax double"
+        ),
+    )
+
+
 def affine(points: DataFrame, scale_x=1.0, scale_y=1.0, shift_x=0.0, shift_y=0.0) -> DataFrame:
     """-affine shift=/scale=: coordinate transform as column math."""
     return points.withColumn("x", F.col("lon") * scale_x + shift_x).withColumn(

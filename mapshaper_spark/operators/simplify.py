@@ -67,15 +67,35 @@ def threshold_for_pct(arcs_thr: DataFrame, pct: float) -> float:
     return float(row["cut"]) if row["cut"] is not None else 0.0
 
 
-def apply_level(arcs_thr: DataFrame, t: float) -> DataFrame:
+def apply_level(arcs_thr: DataFrame, t: float, keep_shapes: bool = False) -> DataFrame:
     """Filter vertices by threshold — pure array expressions, retaining
-    endpoints (thr = 1e308) by construction."""
+    endpoints (thr = 1e308) by construction.
+
+    keep_shapes (mapshaper's ``keep-shapes`` flag): arcs that would drop
+    below 3 interior-bearing vertices instead keep their top-3-threshold
+    vertices, so no ring can collapse to nothing at any zoom — computed
+    with array expressions (array_sort on thr picks the per-arc cutoff).
+    """
+    if keep_shapes:
+        # per-arc cutoff = 3rd-largest threshold (endpoints are 1e308 so
+        # they always survive); effective level = min(t, cutoff)
+        cut = F.expr("array_sort(thr, (a, b) -> CASE WHEN a > b THEN -1 WHEN a < b THEN 1 ELSE 0 END)")
+        arcs_thr = arcs_thr.withColumn(
+            "_t_eff",
+            F.least(
+                F.lit(t),
+                F.coalesce(F.element_at(cut, 3), F.lit(float(t))),
+            ),
+        )
+        tcol = F.col("_t_eff")
+    else:
+        tcol = F.lit(t)
     zipped = F.arrays_zip("xs", "ys", "thr")
-    kept = F.filter(zipped, lambda v: v["thr"] >= F.lit(t))
+    kept = F.filter(zipped, lambda v: v["thr"] >= tcol)
     return (
         arcs_thr.withColumn("_k", kept)
         .withColumn("xs_s", F.transform("_k", lambda v: v["xs"]))
         .withColumn("ys_s", F.transform("_k", lambda v: v["ys"]))
         .withColumn("n_kept", F.size("_k"))
-        .drop("_k")
+        .drop("_k", "_t_eff")
     )

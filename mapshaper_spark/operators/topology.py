@@ -163,6 +163,53 @@ def build_arc_hashes(arcs: DataFrame) -> DataFrame:
     )
 
 
+def dissolve_rings(features: DataFrame, arcs: DataFrame) -> DataFrame:
+    """-dissolve with geometry output: per key, the surviving boundary
+    arcs chained into closed rings — one ``applyInPandas`` group per
+    dissolve key (distributed ring assembly; each group holds only its
+    own boundary arcs, which is dim-sized even when the layer is not).
+
+    Output: (key, ring_idx, n_vertices, area) + the ring coordinates.
+    """
+    boundary = dissolve_arcs(features).join(
+        arcs.select("arc_id", "xs", "ys"), "arc_id"
+    )
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = stitch_rings(pdf)
+        out = []
+        for i, ring in enumerate(rings):
+            xs = [p[0] for p in ring]
+            ys = [p[1] for p in ring]
+            # drop closing duplicate for area math
+            if len(ring) > 1 and ring[0] == ring[-1]:
+                xs, ys = xs[:-1], ys[:-1]
+            from .. import geometry
+
+            a2, _sx, _sy = geometry.shoelace_seq(xs, ys)
+            out.append(
+                {
+                    "key": pdf["key"].iloc[0],
+                    "ring_idx": i,
+                    "n_vertices": len(xs),
+                    "area": abs(a2) / 2.0,
+                    "xs": xs,
+                    "ys": ys,
+                }
+            )
+        return pd.DataFrame(
+            out, columns=["key", "ring_idx", "n_vertices", "area", "xs", "ys"]
+        )
+
+    return boundary.groupBy("key").applyInPandas(
+        stitch,
+        schema=(
+            "key string, ring_idx int, n_vertices int, area double, "
+            "xs array<double>, ys array<double>"
+        ),
+    )
+
+
 def stitch_rings(boundary_arcs: pd.DataFrame) -> list[list[tuple[float, float]]]:
     """Driver/test-side ring stitching: chain boundary arcs into closed
     rings (greedy endpoint matching). Used by pytest to verify dissolve

@@ -433,6 +433,27 @@ def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dissolve_rings_grid",
+    """
+    SELECT * FROM (VALUES
+        ('g00', 0, 8, 4.0), ('g01', 0, 8, 4.0),
+        ('g10', 0, 8, 4.0), ('g11', 0, 8, 4.0)
+    ) AS g(key, ring_idx, n_vertices, area)
+    """,
+)
+def q_dissolve_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-dissolve geometry output: boundary arcs stitched into closed
+    rings per key (distributed ring assembly). Oracle = hand-computed
+    golden (each 2x2 block dissolves to one 8-arc ring of area 4) — the
+    mapshaper golden-fixture test style [SURVEY.md §5.1]."""
+    feats = topology.features_df(spark, fixtures.GRID_FEATURES)
+    arcs = topology.arcs_df(spark, fixtures.GRID_ARCS)
+    return topology.dissolve_rings(feats, arcs).select(
+        "key", "ring_idx", "n_vertices", "area"
+    )
+
+
+@query(
     "innerlines_grid",
     f"""
     SELECT arc_id FROM (SELECT arc_id, count(DISTINCT feature_id) AS nf
@@ -1069,6 +1090,63 @@ def q_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-snap interval=0.5: quantize, merge coincident vertices, keep the
     deterministic min-id representative."""
     return points_op.snap(testdata.customer_points(spark, sf_dir), 0.5)
+
+
+@query(
+    "feature_geometry_properties",
+    f"""
+    WITH eg AS (SELECT edges.poly_id, CAST(edges.x1 AS DOUBLE) AS x1,
+                       CAST(edges.y1 AS DOUBLE) AS y1, CAST(edges.x2 AS DOUBLE) AS x2,
+                       CAST(edges.y2 AS DOUBLE) AS y2
+                FROM {_EDGES}),
+    agg AS (
+        SELECT poly_id,
+               sum(x1 * y2 - x2 * y1) AS a2,
+               sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))) AS perimeter,
+               sum((x1 + x2) * (x1 * y2 - x2 * y1)) AS sx,
+               sum((y1 + y2) * (x1 * y2 - x2 * y1)) AS sy,
+               count(*) AS n_vertices,
+               min(LEAST(x1, x2)) AS xmin, min(LEAST(y1, y2)) AS ymin,
+               max(GREATEST(x1, x2)) AS xmax, max(GREATEST(y1, y2)) AS ymax
+        FROM eg GROUP BY poly_id)
+    SELECT poly_id, a2 / 2.0 AS area, perimeter,
+           sx / (3.0 * a2) AS cx, sy / (3.0 * a2) AS cy,
+           CAST(n_vertices AS INT) AS n_vertices, xmin, ymin, xmax, ymax
+    FROM agg
+    """,
+)
+def q_geom_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapshaper's $.area / $.perimeter / $.centroidX/Y / $.bounds /
+    $.vertexCount feature accessors materialized as one property table
+    [SURVEY.md §2.8 'lazy proxy → materialized column']. sqrt is IEEE
+    correctly-rounded, so even perimeter hash-matches the oracle."""
+    return points_op.geometry_properties(testdata.polygons(spark))
+
+
+@query(
+    "classify_explicit_breaks",
+    """
+    SELECT cls, count(*) AS n FROM (
+        SELECT CASE WHEN c_acctbal < -500.0 THEN 0
+                    WHEN c_acctbal < 2000.0 THEN 1
+                    WHEN c_acctbal < 5000.0 THEN 2
+                    WHEN c_acctbal < 8000.0 THEN 3
+                    ELSE 4 END AS cls
+        FROM customer) t
+    GROUP BY cls
+    """,
+)
+def q_classify_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-classify breaks=-500,2000,5000,8000 (explicit break list)."""
+    c = testdata.load(spark, sf_dir, "customer")
+    cls = (
+        F.when(F.col("c_acctbal") < -500.0, 0)
+        .when(F.col("c_acctbal") < 2000.0, 1)
+        .when(F.col("c_acctbal") < 5000.0, 2)
+        .when(F.col("c_acctbal") < 8000.0, 3)
+        .otherwise(4)
+    )
+    return c.select(cls.alias("cls")).groupBy("cls").agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(

@@ -54,6 +54,25 @@ def test_dim_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_cell_bucket_partition_pruning(spark, tmp_path):
+    """The Iceberg-style layout story: output partitioned by the Z-prefix
+    cell bucket → a cell-range predicate prunes partitions at the scan
+    (PartitionFilters), so spatially-local queries never touch the rest
+    of the table."""
+    from mapshaper_spark.plans import lineage
+
+    out = str(tmp_path / "bucketed")
+    df = sj.with_cell(testdata.customer_points(spark, SF_SMOKE), res=6)
+    lineage.run_stage(df, "s", out, str(tmp_path / "ln"), res=6, bucket_res=2)
+
+    data = spark.read.parquet(out)
+    q = data.filter(F.col("_bucket") == 5)
+    plan = _plan(q)
+    assert "PartitionFilters: [isnotnull(_bucket" in plan.replace("#", "").replace(
+        "_bucketL", "_bucket"
+    ) or "_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
 def test_arc_hash_dedups_shared_borders(spark):
     """Topology build: per-feature duplicated rings → canonical quantized
     arc hashing collapses each shared border to ONE arc [SURVEY.md §4.1
@@ -93,6 +112,35 @@ def test_knn_guarantee_fallback_used_for_sparse_targets(spark):
     out = knn_op.knn_join(pts, tgt, k=1)
     assert out.count() == pts.count()
     assert out.groupBy("point_id").count().filter(F.col("count") != 1).count() == 0
+
+
+def test_dissolve_rings_stitch_closed(spark):
+    """Distributed ring assembly: each 2x2 dissolve block of the grid
+    stitches into ONE closed ring of 8 boundary arcs, area 4.0."""
+    from mapshaper_spark.operators import topology
+
+    feats = topology.features_df(spark, fixtures.GRID_FEATURES)
+    arcs = topology.arcs_df(spark, fixtures.GRID_ARCS)
+    rings = topology.dissolve_rings(feats, arcs).collect()
+    assert len(rings) == 4  # 4 keys, one ring each
+    for r in rings:
+        assert r["ring_idx"] == 0
+        assert r["n_vertices"] == 8
+        assert abs(r["area"] - 4.0) < 1e-12
+
+
+def test_simplify_keep_shapes_floor(spark):
+    """keep-shapes: at an absurd threshold every arc still keeps >= 3
+    vertices; without the flag only the endpoints survive."""
+    from mapshaper_spark.operators import simplify as simplify_op
+    from mapshaper_spark.operators import topology
+
+    arcs = topology.arcs_df(spark, fixtures.POLYLINES)
+    thr = simplify_op.compute_thresholds(arcs, "visvalingam")
+    hard = simplify_op.apply_level(thr, 1e300).select("n_kept").collect()
+    assert all(r["n_kept"] == 2 for r in hard)
+    kept = simplify_op.apply_level(thr, 1e300, keep_shapes=True).select("n_kept").collect()
+    assert all(r["n_kept"] >= 3 for r in kept)
 
 
 def test_simplify_monotone_multiresolution(spark):
