@@ -257,6 +257,18 @@ def grid_incidence_values_sql() -> str:
     return f"(VALUES {vals}) AS inc(feature_id, key, arc_id, arc_len)"
 
 
+# horizontal cross-lines spanning the lon domain at polygon-band
+# latitudes — the -clip-on-lines fixture (guaranteed intersections)
+CROSS_LINES = [
+    {
+        "arc_id": 100 + j,
+        "xs": [float(x) for x in range(-180, 181, 2)],
+        "ys": [float(y)] * 181,
+    }
+    for j, y in enumerate((-50.0, -15.0, 20.0, 55.0))
+]
+
+
 # ------------------------------------------------------------- polylines ---
 
 

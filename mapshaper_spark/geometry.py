@@ -231,6 +231,64 @@ def clip_ring_bbox(
     return clip_ring_convex(xs, ys, box)
 
 
+def clip_polyline_convex(
+    xs: np.ndarray, ys: np.ndarray, ring: np.ndarray
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Clip an open polyline by a convex CCW window (Cyrus–Beck per
+    segment, pieces chained back into maximal sub-polylines).
+
+    Returns a list of (xs, ys) pieces, each with >= 2 vertices.
+    """
+    k = len(ring)
+    ex = np.roll(ring[:, 0], -1) - ring[:, 0]
+    ey = np.roll(ring[:, 1], -1) - ring[:, 1]
+    # inward normal of a CCW edge = (-ey, ex)
+    nx_, ny_ = -ey, ex
+    pieces: list[tuple[list, list]] = []
+    cur_x: list = []
+    cur_y: list = []
+    prev_exit = False
+    for i in range(len(xs) - 1):
+        ax, ay, bx, by = xs[i], ys[i], xs[i + 1], ys[i + 1]
+        dx, dy = bx - ax, by - ay
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for j in range(k):
+            D = dx * nx_[j] + dy * ny_[j]
+            W = (ax - ring[j, 0]) * nx_[j] + (ay - ring[j, 1]) * ny_[j]
+            if D == 0.0:
+                if W < 0.0:
+                    ok = False
+                    break
+            else:
+                t = -W / D
+                if D > 0.0:
+                    if t > t0:
+                        t0 = t
+                else:
+                    if t < t1:
+                        t1 = t
+            if t0 > t1:
+                ok = False
+                break
+        if not ok:
+            prev_exit = False
+            continue
+        px0, py0 = ax + t0 * dx, ay + t0 * dy
+        px1, py1 = ax + t1 * dx, ay + t1 * dy
+        if t0 == 0.0 and prev_exit and cur_x:
+            cur_x.append(px1)
+            cur_y.append(py1)
+        else:
+            if cur_x:
+                pieces.append((cur_x, cur_y))
+            cur_x, cur_y = [px0, px1], [py0, py1]
+        prev_exit = t1 == 1.0
+    if cur_x:
+        pieces.append((cur_x, cur_y))
+    return [(np.asarray(a), np.asarray(b)) for a, b in pieces if len(a) >= 2]
+
+
 # -------------------------------------------------------------- rasterize ---
 
 

@@ -122,6 +122,69 @@ def erase_polygons_area(subject: DataFrame, clip: DataFrame) -> DataFrame:
     )
 
 
+def clip_polylines(lines: DataFrame, clip: DataFrame) -> DataFrame:
+    """-clip on a polyline layer: every (line ∩ clip-polygon) piece via
+    the Cyrus–Beck kernel, same bbox-candidate prune as polygons.
+
+    lines: (arc_id, xs, ys); output (arc_id, clip_id, n_pieces,
+    total_len, n_vertices)."""
+    s = _bbox_cols(lines, "s").select(
+        F.col("arc_id"),
+        F.col("xs").alias("sxs"),
+        F.col("ys").alias("sys"),
+        "s_xmin",
+        "s_xmax",
+        "s_ymin",
+        "s_ymax",
+    )
+    c = _bbox_cols(clip, "c").select(
+        F.col("poly_id").alias("clip_id"),
+        F.col("xs").alias("cxs"),
+        F.col("ys").alias("cys"),
+        "c_xmin",
+        "c_xmax",
+        "c_ymin",
+        "c_ymax",
+    )
+    cond = (
+        (F.col("s_xmin") <= F.col("c_xmax"))
+        & (F.col("s_xmax") >= F.col("c_xmin"))
+        & (F.col("s_ymin") <= F.col("c_ymax"))
+        & (F.col("s_ymax") >= F.col("c_ymin"))
+    )
+    pairs = s.join(F.broadcast(c), cond).select("arc_id", "sxs", "sys", "clip_id", "cxs", "cys")
+
+    def run(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                pieces = geometry.clip_polyline_convex(
+                    np.asarray(r["sxs"]),
+                    np.asarray(r["sys"]),
+                    np.column_stack([r["cxs"], r["cys"]]),
+                )
+                if pieces:
+                    total = sum(geometry.path_length(a, b) for a, b in pieces)
+                    nv = sum(len(a) for a, _b in pieces)
+                    out.append(
+                        {
+                            "arc_id": r["arc_id"],
+                            "clip_id": r["clip_id"],
+                            "n_pieces": len(pieces),
+                            "total_len": float(total),
+                            "n_vertices": nv,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["arc_id", "clip_id", "n_pieces", "total_len", "n_vertices"]
+            )
+
+    return pairs.mapInPandas(
+        run,
+        schema="arc_id long, clip_id int, n_pieces int, total_len double, n_vertices int",
+    )
+
+
 def largest_overlap_join(target: DataFrame, source: DataFrame) -> DataFrame:
     """polygon↔polygon attribute join, largest-overlap winner:
     (target poly_id, src_id of the source polygon with max intersection

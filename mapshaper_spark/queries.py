@@ -1306,6 +1306,38 @@ def q_erase_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("clip_polylines_pieces")
+def q_clip_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-clip on a polyline layer (Cyrus–Beck vs convex windows): pieces,
+    vertex counts, clipped length per (line, polygon). Rows-only; pytest
+    checks lengths against the analytic chord interval
+    [tests/test_overlay.py]."""
+    lines = topology.arcs_df(spark, fixtures.CROSS_LINES)
+    return overlay_op.clip_polylines(lines, testdata.polygons(spark)).select(
+        "arc_id", "clip_id", "n_pieces", "n_vertices",
+        F.round("total_len", 6).alias("total_len"),
+    )
+
+
+@query("export_geojson_points")
+def q_export_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-o format=geojson: Feature text per point, built declaratively
+    (format_number + concat → JVM-side). Rows-only (double→text
+    formatting differs across engines); pytest parses every feature
+    back [SURVEY.md §2.1 export]."""
+    pts = testdata.customer_points(spark, sf_dir)
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        F.format_string("%.6f", F.col("lon")),
+        F.lit(","),
+        F.format_string("%.6f", F.col("lat")),
+        F.lit(']},"properties":{"id":'),
+        F.col("point_id").cast("string"),
+        F.lit("}}"),
+    )
+    return pts.select("point_id", feature.alias("geojson"))
+
+
 @query("largest_overlap_attribution")
 def q_largest_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-join polygon↔polygon largest-overlap winner (rows-only; winner

@@ -108,6 +108,90 @@ def test_largest_overlap_winner_is_argmax(spark):
         assert -best[r["poly_id"]][0] == pytest.approx(r["overlap_area"])
 
 
+# ------------------------------------------------------- polyline clip
+
+
+def test_clip_polyline_horizontal_through_square():
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    xs = np.arange(-2.0, 7.0, 1.0)
+    ys = np.full_like(xs, 2.0)
+    pieces = geometry.clip_polyline_convex(xs, ys, ring)
+    assert len(pieces) == 1
+    px, py = pieces[0]
+    assert px[0] == pytest.approx(0.0) and px[-1] == pytest.approx(4.0)
+    assert geometry.path_length(px, py) == pytest.approx(4.0)
+
+
+def test_clip_polyline_zigzag_two_pieces():
+    """A V-shape dipping below the window exits and re-enters → 2 pieces."""
+    ring = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    xs = np.array([1.0, 4.0, 6.0, 9.0])
+    ys = np.array([5.0, -5.0, -5.0, 5.0])
+    pieces = geometry.clip_polyline_convex(xs, ys, ring)
+    assert len(pieces) == 2
+
+
+def test_clip_polyline_fully_inside_kept_whole():
+    ring = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    xs = np.array([1.0, 3.0, 5.0])
+    ys = np.array([1.0, 2.0, 1.0])
+    pieces = geometry.clip_polyline_convex(xs, ys, ring)
+    assert len(pieces) == 1
+    assert len(pieces[0][0]) == 3
+
+
+def test_clip_polylines_matches_chord_length(spark):
+    """Engine clipped length for each horizontal cross-line == the
+    analytic chord interval of the convex polygon at that latitude."""
+    from mapshaper_spark import fixtures
+    from mapshaper_spark.operators import topology
+
+    lines = topology.arcs_df(spark, fixtures.CROSS_LINES)
+    got = {
+        (r["arc_id"], r["clip_id"]): r["total_len"]
+        for r in overlay.clip_polylines(lines, testdata.polygons(spark)).collect()
+    }
+    assert len(got) >= 8
+    for line in fixtures.CROSS_LINES:
+        y = line["ys"][0]
+        for p in fixtures.POLYGONS:
+            ring = np.asarray(p["ring"])
+            x1, yy1 = ring[:, 0], ring[:, 1]
+            x2, yy2 = np.roll(x1, -1), np.roll(yy1, -1)
+            crosses = (yy1 > y) != (yy2 > y)
+            key = (line["arc_id"], p["poly_id"])
+            if crosses.sum() < 2:
+                assert key not in got
+                continue
+            xint = x1[crosses] + (y - yy1[crosses]) * (x2[crosses] - x1[crosses]) / (
+                yy2[crosses] - yy1[crosses]
+            )
+            # clamp the chord to the line's own extent (some fixture
+            # polygons overhang the lon domain)
+            lo = max(float(xint.min()), -180.0)
+            hi = min(float(xint.max()), 180.0)
+            want = max(0.0, hi - lo)
+            if want == 0.0:
+                assert key not in got
+                continue
+            assert got[key] == pytest.approx(want, abs=1e-6), key
+
+
+def test_export_geojson_parses(spark):
+    import json
+
+    from mapshaper_spark import queries as Q
+
+    rows = Q.QUERIES["export_geojson_points"](spark, SF_SMOKE).limit(20).collect()
+    assert rows
+    for r in rows:
+        f = json.loads(r["geojson"])
+        assert f["type"] == "Feature"
+        assert f["properties"]["id"] == r["point_id"]
+        lon, lat = f["geometry"]["coordinates"]
+        assert -180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
+
+
 def test_webmercator_roundtrip(spark):
     pts = testdata.customer_points(spark, SF_SMOKE)
     m = proj_fn.from_webmercator(proj_fn.to_webmercator(pts))
