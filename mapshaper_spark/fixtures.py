@@ -257,6 +257,46 @@ def grid_incidence_values_sql() -> str:
     return f"(VALUES {vals}) AS inc(feature_id, key, arc_id, arc_len)"
 
 
+# non-convex layer (hand-written literal coords): star, L, C, arrow —
+# exercises the general even-odd ray-crossing path (the convex
+# half-plane shortcut and FULL-cell classification don't apply)
+NONCONVEX_POLYGONS = [
+    {  # 5-point star around (-100, 0), span ~±24
+        "poly_id": 0,
+        "name": "star",
+        "ring": [
+            (-100.0, 24.0), (-94.4, 7.4), (-77.2, 7.4), (-91.0, -2.8),
+            (-85.8, -19.4), (-100.0, -9.2), (-114.2, -19.4), (-109.0, -2.8),
+            (-122.8, 7.4), (-105.6, 7.4),
+        ],
+    },
+    {  # L-shape at (0..40, -60..-20)
+        "poly_id": 1,
+        "name": "ell",
+        "ring": [
+            (0.0, -60.0), (40.0, -60.0), (40.0, -44.0), (16.0, -44.0),
+            (16.0, -20.0), (0.0, -20.0),
+        ],
+    },
+    {  # C-shape at (80..120, 10..50)
+        "poly_id": 2,
+        "name": "cee",
+        "ring": [
+            (80.0, 10.0), (120.0, 10.0), (120.0, 22.0), (92.0, 22.0),
+            (92.0, 38.0), (120.0, 38.0), (120.0, 50.0), (80.0, 50.0),
+        ],
+    },
+    {  # arrow / chevron at (-40..0, 40..70)
+        "poly_id": 3,
+        "name": "chevron",
+        "ring": [
+            (-40.0, 40.0), (-20.0, 55.0), (0.0, 40.0), (0.0, 52.0),
+            (-20.0, 70.0), (-40.0, 52.0),
+        ],
+    },
+]
+
+
 # horizontal cross-lines spanning the lon domain at polygon-band
 # latitudes — the -clip-on-lines fixture (guaranteed intersections)
 CROSS_LINES = [

@@ -141,6 +141,75 @@ def pip_attribute(
     return cand.filter(keep).drop("coverage")
 
 
+def _pip_ray_udf(ring_by_poly: dict[int, np.ndarray]):
+    """Even-odd ray-crossing PIP — the general-polygon kernel (handles
+    non-convex rings; boundary behavior is the classic half-open rule,
+    identical to the exploded-edge SQL oracle)."""
+
+    @F.pandas_udf("boolean")
+    def inside(poly_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        px = lon.to_numpy()
+        py = lat.to_numpy()
+        pid = poly_id.to_numpy()
+        for p in np.unique(pid):
+            m = pid == p
+            out[m] = geometry.pip_ray(px[m], py[m], ring_by_poly[int(p)])
+        return pd.Series(out)
+
+    return inside
+
+
+def build_cell_index_general(
+    spark: SparkSession, polygons: DataFrame, res: int = DEFAULT_RES
+) -> DataFrame:
+    """Cell cover for ARBITRARY (incl. non-convex) rings: every bbox
+    cell is PARTIAL (the all-corners-inside FULL test is convex-only, so
+    the general path always runs the exact kernel). Conservative but
+    correct; NEXT.md #2 upgrades FULL detection with a winding test."""
+
+    def cover(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            xs = np.asarray(row["xs"])
+            ys = np.asarray(row["ys"])
+            ix0, iy0 = cells.grid_xy_np(np.array([xs.min()]), np.array([ys.min()]), res)
+            ix1, iy1 = cells.grid_xy_np(np.array([xs.max()]), np.array([ys.max()]), res)
+            gx = np.arange(ix0[0], ix1[0] + 1)
+            gy = np.arange(iy0[0], iy1[0] + 1)
+            mx, my = np.meshgrid(gx, gy)
+            cid = cells.cell_id_from_xy_np(mx.ravel(), my.ravel(), res)
+            out.append(
+                pd.DataFrame(
+                    {"cell_id": cid, "poly_id": row["poly_id"], "coverage": PARTIAL}
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(
+            {"cell_id": pd.Series(dtype="int64"), "poly_id": pd.Series(dtype="int32"),
+             "coverage": pd.Series(dtype="object")}
+        )
+
+    return polygons.groupBy("poly_id").applyInPandas(
+        cover, schema="cell_id long, poly_id int, coverage string"
+    )
+
+
+def pip_attribute_general(
+    points: DataFrame,
+    cell_index: DataFrame,
+    rings: dict[int, np.ndarray],
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """PIP attribution for general rings: cell-candidate equi-join +
+    even-odd ray kernel on every candidate."""
+    pts = with_cell(points, res)
+    cand = pts.join(F.broadcast(cell_index), "cell_id")
+    inside = _pip_ray_udf(rings)
+    return cand.filter(
+        (F.col("coverage") == FULL) | inside(F.col("poly_id"), F.col("lon"), F.col("lat"))
+    ).drop("coverage")
+
+
 def clip_points(
     points: DataFrame,
     cell_index: DataFrame,

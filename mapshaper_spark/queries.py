@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +30,7 @@ from . import cells, fixtures
 from .operators import images as images_op
 from .functions import proj as proj_fn
 from .operators import asof as asof_op
+from .operators import hier_cover as hier_op
 from .operators import knn as knn_op
 from .operators import overlay as overlay_op
 from .operators import points as points_op
@@ -265,6 +267,24 @@ def q_filter_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pip_count_hier",
+    f"""
+    WITH pts AS ({_PTS}), {_ORACLE_HITS}
+    SELECT poly_id, count(*) AS n_points FROM hits GROUP BY poly_id
+    """,
+)
+def q_pip_count_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PIP result through the HIERARCHICAL (S2-style) cover: FULL
+    cells emitted at the coarsest interior resolution, recursion only on
+    boundary cells → index size scales with polygon PERIMETER, not area
+    (the 100 TB / fine-resolution path) [NEXT.md #1]."""
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = hier_op.build_cell_index_hier(spark, testdata.polygons(spark))
+    hits = hier_op.pip_attribute_hier(pts, idx)
+    return hits.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@query(
     "pip_count_salted",
     f"""
     WITH pts AS ({_PTS}), {_ORACLE_HITS}
@@ -282,6 +302,62 @@ def q_pip_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = sj.build_cell_index(spark, testdata.polygons(spark))
     hits = skew_op.pip_attribute_salted(pts, idx, target_rows_per_task=50)
     return hits.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+# ---- general (non-convex) PIP: even-odd ray crossing -----------------
+
+_NC_EDGES = fixtures.polygon_edges_values_sql(fixtures.NONCONVEX_POLYGONS, "ne")
+_NC_HITS = f"""
+nchits AS (
+    SELECT p.point_id, ne.poly_id
+    FROM pts p, {_NC_EDGES}
+    GROUP BY p.point_id, ne.poly_id
+    HAVING sum(CASE WHEN ((ne.y1 > p.lat) <> (ne.y2 > p.lat))
+                     AND p.lon < ne.x1 + (p.lat - ne.y1) * (ne.x2 - ne.x1)
+                                         / (ne.y2 - ne.y1)
+               THEN 1 ELSE 0 END) % 2 = 1
+)"""
+
+
+def _nc_rings():
+    return {
+        p["poly_id"]: np.array(p["ring"]) for p in fixtures.NONCONVEX_POLYGONS
+    }
+
+
+@query(
+    "pip_nonconvex_rows",
+    f"""
+    WITH pts AS ({_PTS}), {_NC_HITS}
+    SELECT point_id, poly_id FROM nchits
+    """,
+)
+def q_pip_nonconvex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-polygon PIP (star / L / C / chevron): even-odd
+    ray-crossing kernel over cell candidates; oracle = exploded-edge
+    crossing-parity SQL. Non-convex rings get no FULL-cell shortcut
+    [SURVEY.md §5.2 'general polygons via ray-crossing SQL']."""
+    pts = testdata.customer_points(spark, sf_dir)
+    polys = testdata.nonconvex_polygons(spark)
+    idx = sj.build_cell_index_general(spark, polys)
+    return sj.pip_attribute_general(pts, idx, _nc_rings()).select("point_id", "poly_id")
+
+
+@query(
+    "pip_nonconvex_count",
+    f"""
+    WITH pts AS ({_PTS}), {_NC_HITS}
+    SELECT poly_id, count(*) AS n_points FROM nchits GROUP BY poly_id
+    """,
+)
+def q_pip_nonconvex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = sj.build_cell_index_general(spark, testdata.nonconvex_polygons(spark))
+    return (
+        sj.pip_attribute_general(pts, idx, _nc_rings())
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
 
 
 # ---- raster↔vector tiles [north_rule] --------------------------------

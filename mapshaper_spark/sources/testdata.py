@@ -66,6 +66,14 @@ def polygons(spark: SparkSession) -> DataFrame:
     )
 
 
+def nonconvex_polygons(spark: SparkSession) -> DataFrame:
+    """Star/L/C/chevron layer for the general even-odd PIP path."""
+    return spark.createDataFrame(
+        fixtures.polygons_pdf(fixtures.NONCONVEX_POLYGONS),
+        schema="poly_id int, name string, xs array<double>, ys array<double>",
+    )
+
+
 def clip_polygons(spark: SparkSession) -> DataFrame:
     """Second convex layer for polygon↔polygon overlay joins."""
     return spark.createDataFrame(
