@@ -1414,6 +1414,20 @@ def q_export_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("point_id", feature.alias("geojson"))
 
 
+@query("filter_slivers_overlay")
+def q_filter_slivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-filter-slivers min-area= on overlay output: drop sub-pixel
+    pieces produced by the polygon clip (the post-overlay cleanup
+    upstream runs) [SURVEY.md §2.2]. Rows-only (piece areas come from
+    the S-H kernel); pytest bounds them."""
+    pieces = overlay_op.clip_polygons(
+        testdata.polygons(spark), testdata.clip_polygons(spark)
+    )
+    return pieces.filter(F.col("area") >= 1.0).select(
+        "subject_id", "clip_id", F.round("area", 6).alias("area")
+    )
+
+
 @query("largest_overlap_attribution")
 def q_largest_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-join polygon↔polygon largest-overlap winner (rows-only; winner

@@ -117,6 +117,47 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def stream_to_lineage_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    lineage_path: str,
+    checkpoint_dir: str,
+    res: int = 6,
+    bucket_res: int = 2,
+    cell_col: str = "cell_id",
+):
+    """Streaming twin of the batch lineage sink [north_rule resume]:
+    every micro-batch lands through plans.lineage.run_stage, so the
+    durable output carries the same per-partition (cell range, rows,
+    content hash) records as batch stages — offsets resume from the
+    Structured Streaming checkpoint AND data integrity is re-verifiable
+    from the lineage table. Stage id = batch id (idempotent replay: a
+    replayed batch finds its buckets already recorded and skips them)."""
+    from ..plans import lineage as lineage_mod
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lineage_mod.run_stage(
+            batch_df,
+            stage=f"stream_batch_{batch_id}",
+            out_path=out_path,
+            lineage_path=lineage_path,
+            res=res,
+            bucket_res=bucket_res,
+            cell_col=cell_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, name: str, checkpoint_dir: str, mode: str = "append"):
     """Drain all available input into an in-memory table (tests/demos);
     the checkpointLocation carries offsets+state across restarts — the

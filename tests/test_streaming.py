@@ -102,6 +102,47 @@ def test_stateful_running_totals(spark, stream_src, tmp_path):
     assert bad == 0
 
 
+def test_stream_lineage_sink_and_resume(spark, tmp_path):
+    """Streaming output through the lineage sink: durable rows match the
+    input, lineage verifies, and restarting the stream over the same
+    source (same checkpoint) adds nothing (exactly-once)."""
+    from mapshaper_spark.operators import spatial_join as sj
+    from mapshaper_spark.plans import lineage as lineage_mod
+
+    pts = sj.with_cell(testdata.customer_points(spark, SF_SMOKE), res=6)
+    src = tmp_path / "pts_src"
+    src.mkdir()
+    pts.coalesce(1).write.parquet(str(src / "b0"), mode="overwrite")
+
+    stream = (
+        spark.readStream.schema("point_id long, lon double, lat double, cell_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    out = str(tmp_path / "out")
+    ln = str(tmp_path / "ln")
+    ckpt = str(tmp_path / "ckpt")
+    W.stream_to_lineage_sink(stream, out, ln, ckpt)
+
+    got = spark.read.parquet(out).drop("_bucket")
+    assert got.count() == pts.count()
+    stages = [
+        r["stage"]
+        for r in spark.read.parquet(ln).select("stage").distinct().collect()
+    ]
+    assert stages == ["stream_batch_0"]
+    assert lineage_mod.verify_lineage(spark, out, ln, "stream_batch_0")
+
+    # restart over the same source + checkpoint: no new rows
+    stream2 = (
+        spark.readStream.schema("point_id long, lon double, lat double, cell_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    W.stream_to_lineage_sink(stream2, out, ln, ckpt)
+    assert spark.read.parquet(out).count() == pts.count()
+
+
 def test_stream_static_pip_attribution(spark, tmp_path):
     """Live points joined to the static cell index — streaming spatial
     attribution candidates match the batch equi-join."""
