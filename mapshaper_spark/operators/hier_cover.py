@@ -123,7 +123,7 @@ def pip_attribute_hier(
     pts = points.withColumn("cell_id", F.explode(level_cells))
     cand = pts.join(F.broadcast(hier_index), "cell_id")
     inside = _pip_udf(rings)
-    keep = (F.col("coverage") == FULL) | inside(
-        F.col("poly_id"), F.col("lon"), F.col("lat")
+    keep = inside(
+        F.col("poly_id"), F.col("lon"), F.col("lat"), F.col("coverage") == FULL
     )
     return cand.filter(keep).drop("coverage")

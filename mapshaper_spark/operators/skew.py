@@ -148,9 +148,9 @@ def pip_attribute_salted(
         pts, cell_index.hint("shuffle_hash"), "cell_id", factors, "point_id"
     )
     inside = _pip_udf(rings)
-    # single filter — union(full, part) would recompute upstream twice
-    # [see spatial_join.pip_attribute]
-    keep = (F.col("coverage") == FULL) | inside(
-        F.col("poly_id"), F.col("lon"), F.col("lat")
+    # single filter; FULL rows short-circuit inside the kernel
+    # [see spatial_join._pip_udf]
+    keep = inside(
+        F.col("poly_id"), F.col("lon"), F.col("lat"), F.col("coverage") == FULL
     )
     return cand.filter(keep).drop("coverage")

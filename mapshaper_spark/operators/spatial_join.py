@@ -91,21 +91,34 @@ def build_cell_index(spark: SparkSession, polygons: DataFrame, res: int = DEFAUL
 
 
 def _pip_udf(ring_by_poly: dict[int, np.ndarray]):
-    """Scalar pandas UDF: exact PIP for (poly_id, lon, lat) batches.
+    """Scalar pandas UDF: exact PIP for (poly_id, lon, lat, is_full)
+    batches.
 
     The polygon rings ride in the closure (dim-sized); the kernel runs
     one vectorized convex test per distinct polygon in the batch.
+    ``is_full`` rows short-circuit INSIDE the kernel (a numpy mask):
+    Spark evaluates UDF projections eagerly, so a `coverage == FULL OR
+    udf(...)` filter would still pay full kernel cost — while a
+    two-branch union would recompute the whole upstream per branch.
+    This shape is single-pass AND only tests boundary-cell rows.
     """
 
     @F.pandas_udf("boolean")
-    def inside(poly_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon), dtype=bool)
-        px = lon.to_numpy()
-        py = lat.to_numpy()
-        pid = poly_id.to_numpy()
-        for p in np.unique(pid):
-            m = pid == p
-            out[m] = geometry.pip_convex(px[m], py[m], ring_by_poly[int(p)])
+    def inside(
+        poly_id: pd.Series, lon: pd.Series, lat: pd.Series, is_full: pd.Series
+    ) -> pd.Series:
+        full = is_full.to_numpy()
+        out = full.copy()
+        todo = ~full
+        if todo.any():
+            px = lon.to_numpy()[todo]
+            py = lat.to_numpy()[todo]
+            pid = poly_id.to_numpy()[todo]
+            sub = np.zeros(len(px), dtype=bool)
+            for p in np.unique(pid):
+                m = pid == p
+                sub[m] = geometry.pip_convex(px[m], py[m], ring_by_poly[int(p)])
+            out[todo] = sub
         return pd.Series(out)
 
     return inside
@@ -130,13 +143,9 @@ def pip_attribute(
     pts = with_cell(points, res)
     cand = pts.join(F.broadcast(cell_index), "cell_id")
     inside = _pip_udf(rings)
-    # ONE filter, not union(full, part): a union would make Spark
-    # recompute the whole upstream lineage once per branch (ruinous when
-    # upstream is an expensive map stage). The UDF also runs on FULL
-    # rows, but it is vectorized and candidate-sized — far cheaper than
-    # a second pass over the source.
-    keep = (F.col("coverage") == FULL) | inside(
-        F.col("poly_id"), F.col("lon"), F.col("lat")
+    # ONE filter, not union(full, part) — see _pip_udf docstring
+    keep = inside(
+        F.col("poly_id"), F.col("lon"), F.col("lat"), F.col("coverage") == FULL
     )
     return cand.filter(keep).drop("coverage")
 
