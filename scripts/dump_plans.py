@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the graded core."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapshaper_spark import queries as Q  # noqa: E402
+from mapshaper_spark.session import get_spark  # noqa: E402
+
+NAMES = (
+    "pip_count_by_polygon",
+    "pip_count_salted",
+    "pip_count_hier",
+    "knn_nearest_target",
+    "calc_pricing_summary",
+    "images_phash_near_dup",
+)
+
+
+def main() -> None:
+    spark = get_spark("plans", cpus=8, shuffle_partitions=8)
+    sf = "/root/testdata/sf0.01"
+    out = [
+        "# PLANS — physical plans of the graded core (sf0.01, local[8])",
+        "",
+        "Generated with `.explain('formatted')`; regenerate with",
+        "`python scripts/dump_plans.py`. What to check: PushedFilters +",
+        "pruned ReadSchema on every parquet scan, BroadcastHashJoin for",
+        "dim joins, ShuffledHashJoin on (cell_id, _salt) only in the",
+        "salted path, no Exchange between map stages.",
+    ]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name in NAMES:
+        df = Q.QUERIES[name](spark, sf)
+        out.append(f"\n## {name}\n\n```")
+        out.append(df._jdf.queryExecution().explainString(mode))
+        out.append("```")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
