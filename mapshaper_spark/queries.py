@@ -1666,6 +1666,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+@query("ann_ivf_kmeans_topk")
+def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF ANN: KMeans coarse quantizer (Spark ML), probe the 2
+    nearest centroids per query, exact cosine rank inside probed cells.
+    Rows-only (trained centroids aren't SQL-reproducible); pytest
+    measures recall vs brute force ≥0.75 at 3/4 probes
+    [tests/test_ann.py]."""
+    from .operators import ann as ann_op
+
+    e = testdata.load(spark, sf_dir, "embeddings")
+    model, assigned = ann_op.train_ivf(e, n_cells=4)
+    got = ann_op.ivf_topk(
+        assigned, model, F.col("vec_id") < 16, F.col("vec_id") >= 16, k=5, n_probe=2
+    )
+    return got.select("qid", "tid", "rank")
+
+
 @query(
     "ann_ivf_bucketed_topk",
     """

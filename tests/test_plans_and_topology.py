@@ -73,6 +73,21 @@ def test_cell_bucket_partition_pruning(spark, tmp_path):
     ) or "_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_range_partitioned_sorted_write(spark, tmp_path):
+    """write_cell_ranged: every output file owns a disjoint cell_id
+    range (true range partitioning — the north-rule layout)."""
+    from mapshaper_spark.sources import sinks
+
+    out = str(tmp_path / "ranged")
+    df = sj.with_cell(testdata.customer_points(spark, SF_SMOKE), res=6)
+    sinks.write_cell_ranged(df, out, n_partitions=8)
+    ranges = sinks.file_cell_ranges(spark, out)
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2  # sorted, disjoint
+    assert spark.read.parquet(out).count() == df.count()
+
+
 def test_arc_hash_dedups_shared_borders(spark):
     """Topology build: per-feature duplicated rings → canonical quantized
     arc hashing collapses each shared border to ONE arc [SURVEY.md §4.1
