@@ -56,6 +56,14 @@ def compare(spark_df, oracle_sql: str, sf_dir: str = SF_DIR) -> tuple[bool, str]
     if list(got.columns) != list(want.columns):
         return False, f"columns {list(got.columns)} != {list(want.columns)}"
     for c in got.columns:
+        # Driver-strict: dtype class must agree after normalization. DuckDB
+        # integer sum() yields HUGEINT → float64 in pandas, which the driver's
+        # value hash rejects against Spark's BIGINT even when 2.0 == 2
+        # [VERDICT r1 "What's wrong" #1-2]; catch that class locally.
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if gk != wk:
+            return False, f"column {c}: dtype kind {gk!r} (spark) != {wk!r} (oracle)"
+    for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
         if a.dtype.kind == "f":
             ok = np.allclose(a, b, rtol=0, atol=0, equal_nan=True)
