@@ -24,6 +24,13 @@ def centroids(polygons: DataFrame) -> DataFrame:
         out = []
         for _, r in pdf.iterrows():
             a2, sx, sy = geometry.shoelace_seq(r["xs"], r["ys"])
+            if a2 == 0.0:
+                # degenerate (zero-area) ring: fail loudly rather than emit
+                # inf/NaN — NaN never equals itself, so one bad feature
+                # would otherwise silently break whole-layer oracle parity
+                raise ValueError(
+                    f"centroid of zero-area ring poly_id={int(r['poly_id'])}"
+                )
             out.append(
                 {"poly_id": int(r["poly_id"]), "cx": sx / (3.0 * a2), "cy": sy / (3.0 * a2)}
             )

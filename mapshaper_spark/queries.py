@@ -1365,7 +1365,7 @@ _BV = fixtures.polygon_vertices_values_sql(fixtures.CLIP_POLYGONS, "bv")
         FROM {_AE}, {_BV}
         GROUP BY ae.poly_id, bv.poly_id, ae.x1, ae.y1, ae.x2, ae.y2
         HAVING max(CASE WHEN (CAST(ae.x2 AS DOUBLE) - ae.x1) * (bv.y - ae.y1)
-                           - (CAST(ae.y2 AS DOUBLE) - ae.y1) * (bv.x - ae.x1) >= 0.0
+                           - (CAST(ae.y2 AS DOUBLE) - ae.y1) * (bv.x - ae.x1) > 0.0
                    THEN 1 ELSE 0 END) = 0
     ),
     sep_b AS (
@@ -1373,7 +1373,7 @@ _BV = fixtures.polygon_vertices_values_sql(fixtures.CLIP_POLYGONS, "bv")
         FROM {_BE}, {_AV}
         GROUP BY be.poly_id, av.poly_id, be.x1, be.y1, be.x2, be.y2
         HAVING max(CASE WHEN (CAST(be.x2 AS DOUBLE) - be.x1) * (av.y - be.y1)
-                           - (CAST(be.y2 AS DOUBLE) - be.y1) * (av.x - be.x1) >= 0.0
+                           - (CAST(be.y2 AS DOUBLE) - be.y1) * (av.x - be.x1) > 0.0
                    THEN 1 ELSE 0 END) = 0
     ),
     sep AS (SELECT a, b FROM sep_a UNION SELECT a, b FROM sep_b),
@@ -1385,7 +1385,10 @@ _BV = fixtures.polygon_vertices_values_sql(fixtures.CLIP_POLYGONS, "bv")
 def q_overlay_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """polygon↔polygon intersection pairs via the Sutherland-Hodgman
     kernel; the oracle proves/refutes each pair independently with the
-    separating-axis theorem in ANSI SQL (convex layers)."""
+    separating-axis theorem in ANSI SQL (convex layers). The separation
+    test is NON-strict (an axis with no vertex strictly inside counts as
+    separating), so boundary-touching zero-area pairs agree with the
+    engine's ``area > 0`` filter by construction [ADVICE r1]."""
     out = overlay_op.clip_polygons(
         testdata.polygons(spark), testdata.clip_polygons(spark)
     )

@@ -16,7 +16,9 @@ salted shuffle-join variant (big-index regime) is timed as a
 supplementary series.
 
 Usage:  python scaling_bench.py            # orchestrates both runs,
-                                           # writes BENCH/BASELINE.md
+                                           # writes BENCH/scaling.json
+                                           # (BENCH/BASELINE.md is the
+                                           # hand-maintained narrative)
         python scaling_bench.py --worker --cpus 8   # one timed run
 """
 

@@ -57,10 +57,56 @@ def test_resume_processes_only_missing_buckets(spark, tmpdirs):
     assert m1["rows"] + m2["rows"] == df.count()
 
     # final durable output == a clean full run (order-insensitive)
-    got = spark.read.parquet(out).drop("_bucket")
+    got = spark.read.parquet(out).drop("_bucket", "_stage")
     assert got.count() == df.count()
     assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
     assert lineage.verify_lineage(spark, out, ln, "s1")
+
+
+def test_crash_between_data_and_lineage_replays_exactly_once(spark, tmpdirs):
+    """The commit protocol: the lineage row is the commit marker. Simulate
+    a crash AFTER the data write but BEFORE the lineage append (the data
+    partitions exist, no lineage rows), then replay the stage — dynamic
+    partition overwrite on (_bucket, _stage) must replace the orphaned
+    partitions, not append duplicates [ADVICE r1: non-atomic commit]."""
+    out, ln = tmpdirs
+    df = _staged_input(spark)
+    bex = lineage.bucket_expr("cell_id", 6, 2)
+    orphan = (
+        df.withColumn("_bucket", F.expr(bex))
+        .withColumn("_stage", F.lit("s1"))
+        .repartition(F.col("_bucket"))
+    )
+    (
+        orphan.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket", "_stage")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == df.count()  # orphaned data landed
+
+    m = lineage.run_stage(df, "s1", out, ln, res=6, bucket_res=2)
+    assert m["buckets_skipped"] == 0 and m["rows"] == df.count()
+    assert spark.read.parquet(out).count() == df.count()  # replaced, not doubled
+    assert lineage.verify_lineage(spark, out, ln, "s1")
+    assert lineage.verify_lineage(spark, out, ln)  # whole-table check too
+
+
+def test_two_stages_sharing_buckets_verify_independently(spark, tmpdirs):
+    """Two stages land rows into the SAME buckets of one output table —
+    per-stage verification must see only that stage's rows and the
+    whole-table check must combine lineage across stages
+    [ADVICE r1: multi-batch bucket overlap]."""
+    out, ln = tmpdirs
+    df = _staged_input(spark)
+    a = df.filter(F.col("point_id") % 2 == 0)
+    b = df.filter(F.col("point_id") % 2 == 1)  # same cells → same buckets
+    lineage.run_stage(a, "s1", out, ln, res=6, bucket_res=2)
+    lineage.run_stage(b, "s2", out, ln, res=6, bucket_res=2)
+    assert spark.read.parquet(out).count() == df.count()
+    assert lineage.verify_lineage(spark, out, ln, "s1")
+    assert lineage.verify_lineage(spark, out, ln, "s2")
+    assert lineage.verify_lineage(spark, out, ln)
 
 
 def test_rerun_after_complete_is_noop(spark, tmpdirs):

@@ -115,6 +115,9 @@ def test_arc_hash_orientation_invariant(spark):
     ha = topology.build_arc_hashes(topology.arcs_df(spark, a)).collect()[0]["arc_hash"]
     hb = topology.build_arc_hashes(topology.arcs_df(spark, b)).collect()[0]["arc_hash"]
     assert ha == hb
+    # golden pin: xxhash64-based key must stay stable across releases —
+    # persisted arc dictionaries dedup against it
+    assert ha == -6727842362588987611
 
 
 def test_knn_guarantee_fallback_used_for_sparse_targets(spark):

@@ -124,7 +124,7 @@ def test_stream_lineage_sink_and_resume(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     W.stream_to_lineage_sink(stream, out, ln, ckpt)
 
-    got = spark.read.parquet(out).drop("_bucket")
+    got = spark.read.parquet(out).drop("_bucket", "_stage")
     assert got.count() == pts.count()
     stages = [
         r["stage"]
@@ -141,6 +141,44 @@ def test_stream_lineage_sink_and_resume(spark, tmp_path):
     )
     W.stream_to_lineage_sink(stream2, out, ln, ckpt)
     assert spark.read.parquet(out).count() == pts.count()
+
+
+def test_stream_multi_batch_overlapping_buckets(spark, tmp_path):
+    """Two micro-batches whose rows land in the SAME lineage buckets:
+    each batch-stage verifies against only its own rows, earlier batches
+    stay verifiable after later ones land, and the whole table checks out
+    against the combined lineage [ADVICE r1: multi-batch overlap]."""
+    from mapshaper_spark.operators import spatial_join as sj
+    from mapshaper_spark.plans import lineage as lineage_mod
+
+    pts = sj.with_cell(testdata.customer_points(spark, SF_SMOKE), res=6)
+    src = tmp_path / "pts_src"
+    src.mkdir()
+    # split by point parity: both halves cover the same cells → same buckets
+    pts.filter(F.col("point_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "b0"), mode="overwrite"
+    )
+    pts.filter(F.col("point_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b1"), mode="overwrite"
+    )
+
+    stream = (
+        spark.readStream.schema("point_id long, lon double, lat double, cell_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    out = str(tmp_path / "out")
+    ln = str(tmp_path / "ln")
+    W.stream_to_lineage_sink(stream, out, ln, str(tmp_path / "ckpt"))
+
+    assert spark.read.parquet(out).count() == pts.count()
+    stages = sorted(
+        r["stage"] for r in spark.read.parquet(ln).select("stage").distinct().collect()
+    )
+    assert stages == ["stream_batch_0", "stream_batch_1"]
+    for st in stages:
+        assert lineage_mod.verify_lineage(spark, out, ln, st)
+    assert lineage_mod.verify_lineage(spark, out, ln)
 
 
 def test_stream_static_pip_attribution(spark, tmp_path):
