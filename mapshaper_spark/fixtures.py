@@ -297,6 +297,96 @@ NONCONVEX_POLYGONS = [
 ]
 
 
+# multi-ring features with holes (hand-written literal coords) — the
+# general even-odd feature model: outer rings + hole rings + disjoint
+# parts in one feature, no hole tagging needed (parity handles it).
+# Coordinates use .0/.5 halves so both engines parse identical doubles.
+HOLED_FEATURES = [
+    {  # square donut: outer with a centered square hole
+        "poly_id": 0,
+        "name": "donut",
+        "rings": [
+            [(-170.0, -80.0), (-130.0, -80.0), (-130.0, -40.0), (-170.0, -40.0)],
+            [(-160.0, -70.0), (-160.0, -50.0), (-140.0, -50.0), (-140.0, -70.0)],
+        ],
+    },
+    {  # concave L with a square hole in the foot
+        "poly_id": 1,
+        "name": "ell_holed",
+        "rings": [
+            [
+                (60.0, -70.0), (110.0, -70.0), (110.0, -50.0), (80.0, -50.0),
+                (80.0, -20.0), (60.0, -20.0),
+            ],
+            [(66.0, -66.0), (66.0, -56.0), (76.0, -56.0), (76.0, -66.0)],
+        ],
+    },
+    {  # multipolygon: two disjoint squares, second one holed
+        "poly_id": 2,
+        "name": "islands",
+        "rings": [
+            [(130.0, 55.0), (150.0, 55.0), (150.0, 80.0), (130.0, 80.0)],
+            [(155.0, 55.0), (175.0, 55.0), (175.0, 80.0), (155.0, 80.0)],
+            [(160.0, 62.5), (160.0, 72.5), (170.0, 72.5), (170.0, 62.5)],
+        ],
+    },
+    {  # strongly concave comb (teeth pointing down)
+        "poly_id": 3,
+        "name": "comb",
+        "rings": [
+            [
+                (-60.0, 60.0), (0.0, 60.0), (0.0, 85.0), (-10.0, 85.0),
+                (-10.0, 67.5), (-20.0, 67.5), (-20.0, 85.0), (-30.0, 85.0),
+                (-30.0, 67.5), (-40.0, 67.5), (-40.0, 85.0), (-50.0, 85.0),
+                (-50.0, 67.5), (-60.0, 67.5),
+            ],
+        ],
+    },
+]
+
+
+def multiring_edges_values_sql(feats: list[dict] | None = None, name: str = "me") -> str:
+    """(poly_id, x1, y1, x2, y2) VALUES relation over EVERY ring of every
+    multi-ring feature — crossing parity over this relation is the
+    even-odd hole-aware PIP oracle."""
+    rows = []
+    for f in feats if feats is not None else HOLED_FEATURES:
+        for ring in f["rings"]:
+            k = len(ring)
+            for j in range(k):
+                x1, y1 = ring[j]
+                x2, y2 = ring[(j + 1) % k]
+                rows.append(f"({f['poly_id']},{x1!r},{y1!r},{x2!r},{y2!r})")
+    return f"(VALUES {','.join(rows)}) AS {name}(poly_id, x1, y1, x2, y2)"
+
+
+def multiring_pdf(feats: list[dict] | None = None):
+    """pandas DataFrame of a multi-ring layer: one row PER RING
+    (poly_id, ring_idx, xs, ys) — the distributed feature model the
+    general cover/kernel consume (groupBy poly_id reassembles)."""
+    import pandas as pd
+
+    feats = feats if feats is not None else HOLED_FEATURES
+    rows = []
+    for f in feats:
+        for ri, ring in enumerate(f["rings"]):
+            rows.append(
+                {
+                    "poly_id": f["poly_id"],
+                    "ring_idx": ri,
+                    "xs": [v[0] for v in ring],
+                    "ys": [v[1] for v in ring],
+                }
+            )
+    return pd.DataFrame(rows, columns=["poly_id", "ring_idx", "xs", "ys"])
+
+
+def multiring_rings(feats: list[dict] | None = None) -> dict[int, list[np.ndarray]]:
+    """poly_id → list of ring arrays, for the kernel closure path."""
+    feats = feats if feats is not None else HOLED_FEATURES
+    return {f["poly_id"]: [np.asarray(r) for r in f["rings"]] for f in feats}
+
+
 # horizontal cross-lines spanning the lon domain at polygon-band
 # latitudes — the -clip-on-lines fixture (guaranteed intersections)
 CROSS_LINES = [

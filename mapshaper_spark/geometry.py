@@ -56,6 +56,58 @@ def pip_ray(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return inside
 
 
+def pip_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd PIP over a MULTI-RING feature (outer rings + holes +
+    disjoint parts): XOR of per-ring crossing parities. A point inside an
+    outer ring and inside a hole ring has even total parity → outside,
+    with no need to tag which ring is the hole — exactly the even-odd
+    fill rule mapshaper's polygon module applies [SURVEY.md §2.3]."""
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        inside ^= pip_ray(px, py, ring)
+    return inside
+
+
+def edges_intersect_rects(
+    edges: np.ndarray,
+    x_lo: np.ndarray,
+    y_lo: np.ndarray,
+    x_hi: np.ndarray,
+    y_hi: np.ndarray,
+) -> np.ndarray:
+    """For each of M axis-aligned rects, does ANY of the K segments
+    intersect it? Vectorized Liang-Barsky clip acceptance over the
+    (K, M) broadcast — the boundary test behind winding-aware FULL-cell
+    classification (a cell no edge crosses has uniform parity).
+
+    edges: (K, 4) rows [x1, y1, x2, y2]. Returns bool (M,).
+    """
+    if len(edges) == 0:
+        return np.zeros(len(x_lo), dtype=bool)
+    x1 = edges[:, 0:1]
+    y1 = edges[:, 1:2]
+    dx = edges[:, 2:3] - x1
+    dy = edges[:, 3:4] - y1
+    m = len(x_lo)
+    k = len(edges)
+    t0 = np.zeros((k, m))
+    t1 = np.ones((k, m))
+    ok = np.ones((k, m), dtype=bool)
+    for p, q in (
+        (-dx, x1 - x_lo[None, :]),
+        (dx, x_hi[None, :] - x1),
+        (-dy, y1 - y_lo[None, :]),
+        (dy, y_hi[None, :] - y1),
+    ):
+        pz = p == 0.0
+        ok &= ~(pz & (q < 0.0))  # parallel and fully outside this side
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / np.where(pz, 1.0, p)
+        t0 = np.where(~pz & (p < 0.0), np.maximum(t0, r), t0)
+        t1 = np.where(~pz & (p > 0.0), np.minimum(t1, r), t1)
+    return (ok & (t0 <= t1)).any(axis=0)
+
+
 # -------------------------------------------------------- area / centroid ---
 
 

@@ -150,52 +150,66 @@ def pip_attribute(
     return cand.filter(keep).drop("coverage")
 
 
-def _pip_ray_udf(ring_by_poly: dict[int, np.ndarray]):
-    """Even-odd ray-crossing PIP — the general-polygon kernel (handles
-    non-convex rings; boundary behavior is the classic half-open rule,
-    identical to the exploded-edge SQL oracle)."""
-
-    @F.pandas_udf("boolean")
-    def inside(poly_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon), dtype=bool)
-        px = lon.to_numpy()
-        py = lat.to_numpy()
-        pid = poly_id.to_numpy()
-        for p in np.unique(pid):
-            m = pid == p
-            out[m] = geometry.pip_ray(px[m], py[m], ring_by_poly[int(p)])
-        return pd.Series(out)
-
-    return inside
+def _as_ring_list(rings) -> list[np.ndarray]:
+    """Normalize a single ring array or a list of rings to list form."""
+    if isinstance(rings, np.ndarray):
+        return [rings]
+    return [np.asarray(r) for r in rings]
 
 
 def build_cell_index_general(
     spark: SparkSession, polygons: DataFrame, res: int = DEFAULT_RES
 ) -> DataFrame:
-    """Cell cover for ARBITRARY (incl. non-convex) rings: every bbox
-    cell is PARTIAL (the all-corners-inside FULL test is convex-only, so
-    the general path always runs the exact kernel). Conservative but
-    correct; NEXT.md #2 upgrades FULL detection with a winding test."""
+    """Cell cover for ARBITRARY features: non-convex, multi-ring, holes.
+
+    Input rows are one ring each (poly_id[, ring_idx], xs, ys); groupBy
+    reassembles the feature. Winding-aware classification per bbox cell
+    [NEXT.md #2 realized]:
+
+    - a ring edge crosses the cell rectangle (vectorized Liang-Barsky)
+      → PARTIAL (exact kernel at probe time);
+    - else the cell has UNIFORM even-odd parity → classify by its center:
+      inside → FULL (no kernel at probe time), outside → dropped from
+      the index entirely (a concave/holed feature's bbox is mostly not
+      the feature — dropping outside cells shrinks the index AND removes
+      false candidates the convex-era cover kept as PARTIAL).
+    """
 
     def cover(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in pdf.iterrows():
-            xs = np.asarray(row["xs"])
-            ys = np.asarray(row["ys"])
-            ix0, iy0 = cells.grid_xy_np(np.array([xs.min()]), np.array([ys.min()]), res)
-            ix1, iy1 = cells.grid_xy_np(np.array([xs.max()]), np.array([ys.max()]), res)
-            gx = np.arange(ix0[0], ix1[0] + 1)
-            gy = np.arange(iy0[0], iy1[0] + 1)
-            mx, my = np.meshgrid(gx, gy)
-            cid = cells.cell_id_from_xy_np(mx.ravel(), my.ravel(), res)
-            out.append(
-                pd.DataFrame(
-                    {"cell_id": cid, "poly_id": row["poly_id"], "coverage": PARTIAL}
-                )
-            )
-        return pd.concat(out) if out else pd.DataFrame(
-            {"cell_id": pd.Series(dtype="int64"), "poly_id": pd.Series(dtype="int32"),
-             "coverage": pd.Series(dtype="object")}
+        rings = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in pdf.iterrows()
+        ]
+        edges = np.concatenate(
+            [
+                np.column_stack([ring, np.roll(ring, -1, axis=0)])
+                for ring in rings
+            ]
+        )
+        allx = np.concatenate([r[:, 0] for r in rings])
+        ally = np.concatenate([r[:, 1] for r in rings])
+        n = 1 << res
+        ix0, iy0 = cells.grid_xy_np(np.array([allx.min()]), np.array([ally.min()]), res)
+        ix1, iy1 = cells.grid_xy_np(np.array([allx.max()]), np.array([ally.max()]), res)
+        gx = np.arange(ix0[0], ix1[0] + 1)
+        gy = np.arange(iy0[0], iy1[0] + 1)
+        mx, my = np.meshgrid(gx, gy)
+        mx, my = mx.ravel(), my.ravel()
+        cw, ch = 360.0 / n, 180.0 / n
+        x_lo, y_lo = -180.0 + mx * cw, -90.0 + my * ch
+        x_hi, y_hi = x_lo + cw, y_lo + ch
+        boundary = geometry.edges_intersect_rects(edges, x_lo, y_lo, x_hi, y_hi)
+        center_in = geometry.pip_rings(
+            (x_lo + x_hi) / 2.0, (y_lo + y_hi) / 2.0, rings
+        )
+        keep = boundary | center_in
+        cid = cells.cell_id_from_xy_np(mx[keep], my[keep], res)
+        return pd.DataFrame(
+            {
+                "cell_id": cid,
+                "poly_id": int(pdf["poly_id"].iloc[0]),
+                "coverage": np.where(boundary[keep], PARTIAL, FULL),
+            }
         )
 
     return polygons.groupBy("poly_id").applyInPandas(
@@ -203,20 +217,100 @@ def build_cell_index_general(
     )
 
 
+def _pip_rings_udf(rings_by_poly: dict[int, list[np.ndarray]]):
+    """Masked even-odd multi-ring kernel: FULL rows short-circuit inside
+    the batch (same single-pass shape as _pip_udf — see its docstring for
+    why not a `coverage == FULL OR udf(...)` filter)."""
+
+    @F.pandas_udf("boolean")
+    def inside(
+        poly_id: pd.Series, lon: pd.Series, lat: pd.Series, is_full: pd.Series
+    ) -> pd.Series:
+        full = is_full.to_numpy()
+        out = full.copy()
+        todo = ~full
+        if todo.any():
+            px = lon.to_numpy()[todo]
+            py = lat.to_numpy()[todo]
+            pid = poly_id.to_numpy()[todo]
+            sub = np.zeros(len(px), dtype=bool)
+            for p in np.unique(pid):
+                m = pid == p
+                sub[m] = geometry.pip_rings(px[m], py[m], rings_by_poly[int(p)])
+            out[todo] = sub
+        return pd.Series(out)
+
+    return inside
+
+
 def pip_attribute_general(
     points: DataFrame,
     cell_index: DataFrame,
-    rings: dict[int, np.ndarray],
+    rings: dict[int, np.ndarray | list[np.ndarray]],
     res: int = DEFAULT_RES,
 ) -> DataFrame:
-    """PIP attribution for general rings: cell-candidate equi-join +
-    even-odd ray kernel on every candidate."""
+    """PIP attribution for general features: cell-candidate equi-join,
+    FULL cells skip geometry, PARTIAL cells run the even-odd multi-ring
+    kernel (holes included) in one masked pass."""
+    ring_lists = {p: _as_ring_list(r) for p, r in rings.items()}
     pts = with_cell(points, res)
     cand = pts.join(F.broadcast(cell_index), "cell_id")
-    inside = _pip_ray_udf(rings)
-    return cand.filter(
-        (F.col("coverage") == FULL) | inside(F.col("poly_id"), F.col("lon"), F.col("lat"))
-    ).drop("coverage")
+    inside = _pip_rings_udf(ring_lists)
+    keep = inside(
+        F.col("poly_id"), F.col("lon"), F.col("lat"), F.col("coverage") == FULL
+    )
+    return cand.filter(keep).drop("coverage")
+
+
+def pip_attribute_grouped(
+    points: DataFrame,
+    cell_index: DataFrame,
+    rings_df: DataFrame,
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """PIP attribution with ring geometry flowing through the PLAN, not a
+    Python closure — the scale path for polygon layers beyond dim size
+    [VERDICT r1 #6: a million-polygon layer cannot ride in a UDF closure].
+
+    Candidates (from the broadcast cell-index join) are cogrouped with
+    the ring table on poly_id; each group's kernel sees only its own
+    feature's rings. Cost vs the closure path: one extra shuffle of the
+    candidate rows on poly_id — the price of unbounded layer size. FULL
+    coverage rows skip the kernel inside the group.
+
+    rings_df: (poly_id, ring_idx, xs array<double>, ys array<double>).
+    """
+    pts = with_cell(points, res)
+    cand = pts.join(F.broadcast(cell_index), "cell_id")
+    out_cols = [c for c in cand.columns if c != "coverage"]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in cand.schema.fields
+        if f.name != "coverage"
+    )
+
+    def kernel(key, cpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cpdf) == 0:
+            return cpdf.drop(columns=["coverage"])
+        rings = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in rpdf.iterrows()
+        ]
+        full = (cpdf["coverage"] == FULL).to_numpy()
+        keep = full.copy()
+        todo = ~full
+        if todo.any() and rings:
+            keep[todo] = geometry.pip_rings(
+                cpdf["lon"].to_numpy()[todo], cpdf["lat"].to_numpy()[todo], rings
+            )
+        return cpdf.loc[keep, [c for c in cpdf.columns if c != "coverage"]]
+
+    return (
+        cand.groupBy("poly_id")
+        .cogroup(rings_df.groupBy("poly_id"))
+        .applyInPandas(kernel, schema=out_fields)
+        .select(*out_cols)
+    )
 
 
 def clip_points(
@@ -230,6 +324,24 @@ def clip_points(
     polygons (``-erase`` when invert=True) — a spatial semi/anti join.
     """
     matched = pip_attribute(points, cell_index, rings, res).select("point_id").distinct()
+    how = "left_anti" if invert else "left_semi"
+    return points.join(matched, "point_id", how)
+
+
+def clip_points_general(
+    points: DataFrame,
+    cell_index: DataFrame,
+    rings: dict[int, np.ndarray | list[np.ndarray]],
+    res: int = DEFAULT_RES,
+    invert: bool = False,
+) -> DataFrame:
+    """-clip / -erase against a GENERAL clip layer (concave, multi-ring,
+    holes): the hole-aware even-odd kernel decides containment."""
+    matched = (
+        pip_attribute_general(points, cell_index, rings, res)
+        .select("point_id")
+        .distinct()
+    )
     how = "left_anti" if invert else "left_semi"
     return points.join(matched, "point_id", how)
 

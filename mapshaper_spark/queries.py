@@ -364,6 +364,74 @@ def q_pip_nonconvex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- multi-ring + holes PIP: even-odd over every ring ----------------
+
+_MR_EDGES = fixtures.multiring_edges_values_sql(name="me")
+_MR_HITS = f"""
+mrhits AS (
+    SELECT p.point_id, me.poly_id
+    FROM pts p, {_MR_EDGES}
+    GROUP BY p.point_id, me.poly_id
+    HAVING sum(CASE WHEN ((me.y1 > p.lat) <> (me.y2 > p.lat))
+                     AND p.lon < me.x1 + (p.lat - me.y1) * (me.x2 - me.x1)
+                                         / (me.y2 - me.y1)
+               THEN 1 ELSE 0 END) % 2 = 1
+)"""
+
+
+@query(
+    "pip_holes_rows",
+    f"""
+    WITH pts AS ({_PTS}), {_MR_HITS}
+    SELECT point_id, poly_id FROM mrhits
+    """,
+)
+def q_pip_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP over multi-ring features WITH HOLES (donut, holed L, island
+    pair, concave comb): winding-aware general cover (FULL cells skip the
+    kernel, outside-bbox cells dropped from the index) + even-odd
+    multi-ring kernel; oracle = crossing parity over the edges of EVERY
+    ring, so points inside a hole have even parity on both sides
+    [SURVEY.md §2.3 general features; VERDICT r1 'What's missing' #1]."""
+    pts = testdata.customer_points(spark, sf_dir)
+    feats = testdata.holed_features(spark)
+    idx = sj.build_cell_index_general(spark, feats)
+    return sj.pip_attribute_general(pts, idx, fixtures.multiring_rings()).select(
+        "point_id", "poly_id"
+    )
+
+
+@query(
+    "clip_points_holes",
+    f"""
+    WITH pts AS ({_PTS}), {_MR_HITS}
+    SELECT p.point_id, p.lon, p.lat FROM pts p
+    WHERE EXISTS (SELECT 1 FROM mrhits h WHERE h.point_id = p.point_id)
+    """,
+)
+def q_clip_points_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-clip with a holed/concave clip layer: a point inside a hole is
+    OUTSIDE the clip region (even-odd), so it must be dropped."""
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = sj.build_cell_index_general(spark, testdata.holed_features(spark))
+    return sj.clip_points_general(pts, idx, fixtures.multiring_rings())
+
+
+@query(
+    "erase_points_holes",
+    f"""
+    WITH pts AS ({_PTS}), {_MR_HITS}
+    SELECT p.point_id, p.lon, p.lat FROM pts p
+    WHERE NOT EXISTS (SELECT 1 FROM mrhits h WHERE h.point_id = p.point_id)
+    """,
+)
+def q_erase_points_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-erase with a holed/concave erase layer (complement of the clip)."""
+    pts = testdata.customer_points(spark, sf_dir)
+    idx = sj.build_cell_index_general(spark, testdata.holed_features(spark))
+    return sj.clip_points_general(pts, idx, fixtures.multiring_rings(), invert=True)
+
+
 # ---- raster↔vector tiles [north_rule] --------------------------------
 
 _Z = 3  # 8x8 tile grid; tile = 45 x 22.5 deg; pixel = 2.8125 x 1.40625

@@ -74,6 +74,15 @@ def nonconvex_polygons(spark: SparkSession) -> DataFrame:
     )
 
 
+def holed_features(spark: SparkSession) -> DataFrame:
+    """Multi-ring layer (donut / holed L / island pair / comb) — one row
+    per ring; the general cover groups rings back into features."""
+    return spark.createDataFrame(
+        fixtures.multiring_pdf(),
+        schema="poly_id int, ring_idx int, xs array<double>, ys array<double>",
+    )
+
+
 def clip_polygons(spark: SparkSession) -> DataFrame:
     """Second convex layer for polygon↔polygon overlay joins."""
     return spark.createDataFrame(
