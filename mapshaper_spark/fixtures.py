@@ -387,6 +387,64 @@ def multiring_rings(feats: list[dict] | None = None) -> dict[int, list[np.ndarra
     return {f["poly_id"]: [np.asarray(r) for r in f["rings"]] for f in feats}
 
 
+# -join interpolate fixture: axis-aligned box layers. Source boxes are
+# 16 x 8 (area 128 = 2^7) on integer coords; targets sit on .5 offsets.
+# Interval-overlap areas are then multiples of 0.25, every term
+# val * a_int / a_src is an EXACT double (no rounding), and the weighted
+# sum is order-independent — so the engine's Sutherland-Hodgman pieces
+# and the oracle's pure interval algebra agree bit-for-bit.
+INTERP_SRC_BOXES = [
+    {
+        "poly_id": i,
+        "x0": -40.0 + 16.0 * (i % 4),
+        "y0": -20.0 + 8.0 * (i // 4),
+        "x1": -40.0 + 16.0 * (i % 4) + 16.0,
+        "y1": -20.0 + 8.0 * (i // 4) + 8.0,
+        "val": 100 + 13 * i,
+    }
+    for i in range(12)
+]
+
+INTERP_TGT_BOXES = [
+    {
+        "poly_id": t,
+        "x0": -38.5 + 11.0 * t,
+        "y0": -19.5 + 4.0 * t,
+        "x1": -38.5 + 11.0 * t + 20.0,
+        "y1": -19.5 + 4.0 * t + 10.0,
+    }
+    for t in range(6)
+]
+
+
+def _box_ring(b: dict) -> list[tuple[float, float]]:
+    return [(b["x0"], b["y0"]), (b["x1"], b["y0"]), (b["x1"], b["y1"]), (b["x0"], b["y1"])]
+
+
+def interp_boxes_pdf(boxes: list[dict], with_val: bool):
+    import pandas as pd
+
+    d = {
+        "poly_id": [b["poly_id"] for b in boxes],
+        "xs": [[p[0] for p in _box_ring(b)] for b in boxes],
+        "ys": [[p[1] for p in _box_ring(b)] for b in boxes],
+    }
+    if with_val:
+        d["val"] = [b["val"] for b in boxes]
+    return pd.DataFrame(d)
+
+
+def interp_boxes_values_sql(boxes: list[dict], name: str, with_val: bool) -> str:
+    cols = "poly_id, x0, y0, x1, y1" + (", val" if with_val else "")
+    rows = ",".join(
+        f"({b['poly_id']},{b['x0']!r},{b['y0']!r},{b['x1']!r},{b['y1']!r}"
+        + (f",{b['val']}" if with_val else "")
+        + ")"
+        for b in boxes
+    )
+    return f"(VALUES {rows}) AS {name}({cols})"
+
+
 # horizontal cross-lines spanning the lon domain at polygon-band
 # latitudes — the -clip-on-lines fixture (guaranteed intersections)
 CROSS_LINES = [

@@ -185,6 +185,40 @@ def clip_polylines(lines: DataFrame, clip: DataFrame) -> DataFrame:
     )
 
 
+def join_interpolate(
+    sources: DataFrame, targets: DataFrame, value_col: str = "val"
+) -> DataFrame:
+    """-join interpolate: area-weighted transfer of a source-polygon
+    value onto target polygons [upstream src/join/mapshaper-interpolate
+    behavior, SURVEY.md §2.3]:
+
+        tgt_val = Σ_src  val_src · area(src ∩ tgt) / area(src)
+
+    The intersection areas come from the real Sutherland–Hodgman clip
+    kernel (clip_polygons); source areas from the shoelace. Both side
+    tables are dim-sized per target group and broadcast; the weighted
+    sum is a plain map-side-combinable aggregate.
+
+    Output: (clip_id, interp_val, n_pieces).
+    """
+    from . import points as points_op
+
+    pieces = clip_polygons(sources.select("poly_id", "xs", "ys"), targets).filter(
+        F.col("area") > 0.0
+    )
+    own = points_op.areas(sources.select("poly_id", "xs", "ys")).select(
+        F.col("poly_id").alias("subject_id"), F.col("area").alias("src_area")
+    )
+    vals = sources.select(F.col("poly_id").alias("subject_id"), F.col(value_col))
+    contrib = pieces.join(F.broadcast(own), "subject_id").join(
+        F.broadcast(vals), "subject_id"
+    )
+    return contrib.groupBy("clip_id").agg(
+        F.sum(F.col(value_col) * F.col("area") / F.col("src_area")).alias("interp_val"),
+        F.count(F.lit(1)).alias("n_pieces"),
+    )
+
+
 def largest_overlap_join(target: DataFrame, source: DataFrame) -> DataFrame:
     """polygon↔polygon attribute join, largest-overlap winner:
     (target poly_id, src_id of the source polygon with max intersection

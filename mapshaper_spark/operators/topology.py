@@ -105,6 +105,27 @@ def dissolve(features: DataFrame, arcs: DataFrame) -> DataFrame:
     )
 
 
+def dissolve_sum_fields(
+    features: DataFrame,
+    arcs: DataFrame,
+    sum_fields: list[str],
+    copy_fields: list[str] | None = None,
+) -> DataFrame:
+    """-dissolve with fused attribute aggregation (``sum-fields=`` /
+    ``copy-fields=`` [upstream -dissolve options, SURVEY.md §2.4]): one
+    operator emits per-key boundary geometry (arc cancellation — see
+    :func:`dissolve`) joined with the key's attribute rollup
+    (``sum_<f>`` per sum field, ``first_<f>`` = min for copy fields,
+    ``n_features``). Two independent shuffles on the same tiny key
+    domain, joined at key cardinality."""
+    geom = dissolve(features, arcs)
+    aggs = [F.sum(c).alias(f"sum_{c}") for c in sum_fields]
+    aggs += [F.min(c).alias(f"first_{c}") for c in (copy_fields or [])]
+    aggs.append(F.count(F.lit(1)).alias("n_features"))
+    attrs = features.groupBy("key").agg(*aggs)
+    return geom.join(attrs, "key")
+
+
 def dissolve_arcs(features: DataFrame) -> DataFrame:
     """The surviving (key, arc_id) boundary set — input to ring stitching."""
     inc = incidence(features)

@@ -1568,14 +1568,17 @@ def q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-grid / -rectangle generator: the z=3 tile grid as cell bbox rows
     from pure arithmetic over spark.range (no data source at all)."""
+    # CAST the integer factor to DOUBLE first: Spark types
+    # bigint * 45.0 as DECIMAL arithmetic (object dtype in pandas, which
+    # never hash-matches DuckDB's DOUBLE) — same rule as bigint / 100.0
     return spark.range(64).selectExpr(
         "id AS cell_i",
         "id % 8 AS ix",
         "id DIV 8 AS iy",
-        "-180.0 + (id % 8) * 45.0 AS x0",
-        "-90.0 + (id DIV 8) * 22.5 AS y0",
-        "-180.0 + (id % 8 + 1) * 45.0 AS x1",
-        "-90.0 + (id DIV 8 + 1) * 22.5 AS y1",
+        "-180.0 + CAST(id % 8 AS DOUBLE) * 45.0 AS x0",
+        "-90.0 + CAST(id DIV 8 AS DOUBLE) * 22.5 AS y0",
+        "-180.0 + CAST(id % 8 + 1 AS DOUBLE) * 45.0 AS x1",
+        "-90.0 + CAST(id DIV 8 + 1 AS DOUBLE) * 22.5 AS y1",
     )
 
 
@@ -1841,6 +1844,74 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("qid", "tid", "dot_q", "rank")
+    )
+
+
+_INTERP_SRC = fixtures.interp_boxes_values_sql(fixtures.INTERP_SRC_BOXES, "s", True)
+_INTERP_TGT = fixtures.interp_boxes_values_sql(fixtures.INTERP_TGT_BOXES, "t", False)
+
+
+@query(
+    "join_interpolate_area_weighted",
+    f"""
+    WITH inter AS (
+        SELECT t.poly_id AS clip_id, s.val,
+               GREATEST(0.0, LEAST(s.x1, t.x1) - GREATEST(s.x0, t.x0))
+             * GREATEST(0.0, LEAST(s.y1, t.y1) - GREATEST(s.y0, t.y0)) AS a_int,
+               (s.x1 - s.x0) * (s.y1 - s.y0) AS a_src
+        FROM {_INTERP_SRC}, {_INTERP_TGT}
+    )
+    SELECT clip_id,
+           CAST(sum(val * a_int / a_src) AS DOUBLE) AS interp_val,
+           CAST(sum(CASE WHEN a_int > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pieces
+    FROM inter GROUP BY clip_id
+    """,
+)
+def q_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-join interpolate (area-weighted value transfer) [VERDICT r1
+    'What's missing' #2]: the ENGINE clips every (source, target) pair
+    with the real Sutherland-Hodgman kernel and weights values by
+    intersection/source area; the ORACLE recomputes the same areas as
+    pure interval algebra on the axis-aligned fixture boxes. Source
+    areas are 2^7 and overlaps are multiples of 0.25, so every weighted
+    term is an exact double and the sum is order-independent."""
+    src = testdata.interp_source_boxes(spark)
+    tgt = testdata.interp_target_boxes(spark)
+    out = overlay_op.join_interpolate(src, tgt, value_col="val")
+    return out.select("clip_id", "interp_val", F.col("n_pieces").cast("bigint").alias("n_pieces"))
+
+
+@query(
+    "dissolve_sum_fields",
+    f"""
+    WITH m AS (SELECT key, arc_id, count(*) AS mult, min(arc_len) AS arc_len
+               FROM {_INC} GROUP BY key, arc_id),
+    geom AS (SELECT key, count(*) AS n_boundary_arcs,
+                    CAST(sum(arc_len) AS DOUBLE) AS perimeter
+             FROM m WHERE mult % 2 = 1 GROUP BY key),
+    f AS (SELECT DISTINCT feature_id, key FROM {_INC}),
+    attrs AS (SELECT key, CAST(sum(feature_id * 10 + 3) AS BIGINT) AS sum_val,
+                     count(*) AS n_features
+              FROM f GROUP BY key)
+    SELECT g.key, g.n_boundary_arcs, g.perimeter, a.sum_val, a.n_features
+    FROM geom g JOIN attrs a ON g.key = a.key
+    """,
+)
+def q_dissolve_sum_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-dissolve with FUSED attribute aggregation (sum-fields=) [VERDICT
+    r1 'What's missing' #3]: one operator returns boundary geometry
+    (arc cancellation) AND the per-key attribute rollup."""
+    feats = topology.features_df(spark, fixtures.GRID_FEATURES).withColumn(
+        "attr_val", F.col("feature_id") * 10 + 3
+    )
+    arcs = topology.arcs_df(spark, fixtures.GRID_ARCS)
+    out = topology.dissolve_sum_fields(feats, arcs, sum_fields=["attr_val"])
+    return out.select(
+        "key",
+        "n_boundary_arcs",
+        "perimeter",
+        F.col("sum_attr_val").alias("sum_val"),
+        "n_features",
     )
 
 

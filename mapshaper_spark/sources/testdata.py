@@ -89,3 +89,19 @@ def clip_polygons(spark: SparkSession) -> DataFrame:
         fixtures.polygons_pdf(fixtures.CLIP_POLYGONS),
         schema="poly_id int, name string, xs array<double>, ys array<double>",
     )
+
+
+def interp_source_boxes(spark: SparkSession) -> DataFrame:
+    """Source layer for -join interpolate (boxes + value column)."""
+    return spark.createDataFrame(
+        fixtures.interp_boxes_pdf(fixtures.INTERP_SRC_BOXES, with_val=True),
+        schema="poly_id int, xs array<double>, ys array<double>, val long",
+    )
+
+
+def interp_target_boxes(spark: SparkSession) -> DataFrame:
+    """Target layer for -join interpolate."""
+    return spark.createDataFrame(
+        fixtures.interp_boxes_pdf(fixtures.INTERP_TGT_BOXES, with_val=False),
+        schema="poly_id int, xs array<double>, ys array<double>",
+    )
