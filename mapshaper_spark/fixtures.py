@@ -482,9 +482,11 @@ def polyline_thresholds(method: str):
     executors run — used to build oracle literals and pytest goldens)."""
     from . import geometry
 
-    kern = {"visvalingam": geometry.visvalingam_thresholds, "dp": geometry.dp_thresholds}[
-        method
-    ]
+    kern = {
+        "visvalingam": geometry.visvalingam_thresholds,
+        "weighted": geometry.visvalingam_weighted_thresholds,
+        "dp": geometry.dp_thresholds,
+    }[method]
     out = []
     for a in POLYLINES:
         thr = np.minimum(

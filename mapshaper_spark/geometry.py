@@ -202,6 +202,60 @@ def visvalingam_thresholds(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     return thr
 
 
+def visvalingam_weighted_thresholds(
+    xs: np.ndarray, ys: np.ndarray, coeff: float = 0.7
+) -> np.ndarray:
+    """Weighted Visvalingam — upstream's default ``-simplify`` method
+    [SURVEY.md §2.7 'weighted' variant; public mapshaper docs describe it
+    as Visvalingam with preferential spike removal].
+
+    Effective area is scaled by an angle weight before entering the
+    removal queue: weight = 1 − coeff·cosθ, where θ is the angle at the
+    vertex between the vectors to its neighbors. A spike (both vectors
+    nearly parallel, cosθ→1) gets weight 1−coeff → removed earlier than
+    its raw area implies; a gentle bend (cosθ→−1) gets 1+coeff. Same
+    monotonic-threshold and linked-list structure as the unweighted
+    kernel, so ``thr >= t`` levels stay nested."""
+    n = len(xs)
+    thr = np.full(n, np.inf)
+    if n <= 2:
+        return thr
+    prev = np.arange(-1, n - 1)
+    nxt = np.arange(1, n + 1)
+    alive = np.ones(n, dtype=bool)
+    alive_area = np.full(n, np.inf)
+
+    def weighted_area(a: int, b: int, c: int) -> float:
+        area = 0.5 * abs(
+            (xs[b] - xs[a]) * (ys[c] - ys[a]) - (xs[c] - xs[a]) * (ys[b] - ys[a])
+        )
+        ux, uy = xs[a] - xs[b], ys[a] - ys[b]
+        vx, vy = xs[c] - xs[b], ys[c] - ys[b]
+        den = np.hypot(ux, uy) * np.hypot(vx, vy)
+        cos = (ux * vx + uy * vy) / den if den > 0 else 0.0
+        return area * (1.0 - coeff * cos)
+
+    for i in range(1, n - 1):
+        alive_area[i] = weighted_area(i - 1, i, i + 1)
+    max_so_far = 0.0
+    for _ in range(n - 2):
+        i = int(np.argmin(alive_area))
+        a = alive_area[i]
+        if not np.isfinite(a):
+            break
+        max_so_far = max(max_so_far, a)
+        thr[i] = max_so_far
+        alive[i] = False
+        alive_area[i] = np.inf
+        p, q = prev[i], nxt[i]
+        nxt[p], prev[q] = q, p
+        if p > 0 and alive[p]:
+            alive_area[p] = weighted_area(prev[p], p, nxt[p])
+        if q < n - 1 and alive[q]:
+            alive_area[q] = weighted_area(prev[q], q, nxt[q])
+    return thr
+
+
 def dp_thresholds(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Douglas-Peucker per-vertex max perpendicular distances.
 

@@ -56,6 +56,131 @@ def areas(polygons: DataFrame) -> DataFrame:
     )
 
 
+def _segments(rings):
+    import numpy as np
+
+    return np.concatenate(
+        [np.column_stack([r, np.roll(r, -1, axis=0)]) for r in rings]
+    )
+
+
+def _signed_dist(px, py, rings, segs):
+    """Vectorized signed distance to the feature boundary: positive
+    inside (even-odd over all rings), negative outside."""
+    import numpy as np
+
+    ax, ay = segs[:, 0], segs[:, 1]
+    bx, by = segs[:, 2], segs[:, 3]
+    dx, dy = bx - ax, by - ay
+    ln2 = dx * dx + dy * dy
+    ln2 = np.where(ln2 == 0.0, 1.0, ln2)
+    # (points, segs) projection clamp
+    t = ((px[:, None] - ax[None, :]) * dx[None, :] + (py[:, None] - ay[None, :]) * dy[None, :]) / ln2[None, :]
+    t = np.clip(t, 0.0, 1.0)
+    cx = ax[None, :] + t * dx[None, :]
+    cy = ay[None, :] + t * dy[None, :]
+    d = np.sqrt(((px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2).min(axis=1))
+    inside = geometry.pip_rings(px, py, rings)
+    return np.where(inside, d, -d)
+
+
+def pole_of_inaccessibility(rings, iters: int = 40) -> tuple[float, float, float]:
+    """-points inner: the interior point farthest from the feature
+    boundary (labels go here, never in a hole or outside a concavity)
+    [upstream -points inner / polylabel-style algorithm, SURVEY.md §2.7].
+
+    Deterministic multi-resolution descent: seed a 16x16 grid of cell
+    centers over the bbox, then halve the step around the best candidate
+    (3x3 neighborhood) until converged — pure numpy, batch-evaluated.
+    Returns (x, y, clearance)."""
+    import numpy as np
+
+    segs = _segments(rings)
+    allx = np.concatenate([r[:, 0] for r in rings])
+    ally = np.concatenate([r[:, 1] for r in rings])
+    x0, x1, y0, y1 = allx.min(), allx.max(), ally.min(), ally.max()
+    gx, gy = np.meshgrid(np.linspace(x0, x1, 33)[1::2], np.linspace(y0, y1, 33)[1::2])
+    px, py = gx.ravel(), gy.ravel()
+    d = _signed_dist(px, py, rings, segs)
+    best = int(np.argmax(d))
+    bx, by, bd = px[best], py[best], d[best]
+    step = max(x1 - x0, y1 - y0) / 16.0
+    offs = np.array([(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)], dtype=float)
+    for _ in range(iters):
+        step /= 2.0
+        cx = bx + offs[:, 0] * step
+        cy = by + offs[:, 1] * step
+        cd = _signed_dist(cx, cy, rings, segs)
+        k = int(np.argmax(cd))
+        if cd[k] > bd:
+            bx, by, bd = cx[k], cy[k], cd[k]
+    return float(bx), float(by), float(bd)
+
+
+def inner_points(features: DataFrame) -> DataFrame:
+    """-points inner over a multi-ring layer (poly_id, ring_idx, xs, ys):
+    one pole per feature, computed per group (a million-feature layer
+    parallelizes; each group is one feature's rings — dim-sized)."""
+    import numpy as np
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in pdf.iterrows()
+        ]
+        x, y, d = pole_of_inaccessibility(rings)
+        return pd.DataFrame(
+            [{"poly_id": int(pdf["poly_id"].iloc[0]), "ix": x, "iy": y, "clearance": d}]
+        )
+
+    return features.groupBy("poly_id").applyInPandas(
+        run, schema="poly_id int, ix double, iy double, clearance double"
+    )
+
+
+def dots_fill(features: DataFrame, dots_per_feature: int, seed: int = 42) -> DataFrame:
+    """-dots: deterministic dot-density fill — N points uniformly inside
+    each feature (holes excluded) via seeded rejection sampling in the
+    bbox [upstream -dots, SURVEY.md §2.7]. The stream is keyed by
+    (seed, poly_id), so output is identical across runs, partitionings,
+    and cluster sizes."""
+    import numpy as np
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["poly_id"].iloc[0])
+        rings = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in pdf.iterrows()
+        ]
+        allx = np.concatenate([r[:, 0] for r in rings])
+        ally = np.concatenate([r[:, 1] for r in rings])
+        x0, x1, y0, y1 = allx.min(), allx.max(), ally.min(), ally.max()
+        rng = np.random.Generator(np.random.PCG64([seed, pid]))
+        xs, ys = [], []
+        need = dots_per_feature
+        while need > 0:
+            n = max(64, need * 4)
+            cx = rng.uniform(x0, x1, n)
+            cy = rng.uniform(y0, y1, n)
+            keep = geometry.pip_rings(cx, cy, rings)
+            take = min(need, int(keep.sum()))
+            xs.extend(cx[keep][:take])
+            ys.extend(cy[keep][:take])
+            need -= take
+        return pd.DataFrame(
+            {
+                "poly_id": pid,
+                "dot_idx": np.arange(dots_per_feature, dtype=np.int32),
+                "x": xs,
+                "y": ys,
+            }
+        )
+
+    return features.groupBy("poly_id").applyInPandas(
+        run, schema="poly_id int, dot_idx int, x double, y double"
+    )
+
+
 def filter_islands(polygons: DataFrame, min_area: float) -> DataFrame:
     """-filter-islands min-area=: keep polygons at or above the area
     threshold (drop small detached rings)."""

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from .. import geometry
 
-METHODS = {"visvalingam": geometry.visvalingam_thresholds, "dp": geometry.dp_thresholds}
+METHODS = {
+    "visvalingam": geometry.visvalingam_thresholds,
+    "weighted": geometry.visvalingam_weighted_thresholds,
+    "dp": geometry.dp_thresholds,
+}
 
 
 def compute_thresholds(arcs: DataFrame, method: str = "visvalingam") -> DataFrame:

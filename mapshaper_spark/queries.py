@@ -432,6 +432,39 @@ def q_erase_points_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.clip_points_general(pts, idx, fixtures.multiring_rings(), invert=True)
 
 
+@query("points_inner_holed")
+def q_points_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-points inner (pole of inaccessibility) over the holed/concave
+    layer — label anchor points that never land in a hole or outside a
+    concavity. Rows-only (iterative descent isn't SQL); pytest asserts
+    interiority + clearance dominance [tests/test_points_inner.py]."""
+    feats = testdata.holed_features(spark)
+    return points_op.inner_points(feats)
+
+
+@query("dots_fill_holed")
+def q_dots_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-dots: deterministic dot-density fill (50 dots/feature) over the
+    holed layer. Rows-only; pytest asserts exact counts, interiority,
+    and cross-run determinism."""
+    feats = testdata.holed_features(spark)
+    return points_op.dots_fill(feats, dots_per_feature=50)
+
+
+@query("tile_assign_webmercator")
+def q_tile_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map WebMercator z/x/y tile assignment counts — the tile
+    scheme real map servers consume [VERDICT r1 'What's missing' #8].
+    Rows-only for the driver (tan/log aren't ULP-portable to DuckDB);
+    pytest pins hand-computed tile goldens for known cities
+    [tests/test_kernels.py]."""
+    pts = testdata.customer_points(spark, sf_dir)
+    tiled = proj_fn.webmercator_tile(pts, z=4)
+    return tiled.groupBy("wm_tile_x", "wm_tile_y").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
 # ---- raster↔vector tiles [north_rule] --------------------------------
 
 _Z = 3  # 8x8 tile grid; tile = 45 x 22.5 deg; pixel = 2.8125 x 1.40625
@@ -515,6 +548,27 @@ def q_simplify_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     arcs = topology.arcs_df(spark, fixtures.POLYLINES)
     thr = simplify_op.compute_thresholds(arcs, "visvalingam")
     return simplify_op.apply_level(thr, _T_VIS).select(
+        "arc_id", F.col("n_kept").cast("long").alias("n_kept")
+    )
+
+
+_T_W = fixtures.polyline_median_threshold("weighted")
+
+
+@query(
+    "simplify_weighted_counts",
+    f"""
+    SELECT arc_id, count(*) AS n_kept
+    FROM {fixtures.polyline_thr_values_sql('weighted')}
+    WHERE thr >= {_T_W!r} GROUP BY arc_id
+    """,
+)
+def q_simplify_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-simplify weighted (upstream's default): Visvalingam with the
+    de-spiking angle weight [geometry.visvalingam_weighted_thresholds]."""
+    arcs = topology.arcs_df(spark, fixtures.POLYLINES)
+    thr = simplify_op.compute_thresholds(arcs, "weighted")
+    return simplify_op.apply_level(thr, _T_W).select(
         "arc_id", F.col("n_kept").cast("long").alias("n_kept")
     )
 
@@ -818,6 +872,67 @@ def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_acctbal").alias("lo"),
             F.max("c_acctbal").alias("hi"),
         )
+    )
+
+
+@query(
+    "calc_mode_collect",
+    """
+    WITH cnt AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+                 FROM customer GROUP BY 1, 2),
+    r AS (SELECT c_mktsegment, c_nationkey,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY n DESC, c_nationkey) AS rn
+          FROM cnt),
+    coll AS (SELECT c_mktsegment,
+                    string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+                               ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations_csv
+             FROM customer GROUP BY c_mktsegment)
+    SELECT r.c_mktsegment, r.c_nationkey AS mode_nation, coll.nations_csv
+    FROM r JOIN coll ON r.c_mktsegment = coll.c_mktsegment
+    WHERE r.rn = 1
+    """,
+)
+def q_calc_mode_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-calc mode() / collect() [upstream calc functions, SURVEY.md
+    §2.4]: most frequent nation per segment (ties broken by smallest
+    key — portable determinism) plus the sorted distinct-value roster
+    as a csv string (array outputs don't hash portably; the csv does)."""
+    c = testdata.load(spark, sf_dir, "customer")
+    cnt = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), "c_nationkey")
+    mode = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("mode_nation"))
+    )
+    coll = c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("c_nationkey").cast("string"))), ","
+        ).alias("nations_csv")
+    )
+    return mode.join(coll, "c_mktsegment")
+
+
+@query("classify_nice_breaks")
+def q_classify_nice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-classify with 'nice' breaks [upstream classify convenience,
+    VERDICT r1 'What's missing' #5]: equal-interval over a step snapped
+    to 1/2/2.5/5 x 10^k, breaks aligned to step multiples. The data
+    min/max is a scalar aggregate (legal driver-side collect); the
+    classification itself is declarative column math. Rows-only (the
+    log10 snap isn't ULP-portable); pytest asserts the nice-ness,
+    coverage, and count-sum properties [tests/test_classify_nice.py]."""
+    from .functions import classify as classify_fn
+
+    c = testdata.load(spark, sf_dir, "customer")
+    lo, hi = c.agg(F.min("c_acctbal"), F.max("c_acctbal")).collect()[0]
+    breaks = classify_fn.nice_breaks(float(lo), float(hi), 5)
+    cls = classify_fn.classify_by_breaks(F.col("c_acctbal"), breaks)
+    return (
+        c.select(cls.alias("cls"))
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

@@ -79,6 +79,47 @@ def test_visvalingam_monotone_removal():
         prev = kept
 
 
+def test_weighted_visvalingam_despikes():
+    """A spike vertex (neighbor vectors nearly parallel, cosθ→1) must get
+    a LOWER removal threshold than a gentle-bend vertex of the same raw
+    triangle area — the de-spiking bias of upstream's default method."""
+    import numpy as np
+
+    from mapshaper_spark import geometry as G
+
+    # spike at index 1: tall thin triangle, area 8
+    spike_xs = np.array([0.0, 2.0, 4.0, 8.0, 12.0])
+    spike_ys = np.array([0.0, 4.0, 0.0, 0.0, 0.0])
+    # gentle bend at index 1 with the SAME raw area 8: wide shallow triangle
+    bend_xs = np.array([0.0, 4.0, 8.0, 12.0, 16.0])
+    bend_ys = np.array([0.0, 2.0, 0.0, 0.0, 0.0])
+    a_spike = 0.5 * abs((2 - 0) * (0 - 0) - (4 - 0) * (4 - 0))
+    a_bend = 0.5 * abs((4 - 0) * (0 - 0) - (8 - 0) * (2 - 0))
+    assert a_spike == a_bend == 8.0  # identical raw areas
+    tw_spike = G.visvalingam_weighted_thresholds(spike_xs, spike_ys)[1]
+    tw_bend = G.visvalingam_weighted_thresholds(bend_xs, bend_ys)[1]
+    assert tw_spike < tw_bend
+    # unweighted kernel sees them as equal
+    tu_spike = G.visvalingam_thresholds(spike_xs, spike_ys)[1]
+    tu_bend = G.visvalingam_thresholds(bend_xs, bend_ys)[1]
+    assert tu_spike == tu_bend
+
+
+def test_weighted_visvalingam_monotone_and_endpoints():
+    import numpy as np
+
+    from mapshaper_spark import fixtures
+    from mapshaper_spark import geometry as G
+
+    a = fixtures.POLYLINES[0]
+    thr = G.visvalingam_weighted_thresholds(np.asarray(a["xs"]), np.asarray(a["ys"]))
+    assert np.isinf(thr[0]) and np.isinf(thr[-1])
+    finite = sorted(t for t in thr if np.isfinite(t))
+    # nested levels: every threshold cut keeps a consistent vertex set
+    assert finite == sorted(finite)
+    assert len(finite) == len(thr) - 2
+
+
 def test_apply_threshold_keeps_endpoints():
     xs = np.array([0.0, 1.0, 2.0, 3.0])
     ys = np.array([0.0, 0.001, -0.001, 0.0])

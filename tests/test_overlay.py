@@ -208,3 +208,40 @@ def test_webmercator_known_point(spark):
     assert rows[0]["mx"] == pytest.approx(0.0, abs=1e-6)
     assert rows[0]["my"] == pytest.approx(0.0, abs=1e-6)
     assert rows[1]["mx"] == pytest.approx(20037508.342789244)
+
+
+def test_webmercator_tile_goldens(spark):
+    """Hand-computed slippy z/x/y tiles for known cities (the public
+    OSM tile formula): NYC (-73.98, 40.75) z4 → (4, 6); Paris
+    (2.35, 48.86) z4 → (8, 5); Tokyo (139.69, 35.68) z4 → (14, 6);
+    Sydney (151.21, -33.87) z4 → (14, 9); null island → (8, 8)."""
+    df = spark.createDataFrame(
+        [
+            ("nyc", -73.98, 40.75),
+            ("paris", 2.35, 48.86),
+            ("tokyo", 139.69, 35.68),
+            ("sydney", 151.21, -33.87),
+            ("null", 0.0, 0.0),
+        ],
+        "name string, lon double, lat double",
+    )
+    got = {
+        r["name"]: (r["wm_tile_x"], r["wm_tile_y"])
+        for r in proj_fn.webmercator_tile(df, z=4).collect()
+    }
+    assert got == {
+        "nyc": (4, 6),
+        "paris": (8, 5),
+        "tokyo": (14, 6),
+        "sydney": (14, 9),
+        "null": (8, 8),
+    }
+
+
+def test_webmercator_tile_poles_clamped(spark):
+    df = spark.createDataFrame(
+        [(0.0, 89.9), (0.0, -89.9)], "lon double, lat double"
+    )
+    rows = proj_fn.webmercator_tile(df, z=4).collect()
+    ys = sorted(r["wm_tile_y"] for r in rows)
+    assert ys == [0, 15]  # clamped to the MAX_LAT band, never out of range
