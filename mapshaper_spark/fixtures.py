@@ -381,6 +381,53 @@ def multiring_pdf(feats: list[dict] | None = None):
     return pd.DataFrame(rows, columns=["poly_id", "ring_idx", "xs", "ys"])
 
 
+# Exact rectangle decomposition of HOLED_FEATURES (holes sign=-1) — the
+# oracle's independent area model: every feature is a signed union of
+# axis-aligned rects, so any clip-by-box area is pure interval algebra.
+HOLED_RECT_DECOMP = [
+    # donut
+    (0, -170.0, -80.0, -130.0, -40.0, 1),
+    (0, -160.0, -70.0, -140.0, -50.0, -1),
+    # ell_holed: bottom bar + upper column − hole
+    (1, 60.0, -70.0, 110.0, -50.0, 1),
+    (1, 60.0, -50.0, 80.0, -20.0, 1),
+    (1, 66.0, -66.0, 76.0, -56.0, -1),
+    # islands: two squares − hole in the second
+    (2, 130.0, 55.0, 150.0, 80.0, 1),
+    (2, 155.0, 55.0, 175.0, 80.0, 1),
+    (2, 160.0, 62.5, 170.0, 72.5, -1),
+    # comb: bottom band + three teeth
+    (3, -60.0, 60.0, 0.0, 67.5, 1),
+    (3, -10.0, 67.5, 0.0, 85.0, 1),
+    (3, -30.0, 67.5, -20.0, 85.0, 1),
+    (3, -50.0, 67.5, -40.0, 85.0, 1),
+]
+
+# convex clip windows that straddle feature bodies AND hole boundaries
+CLIP_WINDOWS = [
+    {"poly_id": 0, "x0": -175.5, "y0": -75.5, "x1": -145.5, "y1": -45.5},
+    {"poly_id": 1, "x0": 70.5, "y0": -60.5, "x1": 90.5, "y1": -30.5},
+    {"poly_id": 2, "x0": 140.5, "y0": 58.5, "x1": 172.5, "y1": 70.5},
+    {"poly_id": 3, "x0": -45.5, "y0": 62.5, "x1": -15.5, "y1": 80.5},
+]
+
+
+def holed_rect_decomp_values_sql(name: str = "d") -> str:
+    rows = ",".join(
+        f"({p},{x0!r},{y0!r},{x1!r},{y1!r},{s})"
+        for p, x0, y0, x1, y1, s in HOLED_RECT_DECOMP
+    )
+    return f"(VALUES {rows}) AS {name}(pid, x0, y0, x1, y1, sgn)"
+
+
+def clip_windows_values_sql(name: str = "w") -> str:
+    rows = ",".join(
+        f"({b['poly_id']},{b['x0']!r},{b['y0']!r},{b['x1']!r},{b['y1']!r})"
+        for b in CLIP_WINDOWS
+    )
+    return f"(VALUES {rows}) AS {name}(wid, wx0, wy0, wx1, wy1)"
+
+
 def multiring_rings(feats: list[dict] | None = None) -> dict[int, list[np.ndarray]]:
     """poly_id → list of ring arrays, for the kernel closure path."""
     feats = feats if feats is not None else HOLED_FEATURES

@@ -219,6 +219,110 @@ def join_interpolate(
     )
 
 
+def clip_general_area(features: DataFrame, windows: DataFrame) -> DataFrame:
+    """-clip area accounting for GENERAL subjects (concave, multi-ring,
+    holed) against convex windows [SURVEY.md §2.6; VERDICT r1 'What's
+    missing' #1 overlay leg].
+
+    Sutherland–Hodgman clips each ring independently — valid for concave
+    subjects because the output's zero-area bridge edges cancel in the
+    shoelace — and SIGNED ring areas sum per feature, so hole rings
+    (opposite orientation) subtract naturally. One map-side kernel pass
+    over (ring × window) bbox candidates, broadcast windows.
+
+    features: (poly_id, ring_idx, xs, ys); windows: (poly_id, xs, ys)
+    convex. Output: (poly_id, window_id, clip_area) for area > 0."""
+    s = _bbox_cols(features, "s").select(
+        "poly_id",
+        F.col("xs").alias("sxs"),
+        F.col("ys").alias("sys"),
+        "s_xmin",
+        "s_xmax",
+        "s_ymin",
+        "s_ymax",
+    )
+    c = _bbox_cols(windows, "c").select(
+        F.col("poly_id").alias("window_id"),
+        F.col("xs").alias("cxs"),
+        F.col("ys").alias("cys"),
+        "c_xmin",
+        "c_xmax",
+        "c_ymin",
+        "c_ymax",
+    )
+    cond = (
+        (F.col("s_xmin") <= F.col("c_xmax"))
+        & (F.col("s_xmax") >= F.col("c_xmin"))
+        & (F.col("s_ymin") <= F.col("c_ymax"))
+        & (F.col("s_ymax") >= F.col("c_ymin"))
+    )
+    pairs = s.join(F.broadcast(c), cond).select(
+        "poly_id", "sxs", "sys", "window_id", "cxs", "cys"
+    )
+
+    def run(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                cx, cy = geometry.clip_ring_convex(
+                    np.asarray(r["sxs"]),
+                    np.asarray(r["sys"]),
+                    np.column_stack([r["cxs"], r["cys"]]),
+                )
+                if len(cx) >= 3:
+                    a2, _, _ = geometry.shoelace_seq(cx, cy)
+                    out.append(
+                        {
+                            "poly_id": r["poly_id"],
+                            "window_id": r["window_id"],
+                            "signed_area": a2 / 2.0,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["poly_id", "window_id", "signed_area"])
+
+    pieces = pairs.mapInPandas(
+        run, schema="poly_id int, window_id int, signed_area double"
+    )
+    return (
+        pieces.groupBy("poly_id", "window_id")
+        .agg(F.sum("signed_area").alias("clip_area"))
+        .filter(F.col("clip_area") > 0.0)
+    )
+
+
+def union_pair_areas(a_layer: DataFrame, b_layer: DataFrame) -> DataFrame:
+    """-union slice for convex×convex pairs [NEXT.md #4, SURVEY.md §2.6]:
+    per overlapping (a, b) pair, the union area by inclusion-exclusion
+    area(a) + area(b) − area(a∩b), with the intersection from the real
+    Sutherland–Hodgman kernel. (The full planar -union mosaic needs a
+    general polygon clipper and stays out of MVS.)
+
+    Output: (a_id, b_id, area_a, area_b, inter_area, union_area)."""
+    from . import points as points_op
+
+    inter = clip_polygons(a_layer, b_layer).filter(F.col("area") > 0.0)
+    aa = points_op.areas(a_layer.select("poly_id", "xs", "ys")).select(
+        F.col("poly_id").alias("subject_id"), F.col("area").alias("area_a")
+    )
+    ab = points_op.areas(b_layer.select("poly_id", "xs", "ys")).select(
+        F.col("poly_id").alias("clip_id"), F.col("area").alias("area_b")
+    )
+    return (
+        inter.groupBy("subject_id", "clip_id")
+        .agg(F.sum("area").alias("inter_area"))
+        .join(F.broadcast(aa), "subject_id")
+        .join(F.broadcast(ab), "clip_id")
+        .select(
+            F.col("subject_id").alias("a_id"),
+            F.col("clip_id").alias("b_id"),
+            "area_a",
+            "area_b",
+            "inter_area",
+            (F.col("area_a") + F.col("area_b") - F.col("inter_area")).alias("union_area"),
+        )
+    )
+
+
 def largest_overlap_join(target: DataFrame, source: DataFrame) -> DataFrame:
     """polygon↔polygon attribute join, largest-overlap winner:
     (target poly_id, src_id of the source polygon with max intersection

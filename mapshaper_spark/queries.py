@@ -1997,6 +1997,54 @@ def q_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "clip_general_area_windows",
+    f"""
+    SELECT pid AS poly_id, wid AS window_id,
+           CAST(sum(sgn * GREATEST(0.0, LEAST(x1, wx1) - GREATEST(x0, wx0))
+                        * GREATEST(0.0, LEAST(y1, wy1) - GREATEST(y0, wy0)))
+                AS DOUBLE) AS clip_area
+    FROM {fixtures.holed_rect_decomp_values_sql()}, {fixtures.clip_windows_values_sql()}
+    GROUP BY 1, 2 HAVING clip_area > 0.0
+    """,
+)
+def q_clip_general_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-clip of GENERAL subjects (concave + holes) by convex windows,
+    area-accounted: the engine clips every ring with Sutherland-Hodgman
+    and sums SIGNED areas (holes subtract); the oracle recomputes from
+    the features' signed rectangle decomposition with interval algebra.
+    All coordinates half-unit-aligned → both sides exact."""
+    feats = testdata.holed_features(spark)
+    wins = testdata.clip_windows(spark)
+    return overlay_op.clip_general_area(feats, wins)
+
+
+@query(
+    "union_pair_areas_boxes",
+    f"""
+    WITH inter AS (
+        SELECT s.poly_id AS a_id, t.poly_id AS b_id,
+               (s.x1 - s.x0) * (s.y1 - s.y0) AS area_a,
+               (t.x1 - t.x0) * (t.y1 - t.y0) AS area_b,
+               GREATEST(0.0, LEAST(s.x1, t.x1) - GREATEST(s.x0, t.x0))
+             * GREATEST(0.0, LEAST(s.y1, t.y1) - GREATEST(s.y0, t.y0)) AS inter_area
+        FROM {_INTERP_SRC}, {_INTERP_TGT}
+    )
+    SELECT a_id, b_id, area_a, area_b, inter_area,
+           area_a + area_b - inter_area AS union_area
+    FROM inter WHERE inter_area > 0.0
+    """,
+)
+def q_union_pair_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-union (convex×convex pair slice): inclusion-exclusion union area
+    with the S-H kernel intersection; oracle recomputes via interval
+    algebra on the exact box fixture [NEXT.md #4]."""
+    out = overlay_op.union_pair_areas(
+        testdata.interp_source_boxes(spark), testdata.interp_target_boxes(spark)
+    )
+    return out
+
+
+@query(
     "dissolve_sum_fields",
     f"""
     WITH m AS (SELECT key, arc_id, count(*) AS mult, min(arc_len) AS arc_len

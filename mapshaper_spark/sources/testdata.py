@@ -91,6 +91,26 @@ def clip_polygons(spark: SparkSession) -> DataFrame:
     )
 
 
+def clip_windows(spark: SparkSession) -> DataFrame:
+    """Convex window layer straddling the holed features (rings as
+    coordinate arrays, CCW)."""
+    import pandas as pd
+
+    rows = []
+    for b in fixtures.CLIP_WINDOWS:
+        ring = fixtures._box_ring(b)
+        rows.append(
+            {
+                "poly_id": b["poly_id"],
+                "xs": [p[0] for p in ring],
+                "ys": [p[1] for p in ring],
+            }
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(rows), schema="poly_id int, xs array<double>, ys array<double>"
+    )
+
+
 def interp_source_boxes(spark: SparkSession) -> DataFrame:
     """Source layer for -join interpolate (boxes + value column)."""
     return spark.createDataFrame(

@@ -75,6 +75,26 @@ def test_hier_general_matches_flat_general(spark):
     assert hidx.count() < flat.count()
 
 
+def test_rect_decomposition_matches_signed_shoelace():
+    """The oracle's signed rect decomposition of every holed feature must
+    reproduce the rings' signed shoelace areas exactly — pins both the
+    fixture and the ring orientations (holes CW, outers CCW)."""
+    from mapshaper_spark import geometry
+
+    decomp = {}
+    for pid, x0, y0, x1, y1, s in fixtures.HOLED_RECT_DECOMP:
+        decomp[pid] = decomp.get(pid, 0.0) + s * (x1 - x0) * (y1 - y0)
+    for f in fixtures.HOLED_FEATURES:
+        total = 0.0
+        for ring in f["rings"]:
+            xs = [p[0] for p in ring]
+            ys = [p[1] for p in ring]
+            a2, _, _ = geometry.shoelace_seq(xs, ys)
+            total += a2 / 2.0
+        assert total == decomp[f["poly_id"]], f["name"]
+        assert total > 0.0
+
+
 def test_grouped_kernel_scales_past_closure_size(spark):
     """10,000 axis-aligned boxes flow entirely through the plan (cell
     index + cogrouped ring join) — no Python dict of 10k rings anywhere.
