@@ -140,7 +140,18 @@ def knn_join(
     out_cols = [c for c in points.columns] + ["target_id", "dist2", "knn_rank"]
 
     def resolve(cand: DataFrame, guarantee2: float):
-        ranked = _rank_topk(cand, k)
+        # materialize the ranked stage output once: it feeds THREE
+        # consumers (the resolved piece, the guarantee check, and — via
+        # the anti-join — the next ring's probe set); without this Spark
+        # recomputes the candidate join + window per consumer (measured
+        # 3x the query wall time at sf0.1). localCheckpoint (not
+        # persist): CacheManager entries from persist() accumulate across
+        # repeated operator invocations and degrade the session, while
+        # checkpoint RDDs are dropped by the ContextCleaner on GC. On a
+        # real cluster localCheckpoint trades executor-loss resilience
+        # for speed — acceptable for a per-stage intermediate that a
+        # retry of the whole query rebuilds.
+        ranked = _rank_topk(cand, k).localCheckpoint()
         kth = ranked.groupBy("point_id").agg(
             F.max("dist2").alias("_kd"), F.count(F.lit(1)).alias("_kn")
         )

@@ -290,6 +290,37 @@ def clip_general_area(features: DataFrame, windows: DataFrame) -> DataFrame:
     )
 
 
+def erase_general_area(features: DataFrame, windows: DataFrame) -> DataFrame:
+    """-erase area accounting for general subjects: remaining feature
+    area after subtracting the clipped-away windows (valid while windows
+    don't overlap each other within a feature — same caveat as
+    erase_polygons_area). Feature areas are signed ring sums (holes
+    subtract)."""
+    # signed ring area via a JVM fold over the closed ring (0-based
+    # bracket indexing in the lambda; element_at is 1-based / -1 = last)
+    closed = (
+        "(aggregate(sequence(0, size(xs) - 2), cast(0.0 as double),"
+        " (acc, i) -> acc + xs[i] * ys[i + 1] - xs[i + 1] * ys[i])"
+        " + element_at(xs, -1) * element_at(ys, 1)"
+        " - element_at(xs, 1) * element_at(ys, -1)) / 2.0"
+    )
+    own = (
+        features.select("poly_id", F.expr(closed).alias("ring_area"))
+        .groupBy("poly_id")
+        .agg(F.sum("ring_area").alias("own_area"))
+    )
+    cut = clip_general_area(features, windows).groupBy("poly_id").agg(
+        F.sum("clip_area").alias("cut_area")
+    )
+    return own.join(cut, "poly_id", "left").select(
+        "poly_id",
+        "own_area",
+        (F.col("own_area") - F.coalesce(F.col("cut_area"), F.lit(0.0))).alias(
+            "remaining_area"
+        ),
+    )
+
+
 def union_pair_areas(a_layer: DataFrame, b_layer: DataFrame) -> DataFrame:
     """-union slice for convex×convex pairs [NEXT.md #4, SURVEY.md §2.6]:
     per overlapping (a, b) pair, the union area by inclusion-exclusion

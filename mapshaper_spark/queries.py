@@ -2019,6 +2019,30 @@ def q_clip_general_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "erase_general_area_windows",
+    f"""
+    WITH own AS (SELECT pid, CAST(sum(sgn * (x1 - x0) * (y1 - y0)) AS DOUBLE) AS own_area
+                 FROM {fixtures.holed_rect_decomp_values_sql()} GROUP BY pid),
+    cut AS (SELECT pid, CAST(sum(sgn * GREATEST(0.0, LEAST(x1, wx1) - GREATEST(x0, wx0))
+                                   * GREATEST(0.0, LEAST(y1, wy1) - GREATEST(y0, wy0)))
+                        AS DOUBLE) AS cut_area
+            FROM {fixtures.holed_rect_decomp_values_sql()}, {fixtures.clip_windows_values_sql()}
+            GROUP BY pid)
+    SELECT own.pid AS poly_id, own.own_area,
+           own.own_area - COALESCE(cut.cut_area, 0.0) AS remaining_area
+    FROM own LEFT JOIN cut ON own.pid = cut.pid
+    """,
+)
+def q_erase_general_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-erase of general subjects by the window layer: remaining area
+    per feature. Own areas fold JVM-side over the ring arrays (no UDF);
+    the cut comes from the signed S-H accounting."""
+    feats = testdata.holed_features(spark)
+    wins = testdata.clip_windows(spark)
+    return overlay_op.erase_general_area(feats, wins)
+
+
+@query(
     "union_pair_areas_boxes",
     f"""
     WITH inter AS (
