@@ -69,6 +69,13 @@ BENCH_QUERIES = [
     "window_rolling_sum",
     "embedding_near_dup_pairs",
     "overlay_pairs_nonempty",
+    # round-2 additions
+    "pip_holes_rows",
+    "join_interpolate_area_weighted",
+    "dissolve_sum_fields",
+    "clip_general_area_windows",
+    "calc_mode_collect",
+    "tile_assign_webmercator",
 ]
 
 

@@ -1631,6 +1631,39 @@ def q_export_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("point_id", feature.alias("geojson"))
 
 
+@query("export_geojson_polygons")
+def q_export_geojson_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-o format=geojson for the multi-ring polygon layer: one Feature
+    string per feature via to_json over structured columns (JVM-side,
+    full double precision). Rows-only; pytest proves a lossless
+    export→import roundtrip [tests/test_codecs.py]."""
+    from .sources import geojson as gj
+
+    return gj.export_polygons_geojson(testdata.holed_features(spark))
+
+
+@query(
+    "geojson_roundtrip_stats",
+    """
+    SELECT * FROM (VALUES
+        (0, 2, 8), (1, 2, 10), (2, 3, 12), (3, 1, 14)
+    ) AS g(poly_id, n_rings, n_vertices)
+    """,
+)
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON codec exercised inside an oracle-checked query: export the
+    holed layer, parse it back, count rings/vertices per feature against
+    hand-computed fixture literals — the -i leg of §2.1."""
+    from .sources import geojson as gj
+
+    feats = testdata.holed_features(spark)
+    back = gj.import_geojson_features(gj.export_polygons_geojson(feats))
+    return back.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rings"),
+        F.sum(F.size("xs")).cast("int").alias("n_vertices"),
+    )
+
+
 @query("filter_slivers_overlay")
 def q_filter_slivers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-filter-slivers min-area= on overlay output: drop sub-pixel

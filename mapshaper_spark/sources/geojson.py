@@ -1,0 +1,120 @@
+"""GeoJSON / TopoJSON codecs [SURVEY.md §2.1 -i/-o formats].
+
+Spark-idiomatic: export builds Feature JSON with ``to_json`` over
+structured columns (JVM-side, exact double rendering → lossless
+roundtrip); import parses with ``from_json`` against the GeoJSON
+geometry schema — both are plain column expressions, so codec work
+rides the scan/projection stages with no UDFs.
+
+TopoJSON export serializes the engine's native model (arc dictionary +
+signed arc refs [SURVEY.md §1.1]) — a direct dump, since the data model
+IS TopoJSON's. Document assembly collects the (dim-sized) arc pool; at
+scale the export shards per tile instead of one document.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# GeoJSON Polygon coordinates: rings -> positions -> [x, y]
+_GEOM_SCHEMA = (
+    "type string, coordinates array<array<array<double>>>"
+)
+_FEATURE_SCHEMA = (
+    f"type string, id long, geometry struct<{_GEOM_SCHEMA}>, "
+    "properties map<string,string>"
+)
+
+
+def export_polygons_geojson(features: DataFrame) -> DataFrame:
+    """Multi-ring layer (poly_id, ring_idx, xs, ys) → one GeoJSON
+    Feature string per feature (Polygon with all rings, closed)."""
+    closed = F.expr(
+        "concat(transform(arrays_zip(xs, ys), p -> array(p.xs, p.ys)),"
+        " array(array(xs[0], ys[0])))"
+    )
+    rings = (
+        features.select("poly_id", "ring_idx", closed.alias("coords"))
+        .groupBy("poly_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ring_idx", "coords"))),
+                lambda s: s["coords"],
+            ).alias("rings")
+        )
+    )
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.col("poly_id").cast("long").alias("id"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.col("rings").alias("coordinates"),
+            ).alias("geometry"),
+        )
+    )
+    return rings.select("poly_id", feature.alias("geojson"))
+
+
+def import_geojson_features(df: DataFrame, col: str = "geojson") -> DataFrame:
+    """Feature JSON strings → (poly_id, ring_idx, xs, ys) ring rows —
+    the engine's multi-ring model. Pure from_json + explode."""
+    parsed = df.select(
+        F.from_json(F.col(col), _FEATURE_SCHEMA).alias("f")
+    ).select(
+        F.col("f.id").cast("int").alias("poly_id"),
+        F.posexplode("f.geometry.coordinates").alias("ring_idx", "ring"),
+    )
+    return parsed.select(
+        "poly_id",
+        "ring_idx",
+        # drop the closing duplicate the exporter added
+        F.expr("transform(slice(ring, 1, size(ring) - 1), p -> p[0])").alias("xs"),
+        F.expr("transform(slice(ring, 1, size(ring) - 1), p -> p[1])").alias("ys"),
+    )
+
+
+def export_points_csv(points: DataFrame, path: str) -> None:
+    """-o format=csv for a point layer (Spark's native csv sink)."""
+    points.write.mode("overwrite").option("header", True).csv(path)
+
+
+def import_points_csv(spark: SparkSession, path: str) -> DataFrame:
+    """-i points.csv with an explicit schema (no inference pass)."""
+    return spark.read.option("header", True).schema(
+        "point_id long, lon double, lat double"
+    ).csv(path)
+
+
+def topojson_doc(features_pdf, arcs_pdf, layer: str = "layer") -> dict:
+    """Assemble a TopoJSON Topology document from the engine's native
+    feature/arc tables (pandas frames of a dim-sized layer). Signed arc
+    refs already follow the TopoJSON convention (ref = -(arc_id+1) for
+    reversed traversal), so this is serialization, not conversion."""
+    arc_rows = sorted(
+        (int(r["arc_id"]), list(zip(r["xs"], r["ys"])))
+        for _, r in arcs_pdf.iterrows()
+    )
+    arcs = [[[float(x), float(y)] for x, y in pts] for _, pts in arc_rows]
+    geometries = []
+    for _, f in features_pdf.iterrows():
+        geometries.append(
+            {
+                "type": "Polygon",
+                "id": int(f["feature_id"]),
+                "properties": {"key": f["key"]},
+                "arcs": [[int(ref) for ref in part] for part in f["parts"]],
+            }
+        )
+    return {
+        "type": "Topology",
+        "arcs": arcs,
+        "objects": {layer: {"type": "GeometryCollection", "geometries": geometries}},
+    }
+
+
+def topojson_json(features_pdf, arcs_pdf, layer: str = "layer") -> str:
+    return json.dumps(topojson_doc(features_pdf, arcs_pdf, layer), sort_keys=True)

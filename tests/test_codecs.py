@@ -1,0 +1,71 @@
+"""GeoJSON / TopoJSON / CSV codec roundtrips [SURVEY.md §2.1 -i/-o]."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from mapshaper_spark import fixtures
+from mapshaper_spark.sources import geojson as gj
+from mapshaper_spark.sources import testdata
+
+from .conftest import SF_SMOKE
+
+
+def test_geojson_polygon_roundtrip_lossless(spark):
+    """Export the holed multi-ring layer to GeoJSON Features and parse
+    back: every ring's coordinates must roundtrip bit-exactly (to_json
+    renders full double precision)."""
+    feats = testdata.holed_features(spark)
+    exported = gj.export_polygons_geojson(feats)
+    back = gj.import_geojson_features(exported)
+    want = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in feats.collect()
+    }
+    got = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in back.collect()
+    }
+    assert got == want
+
+
+def test_geojson_features_are_valid_json_with_closed_rings(spark):
+    rows = gj.export_polygons_geojson(testdata.holed_features(spark)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        f = json.loads(r["geojson"])
+        assert f["type"] == "Feature"
+        assert f["geometry"]["type"] == "Polygon"
+        for ring in f["geometry"]["coordinates"]:
+            assert ring[0] == ring[-1]  # GeoJSON rings are closed
+            assert len(ring) >= 4
+
+
+def test_csv_points_roundtrip(spark, tmp_path):
+    pts = testdata.customer_points(spark, SF_SMOKE)
+    path = str(tmp_path / "pts_csv")
+    gj.export_points_csv(pts, path)
+    back = gj.import_points_csv(spark, path)
+    a = {tuple(r) for r in pts.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_topojson_document_structure_and_refs():
+    fpdf = pd.DataFrame(fixtures.GRID_FEATURES)
+    apdf = pd.DataFrame(fixtures.GRID_ARCS)
+    doc = gj.topojson_doc(fpdf, apdf, layer="grid")
+    assert doc["type"] == "Topology"
+    assert len(doc["arcs"]) == len(fixtures.GRID_ARCS)
+    geoms = doc["objects"]["grid"]["geometries"]
+    assert len(geoms) == len(fixtures.GRID_FEATURES)
+    # every signed ref resolves to a real arc (TopoJSON convention)
+    for g in geoms:
+        for part in g["arcs"]:
+            for ref in part:
+                aid = ref if ref >= 0 else -ref - 1
+                assert 0 <= aid < len(doc["arcs"])
+    # deterministic serialization
+    assert gj.topojson_json(fpdf, apdf) == gj.topojson_json(fpdf, apdf)
