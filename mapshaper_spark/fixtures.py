@@ -403,6 +403,61 @@ HOLED_RECT_DECOMP = [
     (3, -50.0, 67.5, -40.0, 85.0, 1),
 ]
 
+# concave×concave pair fixture for the Greiner–Hormann clip: rectilinear
+# L / U subjects against a reversed-L and a bar, all on .5-grain coords
+# (exact areas), in general position (no collinear overlaps / touches).
+# Each polygon's signed rect decomposition feeds the oracle:
+# area(A∩B) = Σ_ra Σ_rb sgn_a·sgn_b·overlap(ra, rb).
+GH_SUBJECTS = [
+    {  # L: bottom bar + left column
+        "poly_id": 0,
+        "ring": [(0.0, 0.0), (4.0, 0.0), (4.0, 1.5), (1.5, 1.5), (1.5, 4.0), (0.0, 4.0)],
+        "rects": [(0.0, 0.0, 4.0, 1.5), (0.0, 1.5, 1.5, 4.0)],
+    },
+    {  # U: base + two arms
+        "poly_id": 1,
+        "ring": [
+            (0.0, 0.0), (5.0, 0.0), (5.0, 4.0), (3.5, 4.0), (3.5, 1.5),
+            (1.5, 1.5), (1.5, 4.0), (0.0, 4.0),
+        ],
+        "rects": [(0.0, 0.0, 5.0, 1.5), (0.0, 1.5, 1.5, 4.0), (3.5, 1.5, 5.0, 4.0)],
+    },
+]
+
+GH_CLIPS = [
+    {  # reversed L
+        "poly_id": 0,
+        "ring": [(0.5, 0.5), (3.0, 0.5), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (0.5, 1.0)],
+        "rects": [(0.5, 0.5, 3.0, 1.0), (2.0, 1.0, 3.0, 3.0)],
+    },
+    {  # horizontal bar across both U arms
+        "poly_id": 1,
+        "ring": [(-1.0, 2.0), (6.0, 2.0), (6.0, 3.0), (-1.0, 3.0)],
+        "rects": [(-1.0, 2.0, 6.0, 3.0)],
+    },
+]
+
+
+def gh_layer_pdf(layer: list[dict]):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "poly_id": [p["poly_id"] for p in layer],
+            "xs": [[v[0] for v in p["ring"]] for p in layer],
+            "ys": [[v[1] for v in p["ring"]] for p in layer],
+        }
+    )
+
+
+def gh_rects_values_sql(layer: list[dict], name: str) -> str:
+    rows = []
+    for p in layer:
+        for x0, y0, x1, y1 in p["rects"]:
+            rows.append(f"({p['poly_id']},{x0!r},{y0!r},{x1!r},{y1!r})")
+    return f"(VALUES {','.join(rows)}) AS {name}(pid, x0, y0, x1, y1)"
+
+
 # convex clip windows that straddle feature bodies AND hole boundaries
 CLIP_WINDOWS = [
     {"poly_id": 0, "x0": -175.5, "y0": -75.5, "x1": -145.5, "y1": -45.5},

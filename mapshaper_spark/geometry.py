@@ -108,7 +108,144 @@ def edges_intersect_rects(
     return (ok & (t0 <= t1)).any(axis=0)
 
 
-# -------------------------------------------------------- area / centroid ---
+def _seg_intersect(p1, p2, q1, q2):
+    """Proper intersection of open segments (p1,p2) x (q1,q2): returns
+    (t, u, point) with t,u in (0,1), or None. General position only —
+    collinear overlaps and endpoint touches return None."""
+    rx, ry = p2[0] - p1[0], p2[1] - p1[1]
+    sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+    den = rx * sy - ry * sx
+    if den == 0.0:
+        return None
+    qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
+    t = (qpx * sy - qpy * sx) / den
+    u = (qpx * ry - qpy * rx) / den
+    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+        return t, u, (p1[0] + t * rx, p1[1] + t * ry)
+    return None
+
+
+class _GHNode:
+    __slots__ = ("xy", "inter", "entry", "nbr", "nxt", "prv", "visited", "t")
+
+    def __init__(self, xy, inter=False, t=0.0):
+        self.xy = xy
+        self.inter = inter
+        self.entry = False
+        self.nbr = None
+        self.nxt = None
+        self.prv = None
+        self.visited = False
+        self.t = t
+
+
+def _gh_build(ring: np.ndarray, inters_per_edge: dict[int, list]):
+    """Doubly-linked circular list of ring vertices with intersection
+    nodes spliced into each edge in parameter order."""
+    nodes = []
+    k = len(ring)
+    for i in range(k):
+        nodes.append(_GHNode((float(ring[i][0]), float(ring[i][1]))))
+        for t, node in sorted(inters_per_edge.get(i, []), key=lambda x: x[0]):
+            nodes.append(node)
+    for i, n in enumerate(nodes):
+        n.nxt = nodes[(i + 1) % len(nodes)]
+        n.prv = nodes[i - 1]
+    return nodes
+
+
+def gh_intersection(subj: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """Greiner–Hormann intersection of two SIMPLE polygons (concave ok;
+    holes and degenerate touches out of scope — general-position inputs;
+    the engine's exact-area paths cross-validate it in pytest).
+
+    Returns a list of (m, 2) rings (possibly several disjoint pieces).
+    Classic three phases: (1) pairwise proper edge intersections spliced
+    into both rings, (2) entry/exit flags by alternation from the
+    initial inside/outside status, (3) piece tracing — forward from
+    entries, backward from exits, switching rings at every intersection.
+    """
+    subj = np.asarray(subj, dtype=float)
+    clip = np.asarray(clip, dtype=float)
+    ks, kc = len(subj), len(clip)
+    subj_edges: dict[int, list] = {}
+    clip_edges: dict[int, list] = {}
+    found = False
+    for i in range(ks):
+        p1, p2 = subj[i], subj[(i + 1) % ks]
+        for j in range(kc):
+            q1, q2 = clip[j], clip[(j + 1) % kc]
+            hit = _seg_intersect(p1, p2, q1, q2)
+            if hit is None:
+                continue
+            t, u, pt = hit
+            a = _GHNode(pt, inter=True, t=t)
+            b = _GHNode(pt, inter=True, t=u)
+            a.nbr, b.nbr = b, a
+            subj_edges.setdefault(i, []).append((t, a))
+            clip_edges.setdefault(j, []).append((u, b))
+            found = True
+
+    if not found:
+        # containment / disjoint
+        if pip_ray(subj[:1, 0], subj[:1, 1], clip)[0]:
+            return [subj.copy()]
+        if pip_ray(clip[:1, 0], clip[:1, 1], subj)[0]:
+            return [clip.copy()]
+        return []
+
+    snodes = _gh_build(subj, subj_edges)
+    cnodes = _gh_build(clip, clip_edges)
+
+    # phase 2: alternate entry/exit from the start vertex's status
+    for nodes, other in ((snodes, clip), (cnodes, subj)):
+        inside = bool(
+            pip_ray(
+                np.array([nodes[0].xy[0]]), np.array([nodes[0].xy[1]]), other
+            )[0]
+        )
+        status = not inside  # first intersection is an entry iff we start outside
+        for n in nodes:
+            if n.inter:
+                n.entry = status
+                status = not status
+
+    # phase 3: trace — forward from entries, backward from exits,
+    # switch rings at every intersection, stop on return to the start
+    pieces = []
+    inters = [n for n in snodes if n.inter]
+    max_steps = 4 * (len(snodes) + len(cnodes))
+    for start in inters:
+        if start.visited:
+            continue
+        ring = [start.xy]
+        start.visited = True
+        start.nbr.visited = True
+        start_pair = (start, start.nbr)
+        cur = start
+        steps = 0
+        while True:
+            steps += 1
+            if steps > max_steps:
+                raise ValueError(
+                    "gh_intersection: non-terminating trace (degenerate "
+                    "input outside general position?)"
+                )
+            forward = cur.entry
+            while True:
+                cur = cur.nxt if forward else cur.prv
+                if cur.inter:
+                    break
+                ring.append(cur.xy)
+            cur.visited = True
+            cur.nbr.visited = True
+            cur = cur.nbr
+            if cur is start_pair[0] or cur is start_pair[1]:
+                break
+            ring.append(cur.xy)
+        if len(ring) >= 3:
+            pieces.append(np.array(ring))
+    return pieces
 
 
 def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:

@@ -2076,6 +2076,42 @@ def q_erase_general_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "clip_concave_pairs_area",
+    f"""
+    SELECT a.pid AS subject_id, b.pid AS clip_id,
+           CAST(sum(GREATEST(0.0, LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+                  * GREATEST(0.0, LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)))
+                AS DOUBLE) AS inter_area
+    FROM {fixtures.gh_rects_values_sql(fixtures.GH_SUBJECTS, 'a')},
+         {fixtures.gh_rects_values_sql(fixtures.GH_CLIPS, 'b')}
+    GROUP BY 1, 2 HAVING inter_area > 0.0
+    """,
+)
+def q_clip_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAVE×CONCAVE -clip via the Greiner-Hormann kernel (true piece
+    geometry incl. multi-piece pairs); the oracle recomputes every pair
+    area from the polygons' rect decompositions with interval algebra —
+    exact on the .5-grain fixture, so the kernel's piece areas hash-match
+    [NEXT.md r3 #1 realized]."""
+    import pandas as pd  # noqa: F401
+
+    subj = spark.createDataFrame(
+        fixtures.gh_layer_pdf(fixtures.GH_SUBJECTS),
+        schema="poly_id int, xs array<double>, ys array<double>",
+    )
+    clip = spark.createDataFrame(
+        fixtures.gh_layer_pdf(fixtures.GH_CLIPS),
+        schema="poly_id int, xs array<double>, ys array<double>",
+    )
+    pieces = overlay_op.clip_polygons_general(subj, clip)
+    return (
+        pieces.groupBy("subject_id", "clip_id")
+        .agg(F.sum("area").alias("inter_area"))
+        .filter(F.col("inter_area") > 0.0)
+    )
+
+
+@query(
     "union_pair_areas_boxes",
     f"""
     WITH inter AS (
@@ -2461,7 +2497,9 @@ _DRIVER_WINDOW = [
     "anti_join_unmatched",
     "uniq_first_order",
     "topk_orders_per_customer",
-    "classify_quantile",
+    # r2 overlay capabilities (classify_quantile / lsh_dup_candidates
+    # yield their slots: both have green r1 driver rows + pytest parity)
+    "clip_general_area_windows",
     # streaming (sessionize = the fixed r1 red row)
     "events_sessionize",
     # never driver-checked in r1: LLM-data + images
@@ -2474,8 +2512,7 @@ _DRIVER_WINDOW = [
     "images_meta_cells",
     "images_tile_stats",
     "images_phash_near_dup",
-    # LLM-data exemplar (r1-green)
-    "lsh_dup_candidates",
+    "clip_concave_pairs_area",
 ]
 
 

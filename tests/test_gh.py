@@ -1,0 +1,100 @@
+"""Greiner–Hormann general polygon intersection: unit geometries with
+hand-computed areas, multi-piece outputs, containment/disjoint edges,
+and cross-validation against the independent Sutherland–Hodgman path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapshaper_spark import geometry as G
+
+
+def _area(rings) -> float:
+    return sum(abs(G.shoelace_area(r[:, 0], r[:, 1])) for r in rings)
+
+
+def _sq(x0, y0, w, h):
+    return np.array([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+
+
+L_RING = np.array(
+    [(0.0, 0.0), (4.0, 0.0), (4.0, 1.5), (1.5, 1.5), (1.5, 4.0), (0.0, 4.0)]
+)  # area = 4*1.5 + 1.5*2.5 = 9.75
+
+U_RING = np.array(
+    [
+        (0.0, 0.0), (5.0, 0.0), (5.0, 4.0), (3.5, 4.0), (3.5, 1.5),
+        (1.5, 1.5), (1.5, 4.0), (0.0, 4.0),
+    ]
+)  # two arms x [0,1.5] and [3.5,5], base y [0,1.5]
+
+
+def test_offset_squares():
+    out = G.gh_intersection(_sq(0, 0, 2, 2), _sq(1, 1, 2, 2))
+    assert len(out) == 1
+    assert _area(out) == pytest.approx(1.0)
+
+
+def test_containment_both_ways():
+    big, small = _sq(0, 0, 10, 10), _sq(2, 2, 1, 1)
+    assert _area(G.gh_intersection(big, small)) == pytest.approx(1.0)
+    assert _area(G.gh_intersection(small, big)) == pytest.approx(1.0)
+
+
+def test_disjoint():
+    assert G.gh_intersection(_sq(0, 0, 1, 1), _sq(5, 5, 1, 1)) == []
+
+
+def test_L_with_box_over_notch():
+    """Box covering the L's notch corner: overlap is only the L's
+    material inside the box."""
+    box = _sq(1.0, 1.0, 2.0, 2.0)  # [1,3]x[1,3]
+    # L material in [1,3]x[1,3]: bottom bar strip [1,3]x[1,1.5] = 1.0
+    # plus column strip [1,1.5]x[1.5,3] = 0.75
+    out = G.gh_intersection(L_RING, box)
+    assert _area(out) == pytest.approx(1.75)
+
+
+def test_U_with_bar_gives_two_pieces():
+    """A horizontal bar across the U's two arms intersects in TWO
+    disjoint pieces."""
+    bar = _sq(-1.0, 2.0, 7.0, 1.0)  # y [2,3], spans both arms
+    out = G.gh_intersection(U_RING, bar)
+    assert len(out) == 2
+    assert _area(out) == pytest.approx(2 * 1.5 * 1.0)
+
+
+def test_symmetry_subject_clip_swap():
+    a = G.gh_intersection(L_RING, _sq(0.5, 0.5, 3.0, 3.0))
+    b = G.gh_intersection(_sq(0.5, 0.5, 3.0, 3.0), L_RING)
+    assert _area(a) == pytest.approx(_area(b))
+
+
+@pytest.mark.parametrize("poly_idx", [0, 1, 2, 3])
+def test_cross_validate_vs_sutherland_hodgman(poly_idx):
+    """Concave fixture polygon x convex window: GH piece area must equal
+    the independent S-H signed-area accounting."""
+    from mapshaper_spark import fixtures
+
+    ring = np.array(fixtures.NONCONVEX_POLYGONS[poly_idx]["ring"])
+    cx = float(ring[:, 0].mean())
+    cy = float(ring[:, 1].mean())
+    win = _sq(cx - 9.7, cy - 7.3, 19.4, 14.6)  # odd offsets: general position
+    got = _area(G.gh_intersection(ring, win))
+    sx, sy = G.clip_ring_convex(ring[:, 0], ring[:, 1], win)
+    want = abs(G.shoelace_seq(sx, sy)[0]) / 2.0 if len(sx) >= 3 else 0.0
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_concave_concave_L_pair():
+    """Two interlocking Ls — concave x concave, hand-computed overlap."""
+    other = np.array(
+        [(0.5, 0.5), (3.0, 0.5), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (0.5, 1.0)]
+    )  # reversed-L: bar [0.5,3]x[0.5,1] + column [2,3]x[1,3]
+    # overlap with L_RING ([0,4]x[0,1.5] bar + [0,1.5]x[0,4] column):
+    #   other bar [0.5,3]x[0.5,1] sits fully inside L's bottom bar: 2.5*0.5
+    #   other column [2,3]x[1,3] ∩ L bar = [2,3]x[1,1.5] = 0.5
+    #   other column ∩ L column ([0,1.5]x...) = empty
+    out = G.gh_intersection(L_RING, other)
+    assert _area(out) == pytest.approx(2.5 * 0.5 + 0.5)
