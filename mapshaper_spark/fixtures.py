@@ -587,6 +587,7 @@ def polyline_thresholds(method: str):
     kern = {
         "visvalingam": geometry.visvalingam_thresholds,
         "weighted": geometry.visvalingam_weighted_thresholds,
+        "visvalingam_lonlat": geometry.visvalingam_thresholds_lonlat,
         "dp": geometry.dp_thresholds,
     }[method]
     out = []

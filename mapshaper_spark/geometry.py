@@ -393,6 +393,20 @@ def visvalingam_weighted_thresholds(
     return thr
 
 
+def visvalingam_thresholds_lonlat(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """planar=false mode for geographic coordinates [upstream applies a
+    spherical-area variant when input is lonlat, SURVEY.md §2.7]:
+    effective areas on an equirectangular projection with longitudes
+    scaled by cos(mean arc latitude), so a high-latitude arc's east-west
+    extent doesn't inflate its retention thresholds. Adequate for
+    arc-sized extents (the per-arc mean-latitude approximation);
+    thresholds are in scaled deg² — rows-only territory (cos is
+    transcendental)."""
+    xs = np.asarray(xs, dtype=float)
+    ys = np.asarray(ys, dtype=float)
+    return visvalingam_thresholds(xs * np.cos(np.deg2rad(ys.mean())), ys)
+
+
 def dp_thresholds(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Douglas-Peucker per-vertex max perpendicular distances.
 

@@ -29,6 +29,7 @@ from .. import geometry
 METHODS = {
     "visvalingam": geometry.visvalingam_thresholds,
     "weighted": geometry.visvalingam_weighted_thresholds,
+    "visvalingam_lonlat": geometry.visvalingam_thresholds_lonlat,
     "dp": geometry.dp_thresholds,
 }
 

@@ -573,6 +573,19 @@ def q_simplify_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("simplify_lonlat_counts")
+def q_simplify_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-simplify planar=false: lonlat effective areas (equirect x-scaling
+    by cos(mean arc latitude)) [SURVEY.md §2.7 geographic mode]. Rows-only
+    (cos is transcendental); pytest pins the cos-ratio property."""
+    arcs = topology.arcs_df(spark, fixtures.POLYLINES)
+    thr = simplify_op.compute_thresholds(arcs, "visvalingam_lonlat")
+    t = fixtures.polyline_median_threshold("visvalingam_lonlat")
+    return simplify_op.apply_level(thr, t).select(
+        "arc_id", F.col("n_kept").cast("long").alias("n_kept")
+    )
+
+
 @query(
     "simplify_dp_counts",
     f"""

@@ -118,3 +118,36 @@ def topojson_doc(features_pdf, arcs_pdf, layer: str = "layer") -> dict:
 
 def topojson_json(features_pdf, arcs_pdf, layer: str = "layer") -> str:
     return json.dumps(topojson_doc(features_pdf, arcs_pdf, layer), sort_keys=True)
+
+
+def topojson_import(doc: dict | str, layer: str | None = None):
+    """Topology document → (features_pdf, arcs_pdf) in the engine's
+    native model — the inverse of :func:`topojson_doc`, so external
+    TopoJSON (the format upstream mapshaper reads/writes) loads straight
+    into the arc-dictionary operators. Signed refs pass through
+    unchanged (same convention)."""
+    import pandas as pd
+
+    if isinstance(doc, str):
+        doc = json.loads(doc)
+    if doc.get("type") != "Topology":
+        raise ValueError("not a TopoJSON Topology document")
+    arcs_pdf = pd.DataFrame(
+        {
+            "arc_id": range(len(doc["arcs"])),
+            "xs": [[p[0] for p in arc] for arc in doc["arcs"]],
+            "ys": [[p[1] for p in arc] for arc in doc["arcs"]],
+        }
+    )
+    if layer is None:
+        layer = next(iter(doc["objects"]))
+    rows = []
+    for g in doc["objects"][layer]["geometries"]:
+        rows.append(
+            {
+                "feature_id": g["id"],
+                "key": (g.get("properties") or {}).get("key", str(g["id"])),
+                "parts": [list(part) for part in g["arcs"]],
+            }
+        )
+    return pd.DataFrame(rows, columns=["feature_id", "key", "parts"]), arcs_pdf

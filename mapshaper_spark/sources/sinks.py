@@ -30,6 +30,26 @@ def write_cell_ranged(
     )
 
 
+def split_layers(df: DataFrame, path: str, key: str = "key") -> None:
+    """-split [key]: one output layer (partition directory) per key
+    value [SURVEY.md §2.4 -split]. Hive-style ``key=<value>`` dirs, so a
+    single-layer read (`read_split_layer`) is partition-pruned to one
+    directory — the distributed analog of upstream writing one file per
+    layer."""
+    df.write.mode("overwrite").partitionBy(key).parquet(path)
+
+
+def read_split_layer(spark: SparkSession, path: str, key: str, value) -> DataFrame:
+    """Read ONE split layer back (pruned scan of its directory)."""
+    return spark.read.parquet(path).filter(F.col(key) == value)
+
+
+def split_layer_keys(spark: SparkSession, path: str, key: str = "key") -> list:
+    """The key values a split wrote (from the partition dirs)."""
+    rows = spark.read.parquet(path).select(key).distinct().collect()
+    return sorted(r[key] for r in rows)
+
+
 def file_cell_ranges(spark: SparkSession, path: str, cell_col: str = "cell_id") -> list:
     """Per-file (min, max) cell ranges of a written table — the
     range-partitioning integrity check (ranges must not overlap)."""

@@ -53,6 +53,44 @@ def test_csv_points_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_topojson_import_roundtrip():
+    """export → import → identical feature/arc tables (the external
+    TopoJSON load path into the arc-dictionary operators)."""
+    fpdf = pd.DataFrame(fixtures.GRID_FEATURES)
+    apdf = pd.DataFrame(fixtures.GRID_ARCS)
+    doc = gj.topojson_json(fpdf, apdf, layer="grid")
+    f2, a2 = gj.topojson_import(doc)
+    assert list(f2["feature_id"]) == list(fpdf["feature_id"])
+    assert list(f2["key"]) == list(fpdf["key"])
+    assert [p for p in f2["parts"]] == [
+        [list(part) for part in p] for p in fpdf["parts"]
+    ]
+    for col in ("xs", "ys"):
+        assert [list(v) for v in a2[col]] == [list(v) for v in apdf[col]]
+
+
+def test_split_layers_roundtrip(spark, tmp_path):
+    """-split: one partition dir per key, single-layer reads pruned, and
+    the union of layers equals the input."""
+    from mapshaper_spark.operators import topology
+    from mapshaper_spark.sources import sinks
+
+    inc = topology.incidence(
+        topology.features_df(spark, fixtures.GRID_FEATURES)
+    )
+    path = str(tmp_path / "split")
+    sinks.split_layers(inc, path, key="key")
+    keys = sinks.split_layer_keys(spark, path, "key")
+    assert keys == sorted({f["key"] for f in fixtures.GRID_FEATURES})
+    one = sinks.read_split_layer(spark, path, "key", keys[0])
+    want = inc.filter(inc.key == keys[0])
+    assert one.count() == want.count() > 0
+    total = sum(
+        sinks.read_split_layer(spark, path, "key", k).count() for k in keys
+    )
+    assert total == inc.count()
+
+
 def test_topojson_document_structure_and_refs():
     fpdf = pd.DataFrame(fixtures.GRID_FEATURES)
     apdf = pd.DataFrame(fixtures.GRID_ARCS)

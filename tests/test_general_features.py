@@ -75,6 +75,18 @@ def test_hier_general_matches_flat_general(spark):
     assert hidx.count() < flat.count()
 
 
+def test_pip_auto_routes_both_transports(spark):
+    """pip_attribute_auto: the closure route (small dict) and the forced
+    cogrouped route (closure_limit=0) must agree exactly."""
+    pts = _pts(spark)
+    feats = testdata.holed_features(spark)
+    idx = sj.build_cell_index_general(spark, feats)
+    rings = fixtures.multiring_rings()
+    a = _hits_set(sj.pip_attribute_auto(pts, idx, rings=rings))
+    b = _hits_set(sj.pip_attribute_auto(pts, idx, rings=rings, closure_limit=0))
+    assert a == b and len(a) > 0
+
+
 def test_rect_decomposition_matches_signed_shoelace():
     """The oracle's signed rect decomposition of every holed feature must
     reproduce the rings' signed shoelace areas exactly — pins both the

@@ -120,6 +120,24 @@ def test_weighted_visvalingam_monotone_and_endpoints():
     assert len(finite) == len(thr) - 2
 
 
+def test_lonlat_visvalingam_compresses_high_latitude():
+    """planar=false: the same shape at latitude 60 has interior
+    thresholds ~cos(60°)=0.5 of its equator twin (x-extent compressed);
+    at the equator it matches the planar kernel exactly."""
+    import numpy as np
+
+    from mapshaper_spark import geometry as G
+
+    xs = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    ys = np.array([0.0, 0.4, -0.2, 0.3, 0.0])
+    eq = G.visvalingam_thresholds_lonlat(xs, ys)
+    planar = G.visvalingam_thresholds(xs, ys)
+    assert np.allclose(eq[1:-1], planar[1:-1], rtol=1e-4)  # cos(~0.1°) ≈ 1
+    high = G.visvalingam_thresholds_lonlat(xs, ys + 60.0)
+    ratio = high[1:-1] / planar[1:-1]
+    assert np.all(ratio < 0.55) and np.all(ratio > 0.45)
+
+
 def test_apply_threshold_keeps_endpoints():
     xs = np.array([0.0, 1.0, 2.0, 3.0])
     ys = np.array([0.0, 0.001, -0.001, 0.0])
