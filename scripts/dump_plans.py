@@ -15,9 +15,14 @@ NAMES = (
     "pip_count_by_polygon",
     "pip_count_salted",
     "pip_count_hier",
+    "pip_holes_rows",
     "knn_nearest_target",
+    "asof_last_purchase_before_click",
+    "minhash_signatures",
+    "lsh_dup_candidates",
     "calc_pricing_summary",
     "images_phash_near_dup",
+    "join_interpolate_area_weighted",
 )
 
 
