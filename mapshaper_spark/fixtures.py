@@ -599,6 +599,38 @@ def polyline_thresholds(method: str):
     return out
 
 
+# two arcs that never cross until simplification collapses the first
+# one's peak — the post-simplify repair fixture (tri areas 6 and 9, so
+# level t=7 separates them)
+REPAIR_ARCS = [
+    {"arc_id": 0, "xs": [0.0, 5.0, 10.0], "ys": [0.0, 1.2, 0.0]},
+    {"arc_id": 1, "xs": [0.0, 5.0, 10.0], "ys": [-1.0, 0.8, -1.0]},
+]
+REPAIR_T = 7.0
+
+
+def repair_simplified_segments_sql(name: str = "sg") -> str:
+    """Golden simplified segments of REPAIR_ARCS at REPAIR_T (driver-side
+    kernel run → VALUES literals), for the crossing-detection oracle."""
+    from . import geometry
+
+    rows = []
+    for a in REPAIR_ARCS:
+        thr = geometry.visvalingam_thresholds(
+            np.asarray(a["xs"]), np.asarray(a["ys"])
+        )
+        kept = [
+            (x, y)
+            for x, y, tv in zip(a["xs"], a["ys"], thr)
+            if tv >= REPAIR_T
+        ]
+        for i in range(len(kept) - 1):
+            x1, y1 = kept[i]
+            x2, y2 = kept[i + 1]
+            rows.append(f"({a['arc_id']},{i},{x1!r},{y1!r},{x2!r},{y2!r})")
+    return f"(VALUES {','.join(rows)}) AS {name}(arc_id, seg_idx, x1, y1, x2, y2)"
+
+
 def polyline_thr_values_sql(method: str) -> str:
     """(arc_id, thr) VALUES relation of the golden thresholds — repr()
     round-trips doubles exactly, so DuckDB parses bit-identical values."""

@@ -587,6 +587,35 @@ def q_simplify_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simplify_crossings_detected",
+    f"""
+    WITH a AS (SELECT * FROM {fixtures.repair_simplified_segments_sql('s1')}),
+    b AS (SELECT arc_id AS arc_b, seg_idx AS seg_b,
+                 x1 AS bx1, y1 AS by1, x2 AS bx2, y2 AS by2
+          FROM {fixtures.repair_simplified_segments_sql('s2')})
+    SELECT a.arc_id, a.seg_idx, b.arc_b, b.seg_b
+    FROM a, b
+    WHERE (a.arc_id < b.arc_b
+           OR (a.arc_id = b.arc_b AND a.seg_idx < b.seg_b - 1))
+      AND ((a.x2 - a.x1) * (b.by1 - a.y1) - (a.y2 - a.y1) * (b.bx1 - a.x1))
+        * ((a.x2 - a.x1) * (b.by2 - a.y1) - (a.y2 - a.y1) * (b.bx2 - a.x1)) < 0
+      AND ((b.bx2 - b.bx1) * (a.y1 - b.by1) - (b.by2 - b.by1) * (a.x1 - b.bx1))
+        * ((b.bx2 - b.bx1) * (a.y2 - b.by1) - (b.by2 - b.by1) * (a.x2 - b.bx1)) < 0
+    """,
+)
+def q_simplify_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-simplify intersection DETECTION [upstream repair pass]: the
+    engine's bucketed declarative crossing join over the simplified
+    repair fixture vs the identical double-straddle SQL in DuckDB over
+    golden simplified segments. repair_crossings (pytest) then re-adds
+    vertices until this set is empty [tests/test_repair.py]."""
+    arcs = topology.arcs_df(spark, fixtures.REPAIR_ARCS)
+    thr = simplify_op.compute_thresholds(arcs, "visvalingam")
+    simp = simplify_op.apply_level(thr, fixtures.REPAIR_T)
+    return simplify_op.detect_crossings(simp)
+
+
+@query(
     "simplify_dp_counts",
     f"""
     SELECT arc_id, count(*) AS n_kept

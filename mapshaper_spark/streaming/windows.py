@@ -85,6 +85,31 @@ def stream_static_cell_join(
     return pts.join(F.broadcast(cell_index), "cell_id")
 
 
+def stream_static_cell_join_salted(
+    points_stream: DataFrame,
+    cell_index: DataFrame,
+    salt_factors: DataFrame,
+    res: int = 6,
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Stream–static spatial join with the SAME salt machinery as the
+    batch path [NEXT r3 #8; north_rule skew mitigation]: hot cells
+    (salt_k from the batch-measured factors — a static, broadcastable
+    plan input) spread each micro-batch's rows over salt_k subtasks;
+    the static index is replicated per salt. The salt derives from
+    xxhash64(point_id) — deterministic, so replayed batches salt
+    identically (resume-safe). Results are row-identical to the
+    unsalted stream join."""
+    from ..operators import skew as skew_op
+
+    pts = points_stream.withColumn(
+        "cell_id", F.expr(cells.cell_sql("lon", "lat", res))
+    )
+    return skew_op.salted_equi_join(
+        pts, cell_index, key="cell_id", salt_factors=salt_factors, fact_id=point_id
+    )
+
+
 def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState [SURVEY.md
     §2.9]: a per-user running (count, sum) accumulator that emits one

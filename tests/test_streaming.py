@@ -202,3 +202,40 @@ def test_stream_static_pip_attribution(spark, tmp_path):
 
     want = sj.with_cell(pts, 6).join(idx, "cell_id")
     assert got.count() == want.count()
+
+
+def test_stream_static_salted_matches_unsalted(spark, tmp_path):
+    """The salted stream–static join (hot-cell spreading with the batch
+    salt machinery) must produce row-identical candidates to the plain
+    stream join — salt is a plan choice, never a semantics change."""
+    from mapshaper_spark.operators import skew as skew_op
+
+    pts = testdata.customer_points(spark, SF_SMOKE)
+    src = tmp_path / "pts_stream_s"
+    src.mkdir()
+    pts.coalesce(1).write.parquet(str(src / "batch0"), mode="overwrite")
+
+    idx = sj.build_cell_index(spark, testdata.polygons(spark)).cache()
+    idx.count()
+    # low threshold so the hotspot cells genuinely salt at smoke scale
+    factors = skew_op.cell_salt_factors(
+        sj.with_cell(pts, 6), target_rows_per_task=10
+    ).cache()
+    assert factors.count() > 0  # the fixture's hotspots must trigger
+
+    stream = (
+        spark.readStream.schema("point_id long, lon double, lat double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src) + "/*/")
+    )
+    salted = W.stream_static_cell_join_salted(stream, idx, factors)
+    W.run_to_memory(salted, "t_pip_stream_salted", str(tmp_path / "ckpt5"))
+    got = spark.table("t_pip_stream_salted")
+
+    want = sj.with_cell(pts, 6).join(idx, "cell_id")
+    assert got.count() == want.count()
+    key = ["point_id", "poly_id"]
+    assert (
+        got.select(*key).exceptAll(want.select(*key)).count() == 0
+        and want.select(*key).exceptAll(got.select(*key)).count() == 0
+    )
