@@ -155,16 +155,43 @@ def _gh_build(ring: np.ndarray, inters_per_edge: dict[int, list]):
 
 
 def gh_intersection(subj: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
-    """Greiner–Hormann intersection of two SIMPLE polygons (concave ok;
-    holes and degenerate touches out of scope — general-position inputs;
-    the engine's exact-area paths cross-validate it in pytest).
+    """A ∩ B — see :func:`gh_clip`."""
+    return gh_clip(subj, clip, "intersection")
 
-    Returns a list of (m, 2) rings (possibly several disjoint pieces).
-    Classic three phases: (1) pairwise proper edge intersections spliced
-    into both rings, (2) entry/exit flags by alternation from the
-    initial inside/outside status, (3) piece tracing — forward from
-    entries, backward from exits, switching rings at every intersection.
+
+def gh_difference(subj: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """A \\ B — see :func:`gh_clip`. A hole cut into the subject comes
+    back as an extra ring; consumers interpret rings even-odd (the
+    engine's multi-ring model)."""
+    return gh_clip(subj, clip, "difference")
+
+
+def gh_union(subj: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """A ∪ B — see :func:`gh_clip`."""
+    return gh_clip(subj, clip, "union")
+
+
+def gh_clip(subj: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray]:
+    """Greiner–Hormann boolean of two SIMPLE polygons (concave ok;
+    multi-ring inputs and degenerate touches out of scope —
+    general-position inputs; the engine's exact-area paths
+    cross-validate it in pytest).
+
+    Returns a list of (m, 2) rings (possibly several disjoint pieces; a
+    difference/union result containing a hole yields the hole as an
+    additional ring — even-odd interpretation). Classic three phases:
+    (1) pairwise proper edge intersections spliced into both rings,
+    (2) entry/exit flags by alternation from the initial inside/outside
+    status — the op selects the flag polarity (GH's one-bit trick:
+    intersection = both normal, union = both flipped, difference =
+    clip's flags flipped), (3) piece tracing — forward from entries,
+    backward from exits, switching rings at every intersection.
     """
+    flip_subj, flip_clip = {
+        "intersection": (False, False),
+        "union": (True, True),
+        "difference": (True, False),
+    }[op]
     subj = np.asarray(subj, dtype=float)
     clip = np.asarray(clip, dtype=float)
     ks, kc = len(subj), len(clip)
@@ -187,24 +214,42 @@ def gh_intersection(subj: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
             found = True
 
     if not found:
-        # containment / disjoint
-        if pip_ray(subj[:1, 0], subj[:1, 1], clip)[0]:
-            return [subj.copy()]
-        if pip_ray(clip[:1, 0], clip[:1, 1], subj)[0]:
-            return [clip.copy()]
-        return []
+        # containment / disjoint, per op
+        subj_in = bool(pip_ray(subj[:1, 0], subj[:1, 1], clip)[0])
+        clip_in = bool(pip_ray(clip[:1, 0], clip[:1, 1], subj)[0])
+        if op == "intersection":
+            if subj_in:
+                return [subj.copy()]
+            if clip_in:
+                return [clip.copy()]
+            return []
+        if op == "union":
+            if subj_in:
+                return [clip.copy()]
+            if clip_in:
+                return [subj.copy()]
+            return [subj.copy(), clip.copy()]
+        # difference
+        if subj_in:
+            return []
+        if clip_in:
+            # clip becomes a hole ring: reversed orientation, so signed
+            # shoelace sums over the rings give the region area directly
+            return [subj.copy(), clip[::-1].copy()]
+        return [subj.copy()]
 
     snodes = _gh_build(subj, subj_edges)
     cnodes = _gh_build(clip, clip_edges)
 
-    # phase 2: alternate entry/exit from the start vertex's status
-    for nodes, other in ((snodes, clip), (cnodes, subj)):
+    # phase 2: alternate entry/exit from the start vertex's status;
+    # the op's polarity bit flips one or both lists (GH boolean trick)
+    for nodes, other, flip in ((snodes, clip, flip_subj), (cnodes, subj, flip_clip)):
         inside = bool(
             pip_ray(
                 np.array([nodes[0].xy[0]]), np.array([nodes[0].xy[1]]), other
             )[0]
         )
-        status = not inside  # first intersection is an entry iff we start outside
+        status = (not inside) ^ flip
         for n in nodes:
             if n.inter:
                 n.entry = status
@@ -244,8 +289,41 @@ def gh_intersection(subj: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
                 break
             ring.append(cur.xy)
         if len(ring) >= 3:
-            pieces.append(np.array(ring))
+            arr = np.array(ring)
+            # hole-aware orientation: a traced ring whose interior
+            # belongs to the result region is an outer boundary (CCW);
+            # one whose interior is outside the result is a hole the
+            # result wraps around (e.g. a U's notch closed off by a
+            # union) — oriented CW so signed sums and even-odd agree
+            px, py = _interior_point(arr)
+            in_a = bool(pip_ray(np.array([px]), np.array([py]), subj)[0])
+            in_b = bool(pip_ray(np.array([px]), np.array([py]), clip)[0])
+            in_result = {
+                "intersection": in_a and in_b,
+                "union": in_a or in_b,
+                "difference": in_a and not in_b,
+            }[op]
+            ccw = shoelace_area(arr[:, 0], arr[:, 1]) > 0.0
+            if in_result != ccw:
+                arr = arr[::-1]
+            pieces.append(arr)
     return pieces
+
+
+def _interior_point(ring: np.ndarray) -> tuple[float, float]:
+    """A point strictly inside a simple ring: the centroid when it lands
+    inside (typical), else midpoints of short diagonals. Raises on
+    failure (degenerate ring outside this module's scope)."""
+    cx, cy = float(ring[:, 0].mean()), float(ring[:, 1].mean())
+    if pip_ray(np.array([cx]), np.array([cy]), ring)[0]:
+        return cx, cy
+    k = len(ring)
+    for i in range(k):
+        mx = (ring[i][0] + ring[(i + 2) % k][0]) / 2.0
+        my = (ring[i][1] + ring[(i + 2) % k][1]) / 2.0
+        if pip_ray(np.array([mx]), np.array([my]), ring)[0]:
+            return float(mx), float(my)
+    raise ValueError("no interior point found for traced ring")
 
 
 def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:

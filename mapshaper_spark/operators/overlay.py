@@ -261,6 +261,48 @@ def clip_polygons_general(subject: DataFrame, clip: DataFrame) -> DataFrame:
     )
 
 
+def gh_boolean_pair_areas(subject: DataFrame, clip: DataFrame) -> DataFrame:
+    """All three Greiner–Hormann booleans per bbox-overlapping pair:
+    (subject_id, clip_id, inter_area, diff_area, union_area) — signed
+    ring sums, so union/difference holes subtract correctly. The -erase
+    and -union area surface for concave×concave pairs [NEXT r3 #1]."""
+    pairs = _candidate_pairs(subject, clip)
+
+    def run(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                a = np.column_stack([r["sxs"], r["sys"]])
+                b = np.column_stack([r["cxs"], r["cys"]])
+                areas = {}
+                for op in ("intersection", "difference", "union"):
+                    rings = geometry.gh_clip(a, b, op)
+                    areas[op] = sum(
+                        geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings
+                    )
+                out.append(
+                    {
+                        "subject_id": r["subject_id"],
+                        "clip_id": r["clip_id"],
+                        "inter_area": areas["intersection"],
+                        "diff_area": areas["difference"],
+                        "union_area": areas["union"],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["subject_id", "clip_id", "inter_area", "diff_area", "union_area"],
+            )
+
+    return pairs.mapInPandas(
+        run,
+        schema=(
+            "subject_id int, clip_id int, inter_area double,"
+            " diff_area double, union_area double"
+        ),
+    )
+
+
 def clip_general_area(features: DataFrame, windows: DataFrame) -> DataFrame:
     """-clip area accounting for GENERAL subjects (concave, multi-ring,
     holed) against convex windows [SURVEY.md §2.6; VERDICT r1 'What's

@@ -2154,6 +2154,43 @@ def q_clip_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gh_boolean_pair_areas",
+    f"""
+    WITH sa AS (SELECT pid, CAST(sum((x1 - x0) * (y1 - y0)) AS DOUBLE) AS area_a
+                FROM {fixtures.gh_rects_values_sql(fixtures.GH_SUBJECTS, 'ra')} GROUP BY pid),
+    sb AS (SELECT pid, CAST(sum((x1 - x0) * (y1 - y0)) AS DOUBLE) AS area_b
+           FROM {fixtures.gh_rects_values_sql(fixtures.GH_CLIPS, 'rb')} GROUP BY pid),
+    ix AS (SELECT a.pid AS sid, b.pid AS cid,
+                  CAST(sum(GREATEST(0.0, LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+                         * GREATEST(0.0, LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)))
+                       AS DOUBLE) AS inter_area
+           FROM {fixtures.gh_rects_values_sql(fixtures.GH_SUBJECTS, 'a')},
+                {fixtures.gh_rects_values_sql(fixtures.GH_CLIPS, 'b')}
+           GROUP BY 1, 2)
+    SELECT ix.sid AS subject_id, ix.cid AS clip_id, ix.inter_area,
+           sa.area_a - ix.inter_area AS diff_area,
+           sa.area_a + sb.area_b - ix.inter_area AS union_area
+    FROM ix JOIN sa ON sa.pid = ix.sid JOIN sb ON sb.pid = ix.cid
+    """,
+)
+def q_gh_boolean_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-clip / -erase / -union areas for concave×concave pairs in ONE
+    Greiner-Hormann pass each (signed ring sums — union/difference holes
+    subtract); the oracle derives all three from rect-decomposition
+    algebra: |A∩B| by overlap products, |A\\B| = |A|−|A∩B|,
+    |A∪B| = |A|+|B|−|A∩B|."""
+    subj = spark.createDataFrame(
+        fixtures.gh_layer_pdf(fixtures.GH_SUBJECTS),
+        schema="poly_id int, xs array<double>, ys array<double>",
+    )
+    clip = spark.createDataFrame(
+        fixtures.gh_layer_pdf(fixtures.GH_CLIPS),
+        schema="poly_id int, xs array<double>, ys array<double>",
+    )
+    return overlay_op.gh_boolean_pair_areas(subj, clip)
+
+
+@query(
     "union_pair_areas_boxes",
     f"""
     WITH inter AS (

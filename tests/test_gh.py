@@ -87,6 +87,55 @@ def test_cross_validate_vs_sutherland_hodgman(poly_idx):
     assert got == pytest.approx(want, rel=1e-12)
 
 
+def _signed_area(rings) -> float:
+    return sum(G.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        (_sq(0, 0, 2, 2), _sq(1, 1, 2, 2)),
+        (L_RING, _sq(1.0, 1.0, 2.0, 2.0)),
+        (U_RING, _sq(-1.0, 2.0, 7.0, 1.0)),
+        (
+            L_RING,
+            np.array([(0.5, 0.5), (3.0, 0.5), (3.0, 3.0), (2.0, 3.0), (2.0, 1.0), (0.5, 1.0)]),
+        ),
+    ],
+)
+def test_boolean_identities(a, b):
+    """|A∩B| + |A\\B| = |A| and |A∪B| = |A|+|B|−|A∩B| — signed sums so
+    hole rings subtract. Validates all three flag polarities at once."""
+    area_a = abs(G.shoelace_area(a[:, 0], a[:, 1]))
+    area_b = abs(G.shoelace_area(b[:, 0], b[:, 1]))
+    inter = _area(G.gh_intersection(a, b))
+    diff = abs(_signed_area(G.gh_difference(a, b)))
+    union = abs(_signed_area(G.gh_union(a, b)))
+    assert inter + diff == pytest.approx(area_a, rel=1e-12)
+    assert union == pytest.approx(area_a + area_b - inter, rel=1e-12)
+
+
+def test_difference_containment_yields_hole_ring():
+    big, small = _sq(0, 0, 10, 10), _sq(3, 3, 2, 2)
+    out = G.gh_difference(big, small)
+    assert len(out) == 2
+    assert _signed_area(out) == pytest.approx(100.0 - 4.0)
+    # even-odd check: a point inside the hole is OUTSIDE the region
+    assert not G.pip_rings(np.array([4.0]), np.array([4.0]), out)[0]
+    assert G.pip_rings(np.array([1.0]), np.array([1.0]), out)[0]
+
+
+def test_union_disjoint_keeps_both():
+    out = G.gh_union(_sq(0, 0, 1, 1), _sq(5, 5, 1, 1))
+    assert len(out) == 2
+    assert _signed_area(out) == pytest.approx(2.0)
+
+
+def test_difference_disjoint_keeps_subject():
+    out = G.gh_difference(_sq(0, 0, 1, 1), _sq(5, 5, 1, 1))
+    assert len(out) == 1 and _signed_area(out) == pytest.approx(1.0)
+
+
 def test_concave_concave_L_pair():
     """Two interlocking Ls — concave x concave, hand-computed overlap."""
     other = np.array(
