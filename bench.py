@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "clip_general_area_windows",
     "calc_mode_collect",
     "tile_assign_webmercator",
+    "gh_boolean_pair_areas",
+    "clip_concave_pairs_area",
+    "union_pair_areas_boxes",
+    "simplify_crossings_detected",
+    "geojson_roundtrip_stats",
 ]
 
 
@@ -109,10 +114,17 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
     ensure_images(spark, N_IMAGES, IMAGES_PATH)
 
-    # headline: end-to-end spatial-join + tile-assignment over images
+    # headline: end-to-end spatial-join + tile-assignment over images.
+    # The first run pays session warmup (Python worker fork, codegen,
+    # broadcast init) — kept as the recorded metric for round-over-round
+    # comparability; the warm rerun shows the steady-state pipeline cost
+    # (what a long-running job actually pays per batch).
     t0 = time.perf_counter()
     n_out = flagship(spark, IMAGES_PATH).count()
     e2e = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    flagship(spark, IMAGES_PATH).count()
+    e2e_warm = time.perf_counter() - t0
 
     per_query: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -131,6 +143,8 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "images_per_sec": round(N_IMAGES / e2e, 1),
+                "value_warm": round(e2e_warm, 3),
+                "images_per_sec_warm": round(N_IMAGES / e2e_warm, 1),
                 "n_images": N_IMAGES,
                 "n_output_tiles": n_out,
                 "cpus": CPUS,
