@@ -677,6 +677,53 @@ def make_image(i: int) -> dict:
     }
 
 
+N_VIDEOS = 12
+VIDEO_FRAMES = 6
+
+
+def _video_frame_index(v: int, j: int) -> int:
+    # stride 9 keeps both size classes constant → all frames 16x16
+    return 9 * (v * VIDEO_FRAMES + j)
+
+
+def make_video(v: int) -> dict:
+    """Deterministic fake video v: VIDEO_FRAMES raw RGB frames (each a
+    make_image raster of identical size) concatenated — the multimodal
+    frame-sample container [task brief]."""
+    frames = [make_image(_video_frame_index(v, j)) for j in range(VIDEO_FRAMES)]
+    return {
+        "video_id": f"vid{v:05d}",
+        "bytes": b"".join(f["bytes"] for f in frames),
+        "w": frames[0]["w"],
+        "h": frames[0]["h"],
+        "fmt": "raw",
+        "frame_phashes": [f["phash"] for f in frames],
+    }
+
+
+def videos_pdf(n: int = N_VIDEOS):
+    import pandas as pd
+
+    vids = [make_video(v) for v in range(n)]
+    return pd.DataFrame(
+        {
+            k: [v[k] for v in vids]
+            for k in ("video_id", "bytes", "w", "h", "fmt")
+        }
+    )
+
+
+def video_frame_golden_sql(every_k: int, name: str = "vf") -> str:
+    """(video_id, frame_idx, frame_phash) VALUES of the sampled frames —
+    driver-side goldens the executor recompute must match."""
+    rows = []
+    for v in range(N_VIDEOS):
+        vid = make_video(v)
+        for j in range(0, VIDEO_FRAMES, every_k):
+            rows.append(f"('{vid['video_id']}',{j},{vid['frame_phashes'][j]})")
+    return f"(VALUES {','.join(rows)}) AS {name}(video_id, frame_idx, frame_phash)"
+
+
 def ahash64(px: np.ndarray, w: int, h: int) -> np.int64:
     """64-bit average-hash over an 8x8 grayscale downsample — exact
     integer arithmetic so recomputation matches bit-for-bit."""

@@ -128,6 +128,61 @@ def thumbnails(images: DataFrame, size: int = 8) -> DataFrame:
     return images.mapInPandas(run, schema="image_id string, thumb binary, tw int, th int")
 
 
+def frame_sample(videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling [task brief: multimodal frame-sample]: the
+    payload is a raw concatenated-RGB container (n_frames · w·h·3
+    bytes — the deterministic fake; real codecs are stubbed exactly like
+    :func:`decode`). One ``mapInPandas`` pass emits a row per SAMPLED
+    frame (every_k-th, frame 0 always) with per-frame channel means and
+    the frame aHash — bytes are consumed in the map stage and never
+    shuffle; downstream joins carry only (video_id, frame_idx, stats).
+
+    Input: (video_id, bytes, w, h, fmt). Output: (video_id, frame_idx,
+    mean_r, mean_g, mean_b, frame_phash)."""
+
+    def run(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["fmt"] != "raw":
+                    raise NotImplementedError(
+                        "video codecs absent in this environment; raw container only"
+                    )
+                w, h = int(r["w"]), int(r["h"])
+                fsz = w * h * 3
+                buf = r["bytes"]
+                n_frames = len(buf) // fsz
+                for fi in range(0, n_frames, every_k):
+                    px = np.frombuffer(
+                        buf[fi * fsz : (fi + 1) * fsz], dtype=np.uint8
+                    ).reshape(h, w, 3)
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    out.append(
+                        {
+                            "video_id": r["video_id"],
+                            "frame_idx": fi,
+                            "mean_r": float(means[0]),
+                            "mean_g": float(means[1]),
+                            "mean_b": float(means[2]),
+                            "frame_phash": int(fixtures.ahash64(px, w, h)),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "video_id", "frame_idx", "mean_r", "mean_g", "mean_b", "frame_phash",
+                ],
+            )
+
+    return videos.mapInPandas(
+        run,
+        schema=(
+            "video_id string, frame_idx int, mean_r double, mean_g double,"
+            " mean_b double, frame_phash long"
+        ),
+    )
+
+
 def phash_hamming_buckets(images: DataFrame, prefix_bits: int = 16) -> DataFrame:
     """Near-dup candidate blocking on the phash prefix — the image
     analog of MinHash-LSH banding: identical high bits → same bucket →

@@ -1834,6 +1834,33 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_bpe_regex",
+    """
+    SELECT doc_id,
+           CAST(length(array_to_string(
+               regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'), '|'))
+             AS BIGINT) AS joined_len,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+             AS BIGINT) AS n_pieces
+    FROM documents
+    """,
+)
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer [task brief: token counting]: pretokenize
+    into letter runs / digit runs / single punctuation (the GPT-2-style
+    pretokenizer classes, simplified to character classes whose regex
+    semantics agree between Java regex and DuckDB's RE2 — checked by
+    hashing both the piece count and the joined length per doc)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    return d.select(
+        "doc_id",
+        F.length(F.array_join(toks, "|")).cast("bigint").alias("joined_len"),
+        F.size(toks).cast("bigint").alias("n_pieces"),
+    )
+
+
+@query(
     "language_id_stopword",
     """
     SELECT doc_id,
@@ -2497,6 +2524,26 @@ def q_images_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _images_slim(spark).select("image_id", "phash")
     out = images_op.phash_near_dup_pairs(imgs, prefix_bits=4, max_hamming=28)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "video_frame_stats",
+    f"""
+    SELECT video_id, frame_idx, frame_phash
+    FROM {fixtures.video_frame_golden_sql(2)}
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sample [task brief]: every 2nd frame of the fake
+    raw-container videos, decoded + aHashed executor-side in one
+    mapInPandas pass (bytes never shuffle); the oracle holds the
+    driver-side golden hashes of exactly the sampled frame set."""
+    vids = spark.createDataFrame(
+        fixtures.videos_pdf(),
+        schema="video_id string, bytes binary, w int, h int, fmt string",
+    ).repartition(4)
+    out = images_op.frame_sample(vids, every_k=2)
+    return out.select("video_id", "frame_idx", "frame_phash")
 
 
 @query("images_invariants")

@@ -43,6 +43,45 @@ def test_near_dup_pairs_symmetric_bound(spark):
     assert (pdf["hamming"] <= 28).all()
 
 
+def test_frame_sample_plumbing(spark):
+    """Frame sampling over a deterministic fake video container (8 raw
+    RGB frames concatenated): sampled frame set, per-frame stats, and
+    determinism all verified against a driver-side recompute."""
+    import numpy as np
+    import pandas as pd
+
+    from mapshaper_spark import fixtures
+    from mapshaper_spark.operators import images as images_op
+
+    w = h = 16
+    n_frames = 8
+    rng = np.random.Generator(np.random.PCG64(7))
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    buf = b"".join(f.tobytes() for f in frames)
+    vids = spark.createDataFrame(
+        pd.DataFrame(
+            {"video_id": ["v0"], "bytes": [buf], "w": [w], "h": [h], "fmt": ["raw"]}
+        ),
+        schema="video_id string, bytes binary, w int, h int, fmt string",
+    ).repartition(2)
+
+    out = {r["frame_idx"]: r for r in images_op.frame_sample(vids, every_k=3).collect()}
+    assert sorted(out) == [0, 3, 6]
+    for fi, r in out.items():
+        px = frames[fi]
+        means = px.reshape(-1, 3).mean(axis=0)
+        assert r["mean_r"] == float(means[0])
+        assert r["frame_phash"] == int(fixtures.ahash64(px, w, h))
+    # non-raw container fails loudly (codec stub contract)
+    bad = vids.withColumn("fmt", F.lit("mp4"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        images_op.frame_sample(bad).collect()
+
+
 def test_bytes_pruned_from_parquet_scan(spark, tmp_path):
     """Guard: on the real storage path (parquet), the near-dup plan's
     scan must prune the binary column — bytes never enter the shuffle."""
