@@ -458,6 +458,43 @@ def gh_rects_values_sql(layer: list[dict], name: str) -> str:
     return f"(VALUES {','.join(rows)}) AS {name}(pid, x0, y0, x1, y1)"
 
 
+# -dissolve2 fixture: per-key groups of OVERLAPPING axis-aligned squares
+# (strict overlaps — no edge tangency, which is outside the GH kernel's
+# general-position scope). 'a' = a 3-square overlapping chain merging to
+# one ring; 'b' = two disjoint squares staying separate.
+DISSOLVE2_RECTS = [
+    ("a", 0.0, 0.0, 4.0, 4.0),
+    ("a", 2.5, 0.5, 6.5, 4.5),
+    ("a", 5.0, 1.0, 9.0, 5.0),
+    ("b", 20.0, 0.0, 24.0, 4.0),
+    ("b", 30.0, 0.0, 33.0, 3.0),
+]
+
+
+def dissolve2_pdf():
+    import pandas as pd
+
+    rows = []
+    for fid, (key, x0, y0, x1, y1) in enumerate(DISSOLVE2_RECTS):
+        ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        rows.append(
+            {
+                "feature_id": fid,
+                "key": key,
+                "xs": [p[0] for p in ring],
+                "ys": [p[1] for p in ring],
+            }
+        )
+    return pd.DataFrame(rows, columns=["feature_id", "key", "xs", "ys"])
+
+
+def dissolve2_rects_values_sql(name: str = "r") -> str:
+    rows = ",".join(
+        f"('{k}',{x0!r},{y0!r},{x1!r},{y1!r})" for k, x0, y0, x1, y1 in DISSOLVE2_RECTS
+    )
+    return f"(VALUES {rows}) AS {name}(key, x0, y0, x1, y1)"
+
+
 # convex clip windows that straddle feature bodies AND hole boundaries
 CLIP_WINDOWS = [
     {"poly_id": 0, "x0": -175.5, "y0": -75.5, "x1": -145.5, "y1": -45.5},

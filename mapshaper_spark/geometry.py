@@ -310,6 +310,39 @@ def gh_clip(subj: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray]:
     return pieces
 
 
+def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Union of MANY simple polygons by iterative pairwise GH merging —
+    the -dissolve2 kernel (overlap-tolerant dissolve [upstream
+    -dissolve2]; arc-cancellation dissolve assumes clean shared
+    borders, this one merges genuinely overlapping shapes).
+
+    Maintains a set of pairwise-disjoint rings; each incoming ring
+    merges with every ring it properly intersects (restarting the scan
+    after a merge, since the merged shape may now reach others).
+    Hole-producing unions raise (out of scope — even-odd multi-ring
+    union needs the full mosaic machinery)."""
+    merged: list[np.ndarray] = []
+    for ring in rings:
+        ring = np.asarray(ring, dtype=float)
+        i = 0
+        while i < len(merged):
+            if not gh_intersection(merged[i], ring):
+                i += 1
+                continue
+            u = gh_union(merged[i], ring)
+            pos = [r for r in u if shoelace_area(r[:, 0], r[:, 1]) > 0]
+            if len(u) != 1 or len(pos) != 1:
+                raise ValueError(
+                    "union_many: union step produced holes/multiple rings "
+                    "(out of this kernel's scope)"
+                )
+            ring = u[0]
+            merged.pop(i)
+            i = 0  # the merged shape may now touch earlier rings
+        merged.append(ring)
+    return merged
+
+
 def _interior_point(ring: np.ndarray) -> tuple[float, float]:
     """A point strictly inside a simple ring: the centroid when it lands
     inside (typical), else midpoints of short diagonals. Raises on

@@ -126,6 +126,36 @@ def dissolve_sum_fields(
     return geom.join(attrs, "key")
 
 
+def dissolve2(features: DataFrame) -> DataFrame:
+    """-dissolve2 [upstream src/commands/mapshaper-dissolve2.mjs
+    behavior, SURVEY.md §2.4]: overlap-TOLERANT dissolve — member
+    polygons of a key group are merged with the Greiner–Hormann union
+    fold (geometry.union_many), so genuinely overlapping shapes fuse
+    where arc-cancellation dissolve assumes clean shared borders.
+
+    Input rows: (feature_id, key, xs, ys) one ring each; one group per
+    key (dim-sized groups — the per-key member set). Output:
+    (key, n_rings, area)."""
+    import numpy as np
+
+    from .. import geometry
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in pdf.iterrows()
+        ]
+        merged = geometry.union_many(rings)
+        area = sum(abs(geometry.shoelace_area(r[:, 0], r[:, 1])) for r in merged)
+        return pd.DataFrame(
+            [{"key": pdf["key"].iloc[0], "n_rings": len(merged), "area": area}]
+        )
+
+    return features.groupBy("key").applyInPandas(
+        run, schema="key string, n_rings int, area double"
+    )
+
+
 def dissolve_arcs(features: DataFrame) -> DataFrame:
     """The surviving (key, arc_id) boundary set — input to ring stitching."""
     inc = incidence(features)

@@ -2278,6 +2278,40 @@ def q_dissolve_sum_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dissolve2_overlap_groups",
+    f"""
+    WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_values_sql()}),
+    xs AS (SELECT DISTINCT key, x0 AS x FROM r UNION SELECT DISTINCT key, x1 FROM r),
+    ys AS (SELECT DISTINCT key, y0 AS y FROM r UNION SELECT DISTINCT key, y1 FROM r),
+    xi AS (SELECT key, x AS xa, lead(x) OVER (PARTITION BY key ORDER BY x) AS xb FROM xs),
+    yi AS (SELECT key, y AS ya, lead(y) OVER (PARTITION BY key ORDER BY y) AS yb FROM ys),
+    cells AS (SELECT xi.key, xa, xb, ya, yb
+              FROM xi JOIN yi ON xi.key = yi.key
+              WHERE xb IS NOT NULL AND yb IS NOT NULL),
+    cov AS (SELECT c.key, (c.xb - c.xa) * (c.yb - c.ya) AS a
+            FROM cells c
+            WHERE EXISTS (SELECT 1 FROM r WHERE r.key = c.key
+                          AND r.x0 <= c.xa AND c.xb <= r.x1
+                          AND r.y0 <= c.ya AND c.yb <= r.y1)),
+    area AS (SELECT key, CAST(sum(a) AS DOUBLE) AS area FROM cov GROUP BY key)
+    SELECT area.key, g.n_rings, area.area
+    FROM area JOIN (VALUES ('a', 1), ('b', 2)) AS g(key, n_rings)
+      ON area.key = g.key
+    """,
+)
+def q_dissolve2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-dissolve2 (overlap-tolerant dissolve): GH union fold per key
+    group; the oracle measures each group's union REGION independently
+    by elementary-cell decomposition (coordinate-compressed interval
+    grid — exact on the rect fixture) plus hand-golden ring counts."""
+    feats = spark.createDataFrame(
+        fixtures.dissolve2_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    return topology.dissolve2(feats)
+
+
+@query(
     "asof_last_purchase_before_click",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

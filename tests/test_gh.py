@@ -136,6 +136,43 @@ def test_difference_disjoint_keeps_subject():
     assert len(out) == 1 and _signed_area(out) == pytest.approx(1.0)
 
 
+def test_union_many_chain_and_disjoint():
+    """union_many: a 3-square overlapping chain fuses into ONE ring
+    (first and last never touch directly — the restart-scan matters),
+    disjoint shapes stay separate, areas exact."""
+    chain = [
+        _sq(0.0, 0.0, 4.0, 4.0),
+        _sq(5.0, 1.0, 4.0, 4.0),  # overlaps only the middle square
+        _sq(2.5, 0.5, 4.0, 4.0),  # bridges the two
+    ]
+    out = G.union_many(chain)
+    assert len(out) == 1
+    # elementary-cell truth for the union of the three squares
+    import numpy as np
+
+    xs = sorted({0.0, 4.0, 5.0, 9.0, 2.5, 6.5})
+    ys = sorted({0.0, 4.0, 1.0, 5.0, 0.5, 4.5})
+    area = 0.0
+    rects = [(0, 0, 4, 4), (5, 1, 9, 5), (2.5, 0.5, 6.5, 4.5)]
+    for xa, xb in zip(xs, xs[1:]):
+        for ya, yb in zip(ys, ys[1:]):
+            if any(x0 <= xa and xb <= x1 and y0 <= ya and yb <= y1 for x0, y0, x1, y1 in rects):
+                area += (xb - xa) * (yb - ya)
+    got = sum(abs(G.shoelace_area(r[:, 0], r[:, 1])) for r in out)
+    assert got == pytest.approx(area, rel=1e-12)
+
+    out2 = G.union_many([_sq(0, 0, 1, 1), _sq(5, 5, 1, 1)])
+    assert len(out2) == 2
+
+
+def test_union_many_rejects_hole_producing_merge():
+    """A U closed off by a bar produces a hole — union_many must refuse
+    loudly rather than silently drop the hole."""
+    bar = _sq(-1.0, 2.0, 7.0, 1.0)
+    with pytest.raises(ValueError):
+        G.union_many([U_RING, bar])
+
+
 def test_concave_concave_L_pair():
     """Two interlocking Ls — concave x concave, hand-computed overlap."""
     other = np.array(
