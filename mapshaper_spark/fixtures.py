@@ -674,7 +674,8 @@ def polyline_thr_values_sql(method: str) -> str:
     rows = []
     for a in polyline_thresholds(method):
         for t in a["thr"]:
-            rows.append(f"({a['arc_id']},{t!r})")
+            sfx = "" if "e" in repr(t) else "e0"  # force DOUBLE lexing
+            rows.append(f"({a['arc_id']},{t!r}{sfx})")
     return f"(VALUES {','.join(rows)}) AS thrv(arc_id, thr)"
 
 
@@ -759,6 +760,47 @@ def video_frame_golden_sql(every_k: int, name: str = "vf") -> str:
         for j in range(0, VIDEO_FRAMES, every_k):
             rows.append(f"('{vid['video_id']}',{j},{vid['frame_phashes'][j]})")
     return f"(VALUES {','.join(rows)}) AS {name}(video_id, frame_idx, frame_phash)"
+
+
+N_AUDIOS = 8
+AUDIO_WINDOWS = 4
+AUDIO_FRAME = 1024
+
+
+def make_audio(a: int) -> dict:
+    """Deterministic fake audio clip a: AUDIO_WINDOWS·AUDIO_FRAME raw
+    little-endian PCM16 samples."""
+    rng = np.random.Generator(np.random.PCG64(SEED + 77_003 * (a + 1)))
+    samples = rng.integers(-32768, 32768, size=AUDIO_WINDOWS * AUDIO_FRAME, dtype=np.int16)
+    return {"audio_id": f"aud{a:05d}", "bytes": samples.astype("<i2").tobytes(), "fmt": "pcm16"}
+
+
+def audios_pdf(n: int = N_AUDIOS):
+    import pandas as pd
+
+    auds = [make_audio(a) for a in range(n)]
+    return pd.DataFrame({k: [x[k] for x in auds] for k in ("audio_id", "bytes", "fmt")})
+
+
+def audio_feature_golden_sql(name: str = "af") -> str:
+    """(audio_id, window_idx, rms, zero_crossings) golden VALUES —
+    driver-side recompute of the exact window features (power-of-two
+    frame → exact mean division; IEEE sqrt is correctly rounded, so the
+    doubles hash bit-identically)."""
+    rows = []
+    for a in range(N_AUDIOS):
+        aud = make_audio(a)
+        samples = np.frombuffer(aud["bytes"], dtype="<i2")
+        for wi in range(AUDIO_WINDOWS):
+            w = samples[wi * AUDIO_FRAME : (wi + 1) * AUDIO_FRAME].astype(np.int64)
+            rms = float(np.sqrt(float((w * w).sum()) / AUDIO_FRAME))
+            zc = int(((w[:-1] < 0) != (w[1:] < 0)).sum())
+            # 'e0' suffix forces DOUBLE lexing: bare literals become
+            # DECIMAL (lossy column-scale unification) and DuckDB's
+            # DECIMAL→DOUBLE cast DOUBLE-ROUNDS (measured: ...318 → ...32)
+            suffix = "" if "e" in repr(rms) else "e0"
+            rows.append(f"('{aud['audio_id']}',{wi},{rms!r}{suffix},{zc})")
+    return f"(VALUES {','.join(rows)}) AS {name}(audio_id, window_idx, rms, zero_crossings)"
 
 
 def ahash64(px: np.ndarray, w: int, h: int) -> np.int64:

@@ -183,6 +183,49 @@ def frame_sample(videos: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+def audio_features(audios: DataFrame, frame: int = 1024) -> DataFrame:
+    """Audio feature extraction [task brief: multimodal audio]: payload
+    = raw little-endian PCM16 (the deterministic fake container; real
+    codecs stubbed like :func:`decode`). One ``mapInPandas`` pass emits
+    per-window RMS and zero-crossing counts — ``frame`` is a power of
+    two so mean-square division is exact and the IEEE sqrt is
+    correctly-rounded, making the features golden-hashable.
+
+    Input: (audio_id, bytes, fmt). Output: (audio_id, window_idx, rms,
+    zero_crossings)."""
+
+    def run(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["fmt"] != "pcm16":
+                    raise NotImplementedError(
+                        "audio codecs absent in this environment; pcm16 only"
+                    )
+                samples = np.frombuffer(r["bytes"], dtype="<i2")
+                n_win = len(samples) // frame
+                for wi in range(n_win):
+                    w = samples[wi * frame : (wi + 1) * frame].astype(np.int64)
+                    rms = float(np.sqrt(float((w * w).sum()) / frame))
+                    zc = int(((w[:-1] < 0) != (w[1:] < 0)).sum())
+                    out.append(
+                        {
+                            "audio_id": r["audio_id"],
+                            "window_idx": wi,
+                            "rms": rms,
+                            "zero_crossings": zc,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["audio_id", "window_idx", "rms", "zero_crossings"]
+            )
+
+    return audios.mapInPandas(
+        run,
+        schema="audio_id string, window_idx int, rms double, zero_crossings long",
+    )
+
+
 def phash_hamming_buckets(images: DataFrame, prefix_bits: int = 16) -> DataFrame:
     """Near-dup candidate blocking on the phash prefix — the image
     analog of MinHash-LSH banding: identical high bits → same bucket →

@@ -19,7 +19,11 @@ bit-for-bit between Spark's JVM and DuckDB's C++):
 - DuckDB ``sum()`` over integers returns HUGEINT (→ float64 in pandas,
   which never value-hash-matches Spark's BIGINT): wrap EVERY integer
   sum — plain or windowed — that reaches an oracle output column in
-  ``CAST(... AS BIGINT)``.
+  ``CAST(... AS BIGINT)``;
+- golden DOUBLE literals in VALUES need an ``e0`` suffix: bare decimal
+  literals lex as DECIMAL (lossy column-scale unification) and DuckDB's
+  DECIMAL→DOUBLE cast double-rounds — ``{x!r}e0`` parses the exact
+  shortest-repr double.
 """
 
 from __future__ import annotations
@@ -536,7 +540,7 @@ _T_DP = fixtures.polyline_median_threshold("dp")
     f"""
     SELECT arc_id, count(*) AS n_kept
     FROM {fixtures.polyline_thr_values_sql('visvalingam')}
-    WHERE thr >= {_T_VIS!r} GROUP BY arc_id
+    WHERE thr >= {_T_VIS!r}e0 GROUP BY arc_id
     """,
 )
 def q_simplify_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,7 +564,7 @@ _T_W = fixtures.polyline_median_threshold("weighted")
     f"""
     SELECT arc_id, count(*) AS n_kept
     FROM {fixtures.polyline_thr_values_sql('weighted')}
-    WHERE thr >= {_T_W!r} GROUP BY arc_id
+    WHERE thr >= {_T_W!r}e0 GROUP BY arc_id
     """,
 )
 def q_simplify_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,7 +624,7 @@ def q_simplify_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT arc_id, count(*) AS n_kept
     FROM {fixtures.polyline_thr_values_sql('dp')}
-    WHERE thr >= {_T_DP!r} GROUP BY arc_id
+    WHERE thr >= {_T_DP!r}e0 GROUP BY arc_id
     """,
 )
 def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2578,6 +2582,24 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(4)
     out = images_op.frame_sample(vids, every_k=2)
     return out.select("video_id", "frame_idx", "frame_phash")
+
+
+@query(
+    "audio_window_features",
+    f"""
+    SELECT audio_id, window_idx, rms, CAST(zero_crossings AS BIGINT) AS zero_crossings
+    FROM {fixtures.audio_feature_golden_sql()}
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio feature extraction [task brief]: per-window RMS
+    + zero crossings over fake PCM16 clips, computed executor-side in a
+    mapInPandas pass; the oracle holds the driver-side golden features
+    (exact by power-of-two frame + correctly-rounded sqrt)."""
+    auds = spark.createDataFrame(
+        fixtures.audios_pdf(), schema="audio_id string, bytes binary, fmt string"
+    ).repartition(4)
+    return images_op.audio_features(auds, frame=fixtures.AUDIO_FRAME)
 
 
 @query("images_invariants")
