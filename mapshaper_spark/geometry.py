@@ -310,6 +310,184 @@ def gh_clip(subj: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray]:
     return pieces
 
 
+def gh_clip_rings(
+    a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str
+) -> list[np.ndarray]:
+    """Greiner–Hormann boolean of two MULTI-RING even-odd features
+    (outer rings CCW, holes CW, disjoint parts — the engine's feature
+    model). Returns the result's ring set, even-odd interpreted.
+
+    Construction on top of the single-ring kernel's machinery:
+
+    - intersections are spliced across EVERY (a-ring, b-ring) pair;
+      entry/exit flags alternate from the ring's first-vertex parity
+      against the WHOLE other ring set (`pip_rings`), with the op's
+      polarity bit;
+    - crossed-ring pieces trace exactly as in :func:`gh_clip`, and each
+      traced ring is oriented by a near-boundary interior point tested
+      against the op's membership predicate (near-boundary, not
+      centroid: a traced region may contain another ring as a hole);
+    - UNCROSSED rings are included whole by the parity rule
+      (intersection: a-ring iff inside B, b-ring iff inside A; union:
+      iff outside the other; difference: a-ring iff outside B, b-ring
+      iff inside A) and keep their original orientation — except
+      difference REVERSES included b-rings (the complement flips hole
+      and outer roles: a hole of B inside A becomes an island of A∖B).
+
+    General-position inputs (no tangency/collinear overlap) — raises
+    loudly otherwise, like the single-ring kernel."""
+    flip_a, flip_b = {
+        "intersection": (False, False),
+        "union": (True, True),
+        "difference": (True, False),
+    }[op]
+    a_rings = [np.asarray(r, dtype=float) for r in a_rings]
+    b_rings = [np.asarray(r, dtype=float) for r in b_rings]
+
+    a_edges: list[dict[int, list]] = [{} for _ in a_rings]
+    b_edges: list[dict[int, list]] = [{} for _ in b_rings]
+    a_crossed = [False] * len(a_rings)
+    b_crossed = [False] * len(b_rings)
+    for ai, ra in enumerate(a_rings):
+        ka = len(ra)
+        for i in range(ka):
+            p1, p2 = ra[i], ra[(i + 1) % ka]
+            for bi, rb in enumerate(b_rings):
+                kb = len(rb)
+                for j in range(kb):
+                    q1, q2 = rb[j], rb[(j + 1) % kb]
+                    hit = _seg_intersect(p1, p2, q1, q2)
+                    if hit is None:
+                        continue
+                    t, u, pt = hit
+                    na = _GHNode(pt, inter=True, t=t)
+                    nb = _GHNode(pt, inter=True, t=u)
+                    na.nbr, nb.nbr = nb, na
+                    a_edges[ai].setdefault(i, []).append((t, na))
+                    b_edges[bi].setdefault(j, []).append((u, nb))
+                    a_crossed[ai] = b_crossed[bi] = True
+
+    def _member(px, py, rings):
+        return bool(pip_rings(np.array([px]), np.array([py]), rings)[0])
+
+    def _in_result(px, py):
+        in_a = _member(px, py, a_rings)
+        in_b = _member(px, py, b_rings)
+        return {
+            "intersection": in_a and in_b,
+            "union": in_a or in_b,
+            "difference": in_a and not in_b,
+        }[op]
+
+    out: list[np.ndarray] = []
+
+    # uncrossed rings: whole-ring parity inclusion
+    for ai, ra in enumerate(a_rings):
+        if a_crossed[ai]:
+            continue
+        vx, vy = ra[0][0], ra[0][1]
+        inside_b = _member(vx, vy, b_rings)
+        keep = inside_b if op == "intersection" else not inside_b
+        if keep:
+            out.append(ra.copy())
+    for bi, rb in enumerate(b_rings):
+        if b_crossed[bi]:
+            continue
+        vx, vy = rb[0][0], rb[0][1]
+        inside_a = _member(vx, vy, a_rings)
+        keep = inside_a if op in ("intersection", "difference") else not inside_a
+        if keep:
+            out.append(rb[::-1].copy() if op == "difference" else rb.copy())
+
+    # crossed rings: build node lists, flag, trace
+    all_a_nodes = []
+    ring_nodes = []
+    for ai, ra in enumerate(a_rings):
+        if not a_crossed[ai]:
+            continue
+        nodes = _gh_build(ra, a_edges[ai])
+        ring_nodes.append((nodes, b_rings, flip_a))
+        all_a_nodes.extend(n for n in nodes if n.inter)
+    for bi, rb in enumerate(b_rings):
+        if not b_crossed[bi]:
+            continue
+        nodes = _gh_build(rb, b_edges[bi])
+        ring_nodes.append((nodes, a_rings, flip_b))
+
+    for nodes, other, flip in ring_nodes:
+        inside = _member(nodes[0].xy[0], nodes[0].xy[1], other)
+        status = (not inside) ^ flip
+        for n in nodes:
+            if n.inter:
+                n.entry = status
+                status = not status
+
+    max_steps = 8 * sum(len(nodes) for nodes, _o, _f in ring_nodes)
+    for start in all_a_nodes:
+        if start.visited:
+            continue
+        ring = [start.xy]
+        start.visited = True
+        start.nbr.visited = True
+        start_pair = (start, start.nbr)
+        cur = start
+        steps = 0
+        while True:
+            steps += 1
+            if steps > max_steps:
+                raise ValueError(
+                    "gh_clip_rings: non-terminating trace (degenerate input?)"
+                )
+            forward = cur.entry
+            while True:
+                cur = cur.nxt if forward else cur.prv
+                if cur.inter:
+                    break
+                ring.append(cur.xy)
+            cur.visited = True
+            cur.nbr.visited = True
+            cur = cur.nbr
+            if cur is start_pair[0] or cur is start_pair[1]:
+                break
+            ring.append(cur.xy)
+        if len(ring) >= 3:
+            arr = np.array(ring)
+            px, py = _near_boundary_interior_point(arr)
+            in_res = _in_result(px, py)
+            ccw = shoelace_area(arr[:, 0], arr[:, 1]) > 0.0
+            if in_res != ccw:
+                arr = arr[::-1]
+            out.append(arr)
+    return out
+
+
+def _near_boundary_interior_point(ring: np.ndarray) -> tuple[float, float]:
+    """A point just inside the ring NEAR its boundary — robust when the
+    region bounded by the ring contains other rings (a centroid could
+    land in a contained hole): offset an edge midpoint along the inward
+    normal by eps scaled to the ring's extent."""
+    k = len(ring)
+    span = max(
+        float(ring[:, 0].max() - ring[:, 0].min()),
+        float(ring[:, 1].max() - ring[:, 1].min()),
+    )
+    eps = span * 1e-7
+    sgn = 1.0 if shoelace_area(ring[:, 0], ring[:, 1]) > 0 else -1.0
+    for i in range(k):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % k]
+        dx, dy = x2 - x1, y2 - y1
+        ln = np.hypot(dx, dy)
+        if ln == 0:
+            continue
+        # inward normal of a CCW ring edge is (-dy, dx)/ln
+        mx = (x1 + x2) / 2.0 + sgn * (-dy / ln) * eps
+        my = (y1 + y2) / 2.0 + sgn * (dx / ln) * eps
+        if pip_ray(np.array([mx]), np.array([my]), ring)[0]:
+            return float(mx), float(my)
+    raise ValueError("no interior point found near ring boundary")
+
+
 def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
     """Union of MANY simple polygons by iterative pairwise GH merging —
     the -dissolve2 kernel (overlap-tolerant dissolve [upstream

@@ -303,6 +303,52 @@ def gh_boolean_pair_areas(subject: DataFrame, clip: DataFrame) -> DataFrame:
     )
 
 
+def gh_boolean_areas_rings(a_features: DataFrame, b_features: DataFrame) -> DataFrame:
+    """Multi-ring (holed, even-odd) GH booleans per matching poly_id:
+    (poly_id, inter_area, diff_area, union_area) from signed ring sums
+    over geometry.gh_clip_rings. Both inputs are ring tables
+    (poly_id, ring_idx, xs, ys); the cogroup hands each feature pair's
+    full ring sets to the kernel — rings flow through the plan, no
+    driver closure."""
+
+    def kernel(key, apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(apdf) == 0 or len(bpdf) == 0:
+            return pd.DataFrame(
+                columns=["poly_id", "inter_area", "diff_area", "union_area"]
+            )
+        ra = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in apdf.sort_values("ring_idx").iterrows()
+        ]
+        rb = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in bpdf.sort_values("ring_idx").iterrows()
+        ]
+        vals = {}
+        for op in ("intersection", "difference", "union"):
+            rings = geometry.gh_clip_rings(ra, rb, op)
+            vals[op] = sum(geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings)
+        return pd.DataFrame(
+            [
+                {
+                    "poly_id": int(apdf["poly_id"].iloc[0]),
+                    "inter_area": vals["intersection"],
+                    "diff_area": vals["difference"],
+                    "union_area": vals["union"],
+                }
+            ]
+        )
+
+    return (
+        a_features.groupBy("poly_id")
+        .cogroup(b_features.groupBy("poly_id"))
+        .applyInPandas(
+            kernel,
+            schema="poly_id int, inter_area double, diff_area double, union_area double",
+        )
+    )
+
+
 def clip_general_area(features: DataFrame, windows: DataFrame) -> DataFrame:
     """-clip area accounting for GENERAL subjects (concave, multi-ring,
     holed) against convex windows [SURVEY.md §2.6; VERDICT r1 'What's

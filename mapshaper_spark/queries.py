@@ -2184,6 +2184,49 @@ def q_clip_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MR_SHIFT_X, _MR_SHIFT_Y = 17.5, 13.75  # keeps every edge coordinate
+# distinct from the original's (general position) while overlapping
+
+
+@query(
+    "gh_boolean_holed_pairs",
+    f"""
+    WITH d AS (SELECT * FROM {fixtures.holed_rect_decomp_values_sql('dd')}),
+    b AS (SELECT pid, x0 + {_MR_SHIFT_X} AS x0, y0 + {_MR_SHIFT_Y} AS y0,
+                 x1 + {_MR_SHIFT_X} AS x1, y1 + {_MR_SHIFT_Y} AS y1, sgn
+          FROM d),
+    ar AS (SELECT pid, CAST(sum(sgn * (x1 - x0) * (y1 - y0)) AS DOUBLE) AS area
+           FROM d GROUP BY pid),
+    ix AS (SELECT a.pid,
+                  CAST(sum(a.sgn * b.sgn
+                         * GREATEST(0.0, LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+                         * GREATEST(0.0, LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)))
+                       AS DOUBLE) AS inter_area
+           FROM d a JOIN b ON a.pid = b.pid GROUP BY a.pid)
+    SELECT ix.pid AS poly_id, ix.inter_area,
+           ar.area - ix.inter_area AS diff_area,
+           2.0 * ar.area - ix.inter_area AS union_area
+    FROM ix JOIN ar ON ar.pid = ix.pid
+    """,
+)
+def q_gh_boolean_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-RING (holed) GH booleans: every holed feature against its
+    own translated twin — both sides carry holes, so the kernel's
+    even-odd ring-set handling (uncrossed-ring parity inclusion, hole↔
+    island role flips) is the thing under test. The oracle is the
+    signed-decomposition PRODUCT algebra: area(A∩B) =
+    Σ sgn_a·sgn_b·overlap(ra, rb); the twin's area equals the
+    original's, so diff = area − inter and union = 2·area − inter."""
+    feats = testdata.holed_features(spark)
+    shifted = feats.select(
+        "poly_id",
+        "ring_idx",
+        F.expr(f"transform(xs, v -> v + {_MR_SHIFT_X})").alias("xs"),
+        F.expr(f"transform(ys, v -> v + {_MR_SHIFT_Y})").alias("ys"),
+    )
+    return overlay_op.gh_boolean_areas_rings(feats, shifted)
+
+
 @query(
     "gh_boolean_pair_areas",
     f"""
@@ -2694,7 +2737,9 @@ _DRIVER_WINDOW = [
     "images_meta_cells",
     "images_tile_stats",
     "images_phash_near_dup",
-    "clip_concave_pairs_area",
+    # multi-ring GH booleans (strictly supersedes the single-ring
+    # clip_concave_pairs_area check, which stays pytest-oracle-green)
+    "gh_boolean_holed_pairs",
 ]
 
 

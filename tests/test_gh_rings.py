@@ -1,0 +1,109 @@
+"""Multi-ring (even-odd, holed) Greiner–Hormann booleans: exact
+cross-validation against the independent signed Sutherland–Hodgman
+path, rect-decomposition algebra on holed×holed pairs, and hole/island
+role flips in difference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapshaper_spark import fixtures
+from mapshaper_spark import geometry as G
+
+
+def _signed(rings) -> float:
+    return sum(G.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
+
+
+def _sq(x0, y0, w, h):
+    return np.array([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+
+
+def _feature(pid):
+    return [np.asarray(r, dtype=float) for r in fixtures.HOLED_FEATURES[pid]["rings"]]
+
+
+def _decomp_area(pid, window):
+    """Exact clip area from the fixture's signed rect decomposition."""
+    wx0, wy0, wx1, wy1 = window
+    total = 0.0
+    for p, x0, y0, x1, y1, s in fixtures.HOLED_RECT_DECOMP:
+        if p != pid:
+            continue
+        ox = max(0.0, min(x1, wx1) - max(x0, wx0))
+        oy = max(0.0, min(y1, wy1) - max(y0, wy0))
+        total += s * ox * oy
+    return total
+
+
+@pytest.mark.parametrize("pid", [0, 1, 2, 3])
+def test_intersection_with_window_matches_decomposition(pid):
+    w = fixtures.CLIP_WINDOWS[pid]
+    win = _sq(w["x0"], w["y0"], w["x1"] - w["x0"], w["y1"] - w["y0"])
+    out = G.gh_clip_rings(_feature(pid), [win], "intersection")
+    want = _decomp_area(pid, (w["x0"], w["y0"], w["x1"], w["y1"]))
+    assert _signed(out) == pytest.approx(want, rel=1e-12)
+
+
+@pytest.mark.parametrize("pid", [0, 1, 2, 3])
+def test_boolean_identities_on_holed_features(pid):
+    w = fixtures.CLIP_WINDOWS[pid]
+    win = _sq(w["x0"], w["y0"], w["x1"] - w["x0"], w["y1"] - w["y0"])
+    feat = _feature(pid)
+    area_a = _signed([r for r in feat])  # signed: holes subtract
+    area_b = abs(G.shoelace_area(win[:, 0], win[:, 1]))
+    inter = _signed(G.gh_clip_rings(feat, [win], "intersection"))
+    diff = _signed(G.gh_clip_rings(feat, [win], "difference"))
+    union = _signed(G.gh_clip_rings(feat, [win], "union"))
+    assert inter + diff == pytest.approx(area_a, rel=1e-12)
+    assert union == pytest.approx(area_a + area_b - inter, rel=1e-12)
+
+
+def test_difference_flips_hole_to_island():
+    """big square ∖ donut = frame outside the donut + island inside its
+    hole — the donut's hole ring must come back as an OUTER (CCW) ring."""
+    big = [_sq(-176.0, -86.0, 52.0, 52.0)]  # strictly contains the donut
+    donut = _feature(0)
+    out = G.gh_clip_rings(big, donut, "difference")
+    # rings: big outer (CCW), donut outer reversed (CW hole), donut hole
+    # reversed (CCW island)
+    assert len(out) == 3
+    want = 52.0 * 52.0 - (40.0 * 40.0 - 20.0 * 20.0)
+    assert _signed(out) == pytest.approx(want, rel=1e-12)
+    # the island region (inside the donut hole) IS in the result
+    assert G.pip_rings(np.array([-150.0]), np.array([-60.0]), out)[0]
+    # the donut ring body is NOT
+    assert not G.pip_rings(np.array([-165.0]), np.array([-45.0]), out)[0]
+
+
+def test_intersection_containment_cases():
+    donut = _feature(0)
+    # window entirely inside the HOLE → empty intersection
+    inside_hole = [_sq(-155.0, -65.0, 10.0, 10.0)]
+    assert G.gh_clip_rings(donut, inside_hole, "intersection") == []
+    # window strictly containing the whole donut → the donut itself
+    around = [_sq(-176.0, -86.0, 52.0, 52.0)]
+    out = G.gh_clip_rings(donut, around, "intersection")
+    assert _signed(out) == pytest.approx(40.0 * 40.0 - 20.0 * 20.0)
+
+
+def test_holed_x_holed_pair():
+    """donut × shifted donut — both sides multi-ring; truth from the two
+    signed decompositions' product algebra."""
+    donut = _feature(0)
+    # shift the donut fixture by (+15, +15): overlaps ring bodies
+    shifted = [r + np.array([15.0, 15.0]) for r in donut]
+    dec_a = [(x0, y0, x1, y1, s) for p, x0, y0, x1, y1, s in fixtures.HOLED_RECT_DECOMP if p == 0]
+    dec_b = [(x0 + 15, y0 + 15, x1 + 15, y1 + 15, s) for x0, y0, x1, y1, s in dec_a]
+    want = 0.0
+    for ax0, ay0, ax1, ay1, sa in dec_a:
+        for bx0, by0, bx1, by1, sb in dec_b:
+            ox = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+            oy = max(0.0, min(ay1, by1) - max(ay0, by0))
+            want += sa * sb * ox * oy
+    inter = _signed(G.gh_clip_rings(donut, shifted, "intersection"))
+    assert inter == pytest.approx(want, rel=1e-12)
+    area_a = 40.0 * 40.0 - 20.0 * 20.0
+    diff = _signed(G.gh_clip_rings(donut, shifted, "difference"))
+    assert inter + diff == pytest.approx(area_a, rel=1e-12)
