@@ -960,17 +960,22 @@ def q_calc_mode_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode.join(coll, "c_mktsegment")
 
 
-@query("classify_nice_breaks")
+from .functions import classify as classify_fn  # noqa: E402
+
+
+@query(
+    "classify_nice_breaks",
+    classify_fn.nice_breaks_oracle_sql("c_acctbal", "customer", 5),
+)
 def q_classify_nice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-classify with 'nice' breaks [upstream classify convenience,
     VERDICT r1 'What's missing' #5]: equal-interval over a step snapped
-    to 1/2/2.5/5 x 10^k, breaks aligned to step multiples. The data
-    min/max is a scalar aggregate (legal driver-side collect); the
-    classification itself is declarative column math. Rows-only (the
-    log10 snap isn't ULP-portable); pytest asserts the nice-ness,
-    coverage, and count-sum properties [tests/test_classify_nice.py]."""
-    from .functions import classify as classify_fn
-
+    to 1/2/2.5/5 x decade, breaks at step multiples. FULLY hash-checked:
+    the snap is pure arithmetic over a literal decade table (no log10),
+    so the oracle re-derives the identical breaks from the data min/max
+    with the same IEEE ladder [functions/classify.py]. The data min/max
+    is a scalar aggregate (legal driver-side collect); the per-row
+    classification is declarative column math."""
     c = testdata.load(spark, sf_dir, "customer")
     lo, hi = c.agg(F.min("c_acctbal"), F.max("c_acctbal")).collect()[0]
     breaks = classify_fn.nice_breaks(float(lo), float(hi), 5)
