@@ -495,6 +495,22 @@ def dissolve2_rects_values_sql(name: str = "r") -> str:
     return f"(VALUES {rows}) AS {name}(key, x0, y0, x1, y1)"
 
 
+# -inlay layer: boxes carved out of the holed targets (coords distinct
+# from every holed-feature edge coordinate — general position)
+INLAY_BOXES = [
+    (-165.0, -75.0, -145.0, -55.0),  # straddles the donut body + hole
+    (75.0, -65.0, 95.0, -45.0),      # across the ell's corner + hole
+    (-25.0, 65.0, -5.0, 80.0),       # across two comb teeth
+]
+
+
+def inlay_boxes_values_sql(name: str = "ib") -> str:
+    rows = ",".join(
+        f"({x0!r},{y0!r},{x1!r},{y1!r})" for x0, y0, x1, y1 in INLAY_BOXES
+    )
+    return f"(VALUES {rows}) AS {name}(x0, y0, x1, y1)"
+
+
 # convex clip windows that straddle feature bodies AND hole boundaries
 CLIP_WINDOWS = [
     {"poly_id": 0, "x0": -175.5, "y0": -75.5, "x1": -145.5, "y1": -45.5},

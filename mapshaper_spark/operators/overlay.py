@@ -349,6 +349,45 @@ def gh_boolean_areas_rings(a_features: DataFrame, b_features: DataFrame) -> Data
     )
 
 
+def inlay_area(a_features: DataFrame, b_rings: list) -> DataFrame:
+    """-inlay slice [upstream -inlay: carve the inlay layer out of the
+    target layer, keeping both; SURVEY.md §2.6]: every target feature
+    minus the UNION of the inlay polygons, computed as a fold of
+    multi-ring GH differences (each step's ring-set output is the next
+    step's subject — gh_clip_rings takes multi-ring subjects, so carved
+    holes and split pieces survive subsequent steps). The inlay layer
+    itself passes through unchanged (not re-emitted here).
+
+    a_features: (poly_id, ring_idx, xs, ys); b_rings: dim-sized list of
+    (k,2) arrays riding the closure (same dim-layer pattern as fixture
+    rings). Output: (poly_id, n_rings, area) of the carved targets."""
+    b_arrays = [np.asarray(r, dtype=float) for r in b_rings]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in pdf.sort_values("ring_idx").iterrows()
+        ]
+        for b in b_arrays:
+            rings = geometry.gh_clip_rings(rings, [b], "difference")
+            if not rings:
+                break
+        area = sum(geometry.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
+        return pd.DataFrame(
+            [
+                {
+                    "poly_id": int(pdf["poly_id"].iloc[0]),
+                    "n_rings": len(rings),
+                    "area": area,
+                }
+            ]
+        )
+
+    return a_features.groupBy("poly_id").applyInPandas(
+        run, schema="poly_id int, n_rings int, area double"
+    )
+
+
 def clip_general_area(features: DataFrame, windows: DataFrame) -> DataFrame:
     """-clip area accounting for GENERAL subjects (concave, multi-ring,
     holed) against convex windows [SURVEY.md §2.6; VERDICT r1 'What's

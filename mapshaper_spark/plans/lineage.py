@@ -136,6 +136,66 @@ def run_stage(
     }
 
 
+def compact(
+    spark: SparkSession,
+    out_path: str,
+    lineage_path: str,
+    dest_path: str,
+    dest_lineage_path: str,
+    cell_col: str = "cell_id",
+    stage: str = "compacted",
+) -> dict:
+    """Stage-directory compaction [NEXT r3: long streams accumulate one
+    ``_stage=`` dir per micro-batch]: rewrite the WHOLE table into a
+    fresh generation at ``dest_path`` under a single stage, with one
+    lineage record per bucket. Generation-based for crash safety: the
+    source table and its lineage are never touched — the caller switches
+    readers to the new paths only after the returned verification flag
+    is true (and then garbage-collects the old generation).
+
+    Returns {'rows', 'buckets', 'verified'}."""
+    src = spark.read.parquet(out_path).drop("_stage")
+    (
+        src.repartition(F.col("_bucket"))
+        .sortWithinPartitions(cell_col)
+        .withColumn("_stage", F.lit(stage))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket", "_stage")
+        .parquet(dest_path)
+    )
+    written = (
+        spark.read.parquet(dest_path)
+        .filter(F.col("_stage") == stage)
+        .drop("_stage")
+        .withColumnRenamed("_bucket", "bucket")
+    )
+    hash_cols = [c for c in written.columns if c != "bucket"]
+    lineage = written.groupBy("bucket").agg(
+        F.min(cell_col).alias("cell_lo"),
+        F.max(cell_col).alias("cell_hi"),
+        F.count(F.lit(1)).alias("row_count"),
+        _content_hash(written, hash_cols).alias("content_hash"),
+    )
+    lineage = lineage.select(
+        F.lit(stage).alias("stage"),
+        F.col("bucket").cast("long"),
+        "cell_lo",
+        "cell_hi",
+        "row_count",
+        "content_hash",
+        F.lit(time.time()).alias("wall_ts"),
+    )
+    lineage.write.mode("overwrite").parquet(dest_lineage_path)
+    stats = written.agg(
+        F.count(F.lit(1)).alias("nr"), F.countDistinct("bucket").alias("nb")
+    ).collect()[0]
+    ok = verify_lineage(spark, dest_path, dest_lineage_path) and (
+        int(stats["nr"]) == src.count()
+    )
+    return {"rows": int(stats["nr"]), "buckets": int(stats["nb"]), "verified": bool(ok)}
+
+
 def verify_lineage(
     spark: SparkSession, out_path: str, lineage_path: str, stage: str | None = None
 ) -> bool:

@@ -2189,6 +2189,46 @@ def q_clip_concave_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "inlay_carved_areas",
+    f"""
+    WITH d AS (SELECT * FROM {fixtures.holed_rect_decomp_values_sql('dd')}),
+    ib AS (SELECT * FROM {fixtures.inlay_boxes_values_sql()}),
+    xs AS (SELECT DISTINCT pid, x FROM (
+            SELECT pid, x0 AS x FROM d UNION SELECT pid, x1 FROM d
+            UNION SELECT d.pid, ib.x0 FROM d, ib UNION SELECT d.pid, ib.x1 FROM d, ib)),
+    ys AS (SELECT DISTINCT pid, y FROM (
+            SELECT pid, y0 AS y FROM d UNION SELECT pid, y1 FROM d
+            UNION SELECT d.pid, ib.y0 FROM d, ib UNION SELECT d.pid, ib.y1 FROM d, ib)),
+    xi AS (SELECT pid, x AS xa, lead(x) OVER (PARTITION BY pid ORDER BY x) AS xb FROM xs),
+    yi AS (SELECT pid, y AS ya, lead(y) OVER (PARTITION BY pid ORDER BY y) AS yb FROM ys),
+    cells AS (SELECT xi.pid, xa, xb, ya, yb FROM xi JOIN yi ON xi.pid = yi.pid
+              WHERE xb IS NOT NULL AND yb IS NOT NULL),
+    keep AS (SELECT c.pid, (c.xb - c.xa) * (c.yb - c.ya) AS a FROM cells c
+             WHERE EXISTS (SELECT 1 FROM d WHERE d.pid = c.pid AND d.sgn = 1
+                           AND d.x0 <= c.xa AND c.xb <= d.x1 AND d.y0 <= c.ya AND c.yb <= d.y1)
+               AND NOT EXISTS (SELECT 1 FROM d WHERE d.pid = c.pid AND d.sgn = -1
+                           AND d.x0 <= c.xa AND c.xb <= d.x1 AND d.y0 <= c.ya AND c.yb <= d.y1)
+               AND NOT EXISTS (SELECT 1 FROM ib WHERE ib.x0 <= c.xa AND c.xb <= ib.x1
+                           AND ib.y0 <= c.ya AND c.yb <= ib.y1))
+    SELECT pid AS poly_id, CAST(sum(a) AS DOUBLE) AS area FROM keep GROUP BY pid
+    """,
+)
+def q_inlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-inlay: carve the inlay boxes out of every holed target feature
+    via a fold of multi-ring GH differences (carved holes merge with
+    pre-existing holes across steps); the oracle measures each carved
+    region with a sign-aware elementary-cell decomposition — in a
+    feature's body iff a +rect covers and no −rect covers, minus any
+    inlay cover. Exact on the aligned fixture grid."""
+    feats = testdata.holed_features(spark)
+    b_rings = [
+        [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        for x0, y0, x1, y1 in fixtures.INLAY_BOXES
+    ]
+    return overlay_op.inlay_area(feats, b_rings).select("poly_id", "area")
+
+
 _MR_SHIFT_X, _MR_SHIFT_Y = 17.5, 13.75  # keeps every edge coordinate
 # distinct from the original's (general position) while overlapping
 

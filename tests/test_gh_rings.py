@@ -121,6 +121,35 @@ def test_robust_wrapper_exact_when_general_position():
     assert a == b  # no perturbation on clean input
 
 
+def test_inlay_fold_ring_structure_and_membership():
+    """Carve the inlay boxes out of every holed feature: ring counts are
+    pinned (donut's bite merges with its hole into ONE void; the ell's
+    carve breaks through to the outer boundary leaving a single concave
+    ring; islands stay 3) and even-odd membership excludes carved
+    regions while keeping un-carved body."""
+    carved = {}
+    for f in fixtures.HOLED_FEATURES:
+        rings = [np.asarray(r, float) for r in f["rings"]]
+        for x0, y0, x1, y1 in fixtures.INLAY_BOXES:
+            b = np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+            rings = G.gh_clip_rings(rings, [b], "difference")
+        carved[f["name"]] = rings
+    assert {k: len(v) for k, v in carved.items()} == {
+        "donut": 2,
+        "ell_holed": 1,
+        "islands": 3,
+        "comb": 1,
+    }
+    # donut: point inside the inlay bite is OUT; body far from bite is IN
+    d = carved["donut"]
+    assert not G.pip_rings(np.array([-150.0]), np.array([-72.0]), d)[0]
+    assert G.pip_rings(np.array([-135.0]), np.array([-45.0]), d)[0]
+    # comb: carved tooth region OUT, untouched tooth IN
+    c = carved["comb"]
+    assert not G.pip_rings(np.array([-22.0]), np.array([70.0]), c)[0]
+    assert G.pip_rings(np.array([-45.0]), np.array([75.0]), c)[0]
+
+
 def test_holed_x_holed_pair():
     """donut × shifted donut — both sides multi-ring; truth from the two
     signed decompositions' product algebra."""

@@ -109,6 +109,32 @@ def test_two_stages_sharing_buckets_verify_independently(spark, tmpdirs):
     assert lineage.verify_lineage(spark, out, ln)
 
 
+def test_compaction_collapses_stages_into_one_generation(spark, tmpdirs, tmp_path):
+    """Three stages sharing buckets → compact into a fresh generation:
+    one stage dir, same rows, dest lineage verifies, source untouched."""
+    import os
+
+    out, ln = tmpdirs
+    df = _staged_input(spark)
+    for i in range(3):
+        lineage.run_stage(
+            df.filter(F.col("point_id") % 3 == i), f"s{i}", out, ln, res=6, bucket_res=2
+        )
+    dest = str(tmp_path / "gen2")
+    dln = str(tmp_path / "gen2_ln")
+    m = lineage.compact(spark, out, ln, dest, dln)
+    assert m["verified"] and m["rows"] == df.count()
+    got = spark.read.parquet(dest)
+    assert got.select("_stage").distinct().count() == 1
+    a = got.drop("_bucket", "_stage")
+    assert a.exceptAll(df).count() == 0 and df.exceptAll(a).count() == 0
+    assert lineage.verify_lineage(spark, dest, dln)
+    # source generation untouched (old stages still verify)
+    for i in range(3):
+        assert lineage.verify_lineage(spark, out, ln, f"s{i}")
+    assert len([d for d in os.listdir(out) if d.startswith("_bucket=")]) > 0
+
+
 def test_rerun_after_complete_is_noop(spark, tmpdirs):
     out, ln = tmpdirs
     df = _staged_input(spark)
