@@ -77,10 +77,17 @@ BENCH_QUERIES = [
     "calc_mode_collect",
     "tile_assign_webmercator",
     "gh_boolean_pair_areas",
+    "gh_boolean_holed_pairs",
     "clip_concave_pairs_area",
     "union_pair_areas_boxes",
     "simplify_crossings_detected",
     "geojson_roundtrip_stats",
+    "dissolve2_overlap_groups",
+    "inlay_carved_areas",
+    "classify_nice_breaks",
+    "token_bpe_regex",
+    "audio_window_features",
+    "video_frame_stats",
 ]
 
 
