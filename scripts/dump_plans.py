@@ -23,6 +23,8 @@ NAMES = (
     "calc_pricing_summary",
     "images_phash_near_dup",
     "join_interpolate_area_weighted",
+    "gh_boolean_holed_pairs",
+    "classify_nice_breaks",
 )
 
 
