@@ -495,6 +495,14 @@ def dissolve2_rects_values_sql(name: str = "r") -> str:
     return f"(VALUES {rows}) AS {name}(key, x0, y0, x1, y1)"
 
 
+def dissolve2_rects_with_ids_sql(name: str = "r") -> str:
+    rows = ",".join(
+        f"({rid},'{k}',{x0!r},{y0!r},{x1!r},{y1!r})"
+        for rid, (k, x0, y0, x1, y1) in enumerate(DISSOLVE2_RECTS)
+    )
+    return f"(VALUES {rows}) AS {name}(rid, key, x0, y0, x1, y1)"
+
+
 # -inlay layer: boxes carved out of the holed targets (coords distinct
 # from every holed-feature edge coordinate — general position)
 INLAY_BOXES = [

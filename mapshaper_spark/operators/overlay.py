@@ -349,6 +349,64 @@ def gh_boolean_areas_rings(a_features: DataFrame, b_features: DataFrame) -> Data
     )
 
 
+def mosaic_faces(features: DataFrame) -> DataFrame:
+    """-mosaic [upstream src/polygons/mapshaper-mosaic.mjs behavior,
+    SURVEY.md §2.6]: the planar arrangement's FACES of an overlapping
+    polygon layer, identified by their covering member set. Incremental
+    construction over the multi-ring GH kernels: each incoming polygon
+    splits every existing face into (face ∩ P, members ∪ {id}) and
+    (face ∖ P, members), and contributes its own remainder
+    P ∖ (earlier polygons) as a fresh face — all multi-ring ring-set
+    folds, so faces keep holes and split pieces across steps. Member
+    sets are unique by construction (the oracle groups elementary cells
+    by covering signature and must land on identical (members, area)
+    rows).
+
+    Input: (feature_id, key, xs, ys) one simple ring each; one group
+    per key (dim-sized layers). Output: (key, members_csv, area,
+    n_rings)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        faces: list[tuple[list, frozenset]] = []
+        processed: list[tuple[int, np.ndarray]] = []
+        for _, r in pdf.sort_values("feature_id").iterrows():
+            pid = int(r["feature_id"])
+            poly = np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            new_faces: list[tuple[list, frozenset]] = []
+            for rings, ids in faces:
+                inter = geometry.gh_clip_rings(rings, [poly], "intersection")
+                diff = geometry.gh_clip_rings(rings, [poly], "difference")
+                if inter:
+                    new_faces.append((inter, ids | {pid}))
+                if diff:
+                    new_faces.append((diff, ids))
+            rem: list = [poly]
+            for _prev_id, prev in processed:
+                rem = geometry.gh_clip_rings(rem, [prev], "difference")
+                if not rem:
+                    break
+            if rem:
+                new_faces.append((rem, frozenset({pid})))
+            faces = new_faces
+            processed.append((pid, poly))
+        out = []
+        for rings, ids in faces:
+            area = sum(geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings)
+            out.append(
+                {
+                    "key": pdf["key"].iloc[0],
+                    "members_csv": ",".join(str(i) for i in sorted(ids)),
+                    "area": area,
+                    "n_rings": len(rings),
+                }
+            )
+        return pd.DataFrame(out, columns=["key", "members_csv", "area", "n_rings"])
+
+    return features.groupBy("key").applyInPandas(
+        run, schema="key string, members_csv string, area double, n_rings int"
+    )
+
+
 def inlay_area(a_features: DataFrame, b_rings: list) -> DataFrame:
     """-inlay slice [upstream -inlay: carve the inlay layer out of the
     target layer, keeping both; SURVEY.md §2.6]: every target feature

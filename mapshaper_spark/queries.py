@@ -2404,6 +2404,40 @@ def q_dissolve2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mosaic_faces_overlap_layer",
+    f"""
+    WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_with_ids_sql()}),
+    xs AS (SELECT DISTINCT key, x0 AS x FROM r UNION SELECT DISTINCT key, x1 FROM r),
+    ys AS (SELECT DISTINCT key, y0 AS y FROM r UNION SELECT DISTINCT key, y1 FROM r),
+    xi AS (SELECT key, x AS xa, lead(x) OVER (PARTITION BY key ORDER BY x) AS xb FROM xs),
+    yi AS (SELECT key, y AS ya, lead(y) OVER (PARTITION BY key ORDER BY y) AS yb FROM ys),
+    cells AS (SELECT xi.key, xa, xb, ya, yb
+              FROM xi JOIN yi ON xi.key = yi.key
+              WHERE xb IS NOT NULL AND yb IS NOT NULL),
+    cover AS (SELECT c.key, c.xa, c.xb, c.ya, c.yb,
+                     (c.xb - c.xa) * (c.yb - c.ya) AS a,
+                     string_agg(CAST(r.rid AS VARCHAR), ',' ORDER BY r.rid) AS members
+              FROM cells c JOIN r ON r.key = c.key
+                AND r.x0 <= c.xa AND c.xb <= r.x1 AND r.y0 <= c.ya AND c.yb <= r.y1
+              GROUP BY c.key, c.xa, c.xb, c.ya, c.yb)
+    SELECT key, members AS members_csv, CAST(sum(a) AS DOUBLE) AS area
+    FROM cover GROUP BY 1, 2
+    """,
+)
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-mosaic: the overlapping layer's planar faces keyed by covering
+    member set, built incrementally from multi-ring GH splits; the
+    oracle groups elementary cells by covering SIGNATURE — face
+    membership and exact area must both match [SURVEY §2.6's last
+    out-of-scope row, now in]."""
+    feats = spark.createDataFrame(
+        fixtures.dissolve2_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    return overlay_op.mosaic_faces(feats).select("key", "members_csv", "area")
+
+
+@query(
     "asof_last_purchase_before_click",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

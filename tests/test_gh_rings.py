@@ -150,6 +150,33 @@ def test_inlay_fold_ring_structure_and_membership():
     assert G.pip_rings(np.array([-45.0]), np.array([75.0]), c)[0]
 
 
+def test_mosaic_faces_with_holed_face(spark):
+    """Mosaic of a big square with a small square strictly inside: face
+    {0} is the big square MINUS the small one (a ring-with-hole face),
+    face {0,1} is the small square; faces partition the union."""
+    import pandas as pd
+
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feature_id": [0, 1],
+                "key": ["k", "k"],
+                "xs": [[0.0, 10.0, 10.0, 0.0], [3.0, 5.0, 5.0, 3.0]],
+                "ys": [[0.0, 0.0, 10.0, 10.0], [3.0, 3.0, 5.0, 5.0]],
+            }
+        ),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    rows = {r["members_csv"]: r for r in overlay_op.mosaic_faces(feats).collect()}
+    assert set(rows) == {"0", "0,1"}
+    assert rows["0"]["area"] == pytest.approx(100.0 - 4.0)
+    assert rows["0"]["n_rings"] == 2  # outer + hole
+    assert rows["0,1"]["area"] == pytest.approx(4.0)
+    assert rows["0"]["area"] + rows["0,1"]["area"] == pytest.approx(100.0)
+
+
 def test_holed_x_holed_pair():
     """donut × shifted donut — both sides multi-ring; truth from the two
     signed decompositions' product algebra."""
