@@ -407,6 +407,23 @@ def mosaic_faces(features: DataFrame) -> DataFrame:
     )
 
 
+def clean_assign_areas(features: DataFrame) -> DataFrame:
+    """-clean [upstream mosaic-based overlap repair, SURVEY.md §2.2]:
+    remove overlaps by assigning every mosaic face to exactly ONE of its
+    covering members (the lowest feature_id — upstream's deterministic
+    winner rule analog) and re-aggregating per feature. Area-accounting
+    form: (key, feature_id, clean_area); Σ clean_area per key equals the
+    union measure (each face counted once)."""
+    faces = mosaic_faces(features)
+    assigned = faces.withColumn(
+        "feature_id",
+        F.expr("array_min(transform(split(members_csv, ','), s -> CAST(s AS INT)))"),
+    )
+    return assigned.groupBy("key", "feature_id").agg(
+        F.sum("area").alias("clean_area")
+    )
+
+
 def inlay_area(a_features: DataFrame, b_rings: list) -> DataFrame:
     """-inlay slice [upstream -inlay: carve the inlay layer out of the
     target layer, keeping both; SURVEY.md §2.6]: every target feature

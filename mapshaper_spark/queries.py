@@ -2438,6 +2438,39 @@ def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "clean_overlap_assignment",
+    f"""
+    WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_with_ids_sql()}),
+    xs AS (SELECT DISTINCT key, x0 AS x FROM r UNION SELECT DISTINCT key, x1 FROM r),
+    ys AS (SELECT DISTINCT key, y0 AS y FROM r UNION SELECT DISTINCT key, y1 FROM r),
+    xi AS (SELECT key, x AS xa, lead(x) OVER (PARTITION BY key ORDER BY x) AS xb FROM xs),
+    yi AS (SELECT key, y AS ya, lead(y) OVER (PARTITION BY key ORDER BY y) AS yb FROM ys),
+    cells AS (SELECT xi.key, xa, xb, ya, yb
+              FROM xi JOIN yi ON xi.key = yi.key
+              WHERE xb IS NOT NULL AND yb IS NOT NULL),
+    owner AS (SELECT c.key, min(r.rid) AS feature_id,
+                     (c.xb - c.xa) * (c.yb - c.ya) AS a
+              FROM cells c JOIN r ON r.key = c.key
+                AND r.x0 <= c.xa AND c.xb <= r.x1 AND r.y0 <= c.ya AND c.yb <= r.y1
+              GROUP BY c.key, c.xa, c.xb, c.ya, c.yb)
+    SELECT key, CAST(feature_id AS INT) AS feature_id,
+           CAST(sum(a) AS DOUBLE) AS clean_area
+    FROM owner GROUP BY 1, 2
+    """,
+)
+def q_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-clean: overlap removal by assigning every mosaic face to its
+    lowest covering member, re-aggregated per feature; the oracle
+    assigns elementary cells by the same min-id rule. Together the clean
+    areas tile the union measure exactly."""
+    feats = spark.createDataFrame(
+        fixtures.dissolve2_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    return overlay_op.clean_assign_areas(feats)
+
+
+@query(
     "asof_last_purchase_before_click",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
