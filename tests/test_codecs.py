@@ -91,6 +91,57 @@ def test_split_layers_roundtrip(spark, tmp_path):
     assert total == inc.count()
 
 
+def test_shp_points_roundtrip(spark, tmp_path):
+    from mapshaper_spark.sources import shapefile as shp
+
+    pts = testdata.customer_points(spark, SF_SMOKE).orderBy("point_id").collect()
+    path = str(tmp_path / "pts.shp")
+    shp.write_points_shp(path, [(r["lon"], r["lat"]) for r in pts])
+    back = shp.import_points_shp(spark, path).orderBy("point_id").collect()
+    assert len(back) == len(pts)
+    assert all(
+        b["lon"] == a["lon"] and b["lat"] == a["lat"] for a, b in zip(pts, back)
+    )
+
+
+def test_shp_polygons_roundtrip_multi_ring(spark, tmp_path):
+    """The holed multi-ring layer through the shapefile codec: ring
+    structure and coordinates bit-exact (doubles are stored raw LE)."""
+    from mapshaper_spark.sources import shapefile as shp
+
+    feats = [
+        [list(zip(r["xs"], r["ys"])) for r in grp]
+        for grp in (
+            [r for r in testdata.holed_features(spark).collect() if r["poly_id"] == p]
+            for p in range(4)
+        )
+    ]
+    path = str(tmp_path / "holed.shp")
+    shp.write_polygons_shp(path, feats)
+    back = shp.import_polygons_shp(spark, path)
+    want = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in testdata.holed_features(spark).collect()
+    }
+    got = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in back.collect()
+    }
+    assert got == want
+    # imported layer drives the real PIP machinery identically
+    from mapshaper_spark import fixtures
+    from mapshaper_spark.operators import spatial_join as sj
+
+    pts = testdata.customer_points(spark, SF_SMOKE)
+    idx = sj.build_cell_index_general(spark, back)
+    a = sj.pip_attribute_general(pts, idx, fixtures.multiring_rings())
+    idx0 = sj.build_cell_index_general(spark, testdata.holed_features(spark))
+    b = sj.pip_attribute_general(pts, idx0, fixtures.multiring_rings())
+    ka = {(r["point_id"], r["poly_id"]) for r in a.collect()}
+    kb = {(r["point_id"], r["poly_id"]) for r in b.collect()}
+    assert ka == kb
+
+
 def test_topojson_document_structure_and_refs():
     fpdf = pd.DataFrame(fixtures.GRID_FEATURES)
     apdf = pd.DataFrame(fixtures.GRID_ARCS)
