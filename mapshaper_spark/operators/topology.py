@@ -256,6 +256,124 @@ def dissolve_rings(features: DataFrame, arcs: DataFrame) -> DataFrame:
     )
 
 
+def polygons_from_arcs(arcs: list[dict]) -> list[dict]:
+    """-polygons [upstream src/commands/mapshaper-polygons.mjs behavior,
+    SURVEY.md §2.7]: build polygon faces from a bare arc layer by the
+    classic planar face walk — at every junction the traversal leaves by
+    the edge immediately clockwise of the arrival edge's reverse, so
+    each directed arc is used exactly once and interior faces close CCW.
+    The unbounded outer face (negative area) is dropped.
+
+    arcs: [{arc_id, xs, ys}] with shared endpoint coordinates. Returns
+    [{face_id, arc_ids (signed refs, TopoJSON convention), n_arcs,
+    area, xs, ys}].
+    """
+    import math
+
+    # directed edge id: (arc_id, forward)
+    node_of: dict[tuple[float, float], list] = {}
+    geom = {}
+    for a in arcs:
+        xs, ys = list(a["xs"]), list(a["ys"])
+        geom[a["arc_id"]] = (xs, ys)
+        node_of.setdefault((xs[0], ys[0]), []).append((a["arc_id"], True))
+        node_of.setdefault((xs[-1], ys[-1]), []).append((a["arc_id"], False))
+
+    def tail(e):
+        xs, ys = geom[e[0]]
+        return (xs[0], ys[0]) if e[1] else (xs[-1], ys[-1])
+
+    def head(e):
+        xs, ys = geom[e[0]]
+        return (xs[-1], ys[-1]) if e[1] else (xs[0], ys[0])
+
+    def depart_angle(e):
+        xs, ys = geom[e[0]]
+        if e[1]:
+            return math.atan2(ys[1] - ys[0], xs[1] - xs[0])
+        return math.atan2(ys[-2] - ys[-1], xs[-2] - xs[-1])
+
+    # clockwise-ordered outgoing edges per node
+    order: dict[tuple[float, float], list] = {}
+    for node, edges in node_of.items():
+        order[node] = sorted(edges, key=depart_angle, reverse=True)
+
+    def next_edge(e):
+        # arrive at head(e); leave by the edge just clockwise of the
+        # reverse of e in the rotation order around that node
+        node = head(e)
+        rev = (e[0], not e[1])
+        ring = order[node]
+        i = ring.index(rev)
+        return ring[(i + 1) % len(ring)]
+
+    visited = set()
+    faces = []
+    for a in arcs:
+        for fwd in (True, False):
+            start = (a["arc_id"], fwd)
+            if start in visited:
+                continue
+            refs = []
+            cxs, cys = [], []
+            e = start
+            while True:
+                visited.add(e)
+                refs.append(e[0] if e[1] else -e[0] - 1)
+                xs, ys = geom[e[0]]
+                seq = list(zip(xs, ys)) if e[1] else list(zip(xs[::-1], ys[::-1]))
+                cxs.extend(p[0] for p in seq[:-1])
+                cys.extend(p[1] for p in seq[:-1])
+                e = next_edge(e)
+                if e == start:
+                    break
+            from .. import geometry
+
+            a2, _, _ = geometry.shoelace_seq(cxs, cys)
+            faces.append(
+                {
+                    "arc_ids": refs,
+                    "n_arcs": len(refs),
+                    "area": a2 / 2.0,
+                    "xs": cxs,
+                    "ys": cys,
+                }
+            )
+    out = [f for f in faces if f["area"] > 0.0]
+    for i, f in enumerate(out):
+        f["face_id"] = i
+    return out
+
+
+def polygons_from_arcs_df(arcs: DataFrame) -> DataFrame:
+    """DataFrame wrapper: one face-walk group over the (dim-sized) arc
+    layer — at scale, run per connected component / tile partition."""
+
+    def run(it):
+        for pdf in it:
+            rows = [
+                {"arc_id": int(r["arc_id"]), "xs": r["xs"], "ys": r["ys"]}
+                for _, r in pdf.iterrows()
+            ]
+            faces = polygons_from_arcs(rows)
+            yield pd.DataFrame(
+                [
+                    {
+                        "face_id": f["face_id"],
+                        "n_arcs": f["n_arcs"],
+                        "n_vertices": len(f["xs"]),
+                        "area": f["area"],
+                    }
+                    for f in faces
+                ],
+                columns=["face_id", "n_arcs", "n_vertices", "area"],
+            )
+
+    return arcs.coalesce(1).mapInPandas(
+        run, schema="face_id int, n_arcs int, n_vertices int, area double"
+    )
+
+
 def stitch_rings(boundary_arcs: pd.DataFrame) -> list[list[tuple[float, float]]]:
     """Driver/test-side ring stitching: chain boundary arcs into closed
     rings (greedy endpoint matching). Used by pytest to verify dissolve

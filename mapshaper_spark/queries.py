@@ -2471,6 +2471,23 @@ def q_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "polygons_from_lines_grid",
+    """
+    SELECT i AS face_id, 4 AS n_arcs, 4 AS n_vertices, 1.0e0 AS area
+    FROM range(16) r(i)
+    """,
+)
+def q_polygons_from_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-polygons (build faces from a bare line layer) [SURVEY §2.7's
+    last gap]: planar face walk over the shared-arc grid — leave every
+    junction by the edge clockwise of the arrival reverse, interior
+    faces close CCW, the unbounded face drops. The 4x4 grid's 40 arcs
+    must yield exactly 16 unit faces of 4 arcs each."""
+    arcs = topology.arcs_df(spark, fixtures.GRID_ARCS)
+    return topology.polygons_from_arcs_df(arcs)
+
+
+@query(
     "asof_last_purchase_before_click",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
