@@ -125,6 +125,33 @@ def _seg_intersect(p1, p2, q1, q2):
     return None
 
 
+def _seg_intersections_bulk(ra: np.ndarray, rb: np.ndarray):
+    """All PROPER intersections between ring ra's edges and ring rb's
+    edges, vectorized: returns (ia, ja, t, u, px, py) arrays. The
+    broadcast twin of :func:`_seg_intersect` — same open-interval
+    (general-position) semantics, O(Ka·Kb) numpy instead of Python."""
+    p1 = ra
+    p2 = np.roll(ra, -1, axis=0)
+    q1 = rb
+    q2 = np.roll(rb, -1, axis=0)
+    r = p2 - p1  # (K,2)
+    s = q2 - q1  # (M,2)
+    den = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]  # (K,M)
+    qp = q1[None, :, :] - p1[:, None, :]  # (K,M,2)
+    tn = qp[:, :, 0] * s[None, :, 1] - qp[:, :, 1] * s[None, :, 0]
+    un = qp[:, :, 0] * r[:, None, 1] - qp[:, :, 1] * r[:, None, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = tn / den
+        u = un / den
+    ok = (den != 0.0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+    ia, ja = np.nonzero(ok)
+    tt = t[ia, ja]
+    uu = u[ia, ja]
+    px = p1[ia, 0] + tt * r[ia, 0]
+    py = p1[ia, 1] + tt * r[ia, 1]
+    return ia, ja, tt, uu, px, py
+
+
 class _GHNode:
     __slots__ = ("xy", "inter", "entry", "nbr", "nxt", "prv", "visited", "t")
 
@@ -194,24 +221,16 @@ def gh_clip(subj: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray]:
     }[op]
     subj = np.asarray(subj, dtype=float)
     clip = np.asarray(clip, dtype=float)
-    ks, kc = len(subj), len(clip)
     subj_edges: dict[int, list] = {}
     clip_edges: dict[int, list] = {}
-    found = False
-    for i in range(ks):
-        p1, p2 = subj[i], subj[(i + 1) % ks]
-        for j in range(kc):
-            q1, q2 = clip[j], clip[(j + 1) % kc]
-            hit = _seg_intersect(p1, p2, q1, q2)
-            if hit is None:
-                continue
-            t, u, pt = hit
-            a = _GHNode(pt, inter=True, t=t)
-            b = _GHNode(pt, inter=True, t=u)
-            a.nbr, b.nbr = b, a
-            subj_edges.setdefault(i, []).append((t, a))
-            clip_edges.setdefault(j, []).append((u, b))
-            found = True
+    ia, ja, ts, us, pxs, pys = _seg_intersections_bulk(subj, clip)
+    found = len(ia) > 0
+    for i, j, t, u, px, py in zip(ia, ja, ts, us, pxs, pys):
+        a = _GHNode((float(px), float(py)), inter=True, t=float(t))
+        b = _GHNode((float(px), float(py)), inter=True, t=float(u))
+        a.nbr, b.nbr = b, a
+        subj_edges.setdefault(int(i), []).append((float(t), a))
+        clip_edges.setdefault(int(j), []).append((float(u), b))
 
     if not found:
         # containment / disjoint, per op
@@ -349,23 +368,15 @@ def gh_clip_rings(
     a_crossed = [False] * len(a_rings)
     b_crossed = [False] * len(b_rings)
     for ai, ra in enumerate(a_rings):
-        ka = len(ra)
-        for i in range(ka):
-            p1, p2 = ra[i], ra[(i + 1) % ka]
-            for bi, rb in enumerate(b_rings):
-                kb = len(rb)
-                for j in range(kb):
-                    q1, q2 = rb[j], rb[(j + 1) % kb]
-                    hit = _seg_intersect(p1, p2, q1, q2)
-                    if hit is None:
-                        continue
-                    t, u, pt = hit
-                    na = _GHNode(pt, inter=True, t=t)
-                    nb = _GHNode(pt, inter=True, t=u)
-                    na.nbr, nb.nbr = nb, na
-                    a_edges[ai].setdefault(i, []).append((t, na))
-                    b_edges[bi].setdefault(j, []).append((u, nb))
-                    a_crossed[ai] = b_crossed[bi] = True
+        for bi, rb in enumerate(b_rings):
+            ia, ja, ts, us, pxs, pys = _seg_intersections_bulk(ra, rb)
+            for i, j, t, u, px, py in zip(ia, ja, ts, us, pxs, pys):
+                na = _GHNode((float(px), float(py)), inter=True, t=float(t))
+                nb = _GHNode((float(px), float(py)), inter=True, t=float(u))
+                na.nbr, nb.nbr = nb, na
+                a_edges[ai].setdefault(int(i), []).append((float(t), na))
+                b_edges[bi].setdefault(int(j), []).append((float(u), nb))
+                a_crossed[ai] = b_crossed[bi] = True
 
     def _member(px, py, rings):
         return bool(pip_rings(np.array([px]), np.array([py]), rings)[0])
@@ -508,6 +519,7 @@ def gh_clip_rings_robust(
     a_rings = [np.asarray(r, dtype=float) for r in a_rings]
     b_rings = [np.asarray(r, dtype=float) for r in b_rings]
     area_a = sum(shoelace_area(r[:, 0], r[:, 1]) for r in a_rings)
+    area_b = sum(shoelace_area(r[:, 0], r[:, 1]) for r in b_rings)
     span = max(
         (
             max(float(r[:, 0].max() - r[:, 0].min()), float(r[:, 1].max() - r[:, 1].min()))
@@ -537,7 +549,14 @@ def gh_clip_rings_robust(
                 return inter
             if op == "difference":
                 return diff
-            return gh_clip_rings(a_rings, b_try, "union")
+            union = gh_clip_rings(a_rings, b_try, "union")
+            u_got = sum(shoelace_area(r[:, 0], r[:, 1]) for r in union)
+            i_got = sum(shoelace_area(r[:, 0], r[:, 1]) for r in inter)
+            if abs(u_got - (area_a + area_b - i_got)) > rel_tol * max(
+                abs(area_a) + abs(area_b), 1.0
+            ):
+                raise ValueError("union identity violated")
+            return union
         except ValueError as e:
             last_err = e
             continue

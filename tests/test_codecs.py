@@ -142,6 +142,32 @@ def test_shp_polygons_roundtrip_multi_ring(spark, tmp_path):
     assert ka == kb
 
 
+def test_kml_points_roundtrip(spark):
+    from mapshaper_spark.sources import kml
+
+    pts = [
+        (r["point_id"], r["lon"], r["lat"])
+        for r in testdata.customer_points(spark, SF_SMOKE).orderBy("point_id").collect()
+    ]
+    kind, back = kml.import_kml(kml.export_points_kml(pts))
+    assert kind == "point"
+    assert back == pts  # repr coordinates → bit-exact
+
+
+def test_kml_polygons_roundtrip_with_holes():
+    from mapshaper_spark.sources import kml
+
+    feats = [
+        {"poly_id": f["poly_id"], "rings": [list(map(tuple, r)) for r in f["rings"]]}
+        for f in fixtures.HOLED_FEATURES
+    ]
+    kind, back = kml.import_kml(kml.export_polygons_kml(feats))
+    assert kind == "polygon"
+    want = {f["poly_id"]: [tuple(map(tuple, r)) for r in f["rings"]] for f in feats}
+    got = {f["poly_id"]: [tuple(map(tuple, r)) for r in f["rings"]] for f in back}
+    assert got == want
+
+
 def test_topojson_document_structure_and_refs():
     fpdf = pd.DataFrame(fixtures.GRID_FEATURES)
     apdf = pd.DataFrame(fixtures.GRID_ARCS)
