@@ -407,6 +407,123 @@ def mosaic_faces(features: DataFrame) -> DataFrame:
     )
 
 
+def mosaic_faces_tiled(features: DataFrame, res: int = 4) -> DataFrame:
+    """The DISTRIBUTED mosaic shape [NEXT r3 #1]: instead of one group
+    per layer, every feature is clipped to the grid cells it overlaps
+    (multi-ring GH ∩ cell box), the face split runs PER CELL over that
+    cell's pieces, and faces merge globally by membership signature —
+    valid because membership faces are signature-keyed, so a face
+    spanning cells is just the sum of its per-cell parts. Work per task
+    is bounded by cell content; the shuffle carries (cell, piece) rows.
+
+    Same output contract as mosaic_faces minus ring counts:
+    (key, members_csv, area). CAVEAT: cell lines must be in general
+    position w.r.t. feature edges — a feature edge or vertex EXACTLY on
+    a grid line is degenerate input (the boundary parity of an
+    on-the-line vertex is arbitrary, which can silently mis-include a
+    cell box). Pick ``res`` so the dyadic grid misses the data's
+    coordinate grain, or pre-translate the layer by an off-grain offset
+    and translate back."""
+    from .. import cells as cells_mod
+
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+
+    def explode_pieces(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                rings = [np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])]
+                allx = rings[0][:, 0]
+                ally = rings[0][:, 1]
+                ix0 = int((allx.min() + 180.0) // cw)
+                ix1 = int((allx.max() + 180.0) // cw)
+                iy0 = int((ally.min() + 90.0) // ch)
+                iy1 = int((ally.max() + 90.0) // ch)
+                for ix in range(max(0, ix0), min(n - 1, ix1) + 1):
+                    for iy in range(max(0, iy0), min(n - 1, iy1) + 1):
+                        x_lo, y_lo = -180.0 + ix * cw, -90.0 + iy * ch
+                        box = np.array(
+                            [
+                                (x_lo, y_lo),
+                                (x_lo + cw, y_lo),
+                                (x_lo + cw, y_lo + ch),
+                                (x_lo, y_lo + ch),
+                            ]
+                        )
+                        piece = geometry.gh_clip_rings(rings, [box], "intersection")
+                        if not piece:
+                            continue
+                        cid = int(
+                            cells_mod.cell_id_from_xy_np(
+                                np.array([ix]), np.array([iy]), res
+                            )[0]
+                        )
+                        out.append(
+                            {
+                                "key": r["key"],
+                                "cell_id": cid,
+                                "feature_id": int(r["feature_id"]),
+                                "pxs": [g[:, 0].tolist() for g in piece],
+                                "pys": [g[:, 1].tolist() for g in piece],
+                            }
+                        )
+            yield pd.DataFrame(
+                out, columns=["key", "cell_id", "feature_id", "pxs", "pys"]
+            )
+
+    pieces = features.mapInPandas(
+        explode_pieces,
+        schema=(
+            "key string, cell_id long, feature_id int,"
+            " pxs array<array<double>>, pys array<array<double>>"
+        ),
+    )
+
+    def cell_faces(pdf: pd.DataFrame) -> pd.DataFrame:
+        faces: list[tuple[list, frozenset]] = []
+        processed: list[list] = []
+        for _, r in pdf.sort_values("feature_id").iterrows():
+            pid = int(r["feature_id"])
+            rings = [
+                np.column_stack([np.asarray(xs), np.asarray(ys)])
+                for xs, ys in zip(r["pxs"], r["pys"])
+            ]
+            new_faces: list[tuple[list, frozenset]] = []
+            for fr, ids in faces:
+                inter = geometry.gh_clip_rings(fr, rings, "intersection")
+                diff = geometry.gh_clip_rings(fr, rings, "difference")
+                if inter:
+                    new_faces.append((inter, ids | {pid}))
+                if diff:
+                    new_faces.append((diff, ids))
+            rem = rings
+            for prev in processed:
+                rem = geometry.gh_clip_rings(rem, prev, "difference")
+                if not rem:
+                    break
+            if rem:
+                new_faces.append((rem, frozenset({pid})))
+            faces = new_faces
+            processed.append(rings)
+        out = []
+        for fr, ids in faces:
+            area = sum(geometry.shoelace_area(g[:, 0], g[:, 1]) for g in fr)
+            out.append(
+                {
+                    "key": pdf["key"].iloc[0],
+                    "members_csv": ",".join(str(i) for i in sorted(ids)),
+                    "area": area,
+                }
+            )
+        return pd.DataFrame(out, columns=["key", "members_csv", "area"])
+
+    per_cell = pieces.groupBy("key", "cell_id").applyInPandas(
+        cell_faces, schema="key string, members_csv string, area double"
+    )
+    return per_cell.groupBy("key", "members_csv").agg(F.sum("area").alias("area"))
+
+
 def clean_assign_areas(features: DataFrame) -> DataFrame:
     """-clean [upstream mosaic-based overlap repair, SURVEY.md §2.2]:
     remove overlaps by assigning every mosaic face to exactly ONE of its

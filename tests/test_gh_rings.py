@@ -177,6 +177,37 @@ def test_mosaic_faces_with_holed_face(spark):
     assert rows["0"]["area"] + rows["0,1"]["area"] == pytest.approx(100.0)
 
 
+def test_tiled_mosaic_matches_global_mosaic(spark):
+    """The distributed (per-cell split, merge-by-signature) mosaic must
+    produce EXACTLY the same (key, members, area) rows as the global
+    single-group construction — cell-cut coordinates are dyadic so the
+    per-cell piece areas sum exactly."""
+    import pandas as pd
+
+    from mapshaper_spark import fixtures as fx
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    # shift the layer off the dyadic grid (rect corners at x=0 would sit
+    # EXACTLY on a res-4 cell line — the documented degenerate case)
+    pdf = fx.dissolve2_pdf()
+    pdf["xs"] = [[v + 0.3125 for v in xs] for xs in pdf["xs"]]
+    pdf["ys"] = [[v + 0.1875 for v in ys] for ys in pdf["ys"]]
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    a = {
+        (r["key"], r["members_csv"]): r["area"]
+        for r in overlay_op.mosaic_faces(feats).collect()
+    }
+    b = {
+        (r["key"], r["members_csv"]): r["area"]
+        for r in overlay_op.mosaic_faces_tiled(feats, res=4).collect()
+    }
+    assert set(a) == set(b) and len(a) >= 7
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12), k
+
+
 def test_holed_x_holed_pair():
     """donut × shifted donut — both sides multi-ring; truth from the two
     signed decompositions' product algebra."""
