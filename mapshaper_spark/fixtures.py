@@ -692,14 +692,21 @@ def repair_simplified_segments_sql(name: str = "sg") -> str:
     return f"(VALUES {','.join(rows)}) AS {name}(arc_id, seg_idx, x1, y1, x2, y2)"
 
 
+def double_literal(t: float) -> str:
+    """repr(t) forced to lex as a DOUBLE in both DuckDB and Spark SQL:
+    append 'e0' unless the repr already carries an exponent (appending to
+    '3.2e-05' would produce the unparseable '3.2e-05e0')."""
+    r = repr(float(t))
+    return r if "e" in r else r + "e0"
+
+
 def polyline_thr_values_sql(method: str) -> str:
     """(arc_id, thr) VALUES relation of the golden thresholds — repr()
     round-trips doubles exactly, so DuckDB parses bit-identical values."""
     rows = []
     for a in polyline_thresholds(method):
         for t in a["thr"]:
-            sfx = "" if "e" in repr(t) else "e0"  # force DOUBLE lexing
-            rows.append(f"({a['arc_id']},{t!r}{sfx})")
+            rows.append(f"({a['arc_id']},{double_literal(t)})")
     return f"(VALUES {','.join(rows)}) AS thrv(arc_id, thr)"
 
 

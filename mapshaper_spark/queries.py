@@ -540,7 +540,7 @@ _T_DP = fixtures.polyline_median_threshold("dp")
     f"""
     SELECT arc_id, count(*) AS n_kept
     FROM {fixtures.polyline_thr_values_sql('visvalingam')}
-    WHERE thr >= {_T_VIS!r}e0 GROUP BY arc_id
+    WHERE thr >= {fixtures.double_literal(_T_VIS)} GROUP BY arc_id
     """,
 )
 def q_simplify_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,7 +564,7 @@ _T_W = fixtures.polyline_median_threshold("weighted")
     f"""
     SELECT arc_id, count(*) AS n_kept
     FROM {fixtures.polyline_thr_values_sql('weighted')}
-    WHERE thr >= {_T_W!r}e0 GROUP BY arc_id
+    WHERE thr >= {fixtures.double_literal(_T_W)} GROUP BY arc_id
     """,
 )
 def q_simplify_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,7 +624,7 @@ def q_simplify_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT arc_id, count(*) AS n_kept
     FROM {fixtures.polyline_thr_values_sql('dp')}
-    WHERE thr >= {_T_DP!r}e0 GROUP BY arc_id
+    WHERE thr >= {fixtures.double_literal(_T_DP)} GROUP BY arc_id
     """,
 )
 def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,18 +66,28 @@ def _parse_coords(text: str):
     return pts
 
 
-def import_kml(doc: str):
-    """KML string → ('point', [(id, x, y)]) or
-    ('polygon', [{poly_id, rings}]) with closing vertices dropped."""
+def import_kml_all(doc: str) -> dict:
+    """KML string → {'points': [(id, x, y)], 'polygons': [{poly_id,
+    rings}]} with closing vertices dropped. External-document tolerant:
+    a non-integer (or missing) Placemark <name> falls back to a
+    sequential id instead of raising, and mixed documents keep BOTH
+    layers [ADVICE r2]."""
     root = ET.fromstring(doc)
     points, polys = [], []
+    seq = 0
     for pm in root.iter():
         if _strip(pm.tag) != "Placemark":
             continue
         name = None
         for el in pm.iter():
             if _strip(el.tag) == "name":
-                name = int(el.text)
+                try:
+                    name = int(el.text)
+                except (TypeError, ValueError):
+                    name = None
+        if name is None:
+            name = seq
+        seq += 1
         for el in pm.iter():
             kind = _strip(el.tag)
             if kind == "Point":
@@ -98,6 +108,14 @@ def import_kml(doc: str):
                                 ring = ring[:-1]
                             rings.append(ring)
                 polys.append({"poly_id": name, "rings": rings})
-    if polys:
-        return "polygon", polys
-    return "point", points
+    return {"points": points, "polygons": polys}
+
+
+def import_kml(doc: str):
+    """Single-layer convenience view over :func:`import_kml_all` (the
+    roundtrip contract the codec tests pin): ('polygon', features) when
+    the document has any polygon, else ('point', points)."""
+    layers = import_kml_all(doc)
+    if layers["polygons"]:
+        return "polygon", layers["polygons"]
+    return "point", layers["points"]

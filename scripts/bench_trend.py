@@ -43,9 +43,11 @@ def main() -> None:
             vals.append(v)
             cells.append(f"{v:.2f}" if v is not None else "—")
         flag = ""
-        present = [v for v in vals if v is not None]
-        if len(present) >= 2 and present[-2] > 0:
-            ratio = present[-1] / present[-2]
+        # only a true latest-vs-previous delta: if either of the final
+        # two rounds is missing this query, print no ratio (a fallback
+        # to older rounds would mislabel the column) [ADVICE r2]
+        if len(vals) >= 2 and vals[-1] is not None and vals[-2] is not None and vals[-2] > 0:
+            ratio = vals[-1] / vals[-2]
             flag = f"{ratio:.2f}x" + (" ⚠" if ratio > 1.25 else "")
         print(f"| {q} | " + " | ".join(cells) + f" | {flag} |")
     print()
