@@ -461,13 +461,23 @@ def gh_rects_values_sql(layer: list[dict], name: str) -> str:
 # -dissolve2 fixture: per-key groups of OVERLAPPING axis-aligned squares
 # (strict overlaps — no edge tangency, which is outside the GH kernel's
 # general-position scope). 'a' = a 3-square overlapping chain merging to
-# one ring; 'b' = two disjoint squares staying separate.
+# one ring; 'b' = two disjoint squares staying separate; 'c' = four bars
+# closing a picture frame — the union CREATES A HOLE (outer + hole ring)
+# [VERDICT r2 #3 donut-forming union]. The bar ends are offset (x 39.5/
+# 47.5 vs 40/45, y -0.5/7.5 vs 0/7) so no two rects share a collinear
+# overlapping edge — general position everywhere. All spans are powers
+# of two, so every edge-crossing solve (t = Δ/2^k, p = p1 + t·span) is
+# EXACT in IEEE and the hash-checked areas match the oracle bit-for-bit.
 DISSOLVE2_RECTS = [
     ("a", 0.0, 0.0, 4.0, 4.0),
     ("a", 2.5, 0.5, 6.5, 4.5),
     ("a", 5.0, 1.0, 9.0, 5.0),
     ("b", 20.0, 0.0, 24.0, 4.0),
     ("b", 30.0, 0.0, 33.0, 3.0),
+    ("c", 40.0, -0.5, 41.0, 7.5),  # left bar (1 x 8)
+    ("c", 44.0, -0.5, 45.0, 7.5),  # right bar (1 x 8)
+    ("c", 39.5, 0.0, 47.5, 1.0),   # bottom bar (8 x 1)
+    ("c", 39.5, 6.0, 47.5, 7.0),   # top bar (8 x 1)
 ]
 
 

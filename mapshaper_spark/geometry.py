@@ -567,36 +567,33 @@ def gh_clip_rings_robust(
 
 
 def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
-    """Union of MANY simple polygons by iterative pairwise GH merging —
-    the -dissolve2 kernel (overlap-tolerant dissolve [upstream
-    -dissolve2]; arc-cancellation dissolve assumes clean shared
-    borders, this one merges genuinely overlapping shapes).
+    """Union of MANY simple polygons — the -dissolve2 kernel
+    (overlap-tolerant dissolve [upstream -dissolve2]; arc-cancellation
+    dissolve assumes clean shared borders, this one merges genuinely
+    overlapping shapes).
 
-    Maintains a set of pairwise-disjoint rings; each incoming ring
-    merges with every ring it properly intersects (restarting the scan
-    after a merge, since the merged shape may now reach others).
-    Hole-producing unions raise (out of scope — even-odd multi-ring
-    union needs the full mosaic machinery)."""
-    merged: list[np.ndarray] = []
+    Even-odd ring-set fold [VERDICT r2 #3]: the accumulator is a
+    multi-ring even-odd feature (outer rings CCW, holes CW), and each
+    incoming polygon joins it through the multi-ring GH union — so
+    donut-forming merges (two C-shapes closing a ring) produce the hole
+    ring instead of raising. Every step goes through
+    :func:`gh_clip_rings_robust`, which verifies the boolean identities
+    and ε-perturb-retries degenerate touches.
+
+    Returns the union's ring set; Σ signed ring areas = the union
+    measure (holes subtract)."""
+    acc: list[np.ndarray] = []
     for ring in rings:
         ring = np.asarray(ring, dtype=float)
-        i = 0
-        while i < len(merged):
-            if not gh_intersection(merged[i], ring):
-                i += 1
-                continue
-            u = gh_union(merged[i], ring)
-            pos = [r for r in u if shoelace_area(r[:, 0], r[:, 1]) > 0]
-            if len(u) != 1 or len(pos) != 1:
-                raise ValueError(
-                    "union_many: union step produced holes/multiple rings "
-                    "(out of this kernel's scope)"
-                )
-            ring = u[0]
-            merged.pop(i)
-            i = 0  # the merged shape may now touch earlier rings
-        merged.append(ring)
-    return merged
+        # each input is a polygon boundary, not a hole — normalize CCW
+        # so uncrossed-kept rings contribute positive signed area
+        if shoelace_area(ring[:, 0], ring[:, 1]) < 0.0:
+            ring = ring[::-1]
+        if not acc:
+            acc = [ring.copy()]
+            continue
+        acc = gh_clip_rings_robust(acc, [ring], "union")
+    return acc
 
 
 def _interior_point(ring: np.ndarray) -> tuple[float, float]:

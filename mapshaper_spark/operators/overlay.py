@@ -408,87 +408,77 @@ def mosaic_faces(features: DataFrame) -> DataFrame:
 
 
 def mosaic_faces_tiled(features: DataFrame, res: int = 4) -> DataFrame:
-    """The DISTRIBUTED mosaic shape [NEXT r3 #1]: instead of one group
-    per layer, every feature is clipped to the grid cells it overlaps
-    (multi-ring GH ∩ cell box), the face split runs PER CELL over that
-    cell's pieces, and faces merge globally by membership signature —
-    valid because membership faces are signature-keyed, so a face
-    spanning cells is just the sum of its per-cell parts. Work per task
-    is bounded by cell content; the shuffle carries (cell, piece) rows.
+    """The DISTRIBUTED mosaic shape [NEXT r3 #1; redesigned r3 per
+    ADVICE]: every feature is REPLICATED (not clipped) to the grid
+    cells its bbox overlaps, the face split runs per cell over the
+    cell's feature subset with ORIGINAL geometry, and each face's
+    contribution is its Sutherland–Hodgman crop to the cell box (signed
+    ring areas — holes subtract; no tracing). Faces merge globally by
+    membership signature: inside a cell, a point's covering set is
+    decided entirely by the features whose bbox reaches the cell, so
+    per-cell signatures agree with the global arrangement and areas sum
+    across cells.
 
-    Same output contract as mosaic_faces minus ring counts:
-    (key, members_csv, area). CAVEAT: cell lines must be in general
-    position w.r.t. feature edges — a feature edge or vertex EXACTLY on
-    a grid line is degenerate input (the boundary parity of an
-    on-the-line vertex is arbitrary, which can silently mis-include a
-    cell box). Pick ``res`` so the dyadic grid misses the data's
-    coordinate grain, or pre-translate the layer by an off-grain offset
-    and translate back."""
-    from .. import cells as cells_mod
+    Why replication instead of GH ∩ cellbox (the r2 design): clipping
+    different features to the SAME box manufactures collinear edges
+    along the cell border — degenerate input to the trace kernel that
+    can silently mis-trace (observed: a donut-group face came back
+    negative). Here the GH kernel only ever sees original feature
+    pairs (the global op's degeneracy profile), and the box crop is a
+    half-plane clip that is immune to on-boundary vertices — so there
+    is NO grid-alignment caveat: edges exactly on cell lines just
+    yield zero-area slivers on one side.
 
+    Work per task is bounded by cell content; the shuffle carries one
+    feature copy per overlapped cell (same asymptotics as shipping
+    clipped pieces). Output: (key, members_csv, area)."""
     n = 1 << res
     cw, ch = 360.0 / n, 180.0 / n
 
-    def explode_pieces(it):
+    def replicate(it):
         for pdf in it:
             out = []
             for _, r in pdf.iterrows():
-                rings = [np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])]
-                allx = rings[0][:, 0]
-                ally = rings[0][:, 1]
-                ix0 = int((allx.min() + 180.0) // cw)
-                ix1 = int((allx.max() + 180.0) // cw)
-                iy0 = int((ally.min() + 90.0) // ch)
-                iy1 = int((ally.max() + 90.0) // ch)
-                for ix in range(max(0, ix0), min(n - 1, ix1) + 1):
-                    for iy in range(max(0, iy0), min(n - 1, iy1) + 1):
-                        x_lo, y_lo = -180.0 + ix * cw, -90.0 + iy * ch
-                        box = np.array(
-                            [
-                                (x_lo, y_lo),
-                                (x_lo + cw, y_lo),
-                                (x_lo + cw, y_lo + ch),
-                                (x_lo, y_lo + ch),
-                            ]
-                        )
-                        piece = geometry.gh_clip_rings(rings, [box], "intersection")
-                        if not piece:
-                            continue
-                        cid = int(
-                            cells_mod.cell_id_from_xy_np(
-                                np.array([ix]), np.array([iy]), res
-                            )[0]
-                        )
+                xs = np.asarray(r["xs"])
+                ys = np.asarray(r["ys"])
+                ix0 = max(0, int((xs.min() + 180.0) // cw))
+                ix1 = min(n - 1, int((xs.max() + 180.0) // cw))
+                iy0 = max(0, int((ys.min() + 90.0) // ch))
+                iy1 = min(n - 1, int((ys.max() + 90.0) // ch))
+                for ix in range(ix0, ix1 + 1):
+                    for iy in range(iy0, iy1 + 1):
                         out.append(
                             {
                                 "key": r["key"],
-                                "cell_id": cid,
+                                "ix": ix,
+                                "iy": iy,
                                 "feature_id": int(r["feature_id"]),
-                                "pxs": [g[:, 0].tolist() for g in piece],
-                                "pys": [g[:, 1].tolist() for g in piece],
+                                "xs": list(xs),
+                                "ys": list(ys),
                             }
                         )
             yield pd.DataFrame(
-                out, columns=["key", "cell_id", "feature_id", "pxs", "pys"]
+                out, columns=["key", "ix", "iy", "feature_id", "xs", "ys"]
             )
 
-    pieces = features.mapInPandas(
-        explode_pieces,
+    replicated = features.mapInPandas(
+        replicate,
         schema=(
-            "key string, cell_id long, feature_id int,"
-            " pxs array<array<double>>, pys array<array<double>>"
+            "key string, ix int, iy int, feature_id int,"
+            " xs array<double>, ys array<double>"
         ),
     )
 
     def cell_faces(pdf: pd.DataFrame) -> pd.DataFrame:
+        ix = int(pdf["ix"].iloc[0])
+        iy = int(pdf["iy"].iloc[0])
+        x_lo, y_lo = -180.0 + ix * cw, -90.0 + iy * ch
+        x_hi, y_hi = x_lo + cw, y_lo + ch
         faces: list[tuple[list, frozenset]] = []
         processed: list[list] = []
         for _, r in pdf.sort_values("feature_id").iterrows():
             pid = int(r["feature_id"])
-            rings = [
-                np.column_stack([np.asarray(xs), np.asarray(ys)])
-                for xs, ys in zip(r["pxs"], r["pys"])
-            ]
+            rings = [np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])]
             new_faces: list[tuple[list, frozenset]] = []
             for fr, ids in faces:
                 inter = geometry.gh_clip_rings(fr, rings, "intersection")
@@ -508,30 +498,57 @@ def mosaic_faces_tiled(features: DataFrame, res: int = 4) -> DataFrame:
             processed.append(rings)
         out = []
         for fr, ids in faces:
-            area = sum(geometry.shoelace_area(g[:, 0], g[:, 1]) for g in fr)
-            out.append(
-                {
-                    "key": pdf["key"].iloc[0],
-                    "members_csv": ",".join(str(i) for i in sorted(ids)),
-                    "area": area,
-                }
-            )
+            area = 0.0
+            for g in fr:
+                cx, cy = geometry.clip_ring_bbox(
+                    g[:, 0], g[:, 1], x_lo, y_lo, x_hi, y_hi
+                )
+                if len(cx) >= 3:
+                    area += geometry.shoelace_area(cx, cy)
+            if area != 0.0:
+                out.append(
+                    {
+                        "key": pdf["key"].iloc[0],
+                        "members_csv": ",".join(str(i) for i in sorted(ids)),
+                        "area": area,
+                    }
+                )
         return pd.DataFrame(out, columns=["key", "members_csv", "area"])
 
-    per_cell = pieces.groupBy("key", "cell_id").applyInPandas(
+    per_cell = replicated.groupBy("key", "ix", "iy").applyInPandas(
         cell_faces, schema="key string, members_csv string, area double"
     )
     return per_cell.groupBy("key", "members_csv").agg(F.sum("area").alias("area"))
 
 
-def clean_assign_areas(features: DataFrame) -> DataFrame:
+def dissolve2_tiled(features: DataFrame, res: int = 4) -> DataFrame:
+    """The DISTRIBUTED -dissolve2 shape [VERDICT r2 #2]: the union
+    measure per key is the sum of the key's mosaic face areas (faces
+    partition the union, each counted once), and the tiled mosaic is
+    fully distributed — so dissolve2 at scale is one reduction over
+    mosaic_faces_tiled. Output: (key, area); ring counts/geometry need
+    the global construction (dim-sized groups) — this is the
+    area-accounting form continental layers run."""
+    return (
+        mosaic_faces_tiled(features, res=res)
+        .groupBy("key")
+        .agg(F.sum("area").alias("area"))
+    )
+
+
+def clean_assign_areas(features: DataFrame, tiled: bool = False, res: int = 4) -> DataFrame:
     """-clean [upstream mosaic-based overlap repair, SURVEY.md §2.2]:
     remove overlaps by assigning every mosaic face to exactly ONE of its
     covering members (the lowest feature_id — upstream's deterministic
     winner rule analog) and re-aggregating per feature. Area-accounting
     form: (key, feature_id, clean_area); Σ clean_area per key equals the
-    union measure (each face counted once)."""
-    faces = mosaic_faces(features)
+    union measure (each face counted once).
+
+    ``tiled=True`` routes through the distributed mosaic
+    [VERDICT r2 #2] — identical output (the min-member assignment is a
+    pure function of the face signature, which the tiled mosaic
+    preserves), scale-out plan."""
+    faces = mosaic_faces_tiled(features, res=res) if tiled else mosaic_faces(features)
     assigned = faces.withColumn(
         "feature_id",
         F.expr("array_min(transform(split(members_csv, ','), s -> CAST(s AS INT)))"),

@@ -131,11 +131,14 @@ def dissolve2(features: DataFrame) -> DataFrame:
     behavior, SURVEY.md §2.4]: overlap-TOLERANT dissolve — member
     polygons of a key group are merged with the Greiner–Hormann union
     fold (geometry.union_many), so genuinely overlapping shapes fuse
-    where arc-cancellation dissolve assumes clean shared borders.
+    where arc-cancellation dissolve assumes clean shared borders. The
+    union fold runs on even-odd ring SETS [VERDICT r2 #3], so groups
+    whose union closes a donut come back with the hole ring (counted in
+    n_rings, subtracting from area) instead of raising.
 
     Input rows: (feature_id, key, xs, ys) one ring each; one group per
     key (dim-sized groups — the per-key member set). Output:
-    (key, n_rings, area)."""
+    (key, n_rings, area) with area = signed ring sum = union measure."""
     import numpy as np
 
     from .. import geometry
@@ -143,10 +146,10 @@ def dissolve2(features: DataFrame) -> DataFrame:
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         rings = [
             np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
-            for _, r in pdf.iterrows()
+            for _, r in pdf.sort_values("feature_id").iterrows()
         ]
         merged = geometry.union_many(rings)
-        area = sum(abs(geometry.shoelace_area(r[:, 0], r[:, 1])) for r in merged)
+        area = sum(geometry.shoelace_area(r[:, 0], r[:, 1]) for r in merged)
         return pd.DataFrame(
             [{"key": pdf["key"].iloc[0], "n_rings": len(merged), "area": area}]
         )

@@ -39,12 +39,28 @@ def read_events_stream(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def tumbling_counts(events: DataFrame, minutes: int = 5, watermark: str = "10 minutes") -> DataFrame:
+def tumbling_counts(
+    events: DataFrame,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+    slide_minutes: int | None = None,
+) -> DataFrame:
     """Tumbling-window counts + sums per event_type with late-data
-    watermark — the streaming twin of queries.events_tumbling_window."""
+    watermark — the streaming twin of queries.events_tumbling_window.
+
+    ``slide_minutes`` turns the window SLIDING [SURVEY.md §2.9
+    'tumbling / sliding'; VERDICT r2 #8]: each event lands in
+    minutes/slide_minutes overlapping windows (window starts aligned to
+    the epoch at slide granularity) — the batch/oracle twin is
+    queries.events_sliding_window."""
+    win = (
+        F.window("ts", f"{minutes} minutes")
+        if slide_minutes is None
+        else F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", f"{minutes} minutes"), F.col("event_type"))
+        .groupBy(win, F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(
             F.col("window.start").alias("win_start"),

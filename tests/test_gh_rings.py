@@ -208,6 +208,66 @@ def test_tiled_mosaic_matches_global_mosaic(spark):
         assert a[k] == pytest.approx(b[k], rel=1e-12), k
 
 
+def test_tiled_mosaic_grid_aligned_layer(spark):
+    """Vertices and edges EXACTLY on cell lines (the unshifted fixture
+    has corners at x=0.0, a res-4 grid line; with res=6 the 'c' frame
+    straddles x=45.0 too): the replicate+SH-crop tiled mosaic has no
+    grid-alignment caveat — on-line edges just yield zero-area slivers
+    on one side [VERDICT r2 #4]."""
+    import pandas as pd
+
+    from mapshaper_spark import fixtures as fx
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    feats = spark.createDataFrame(
+        fx.dissolve2_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    a = {
+        (r["key"], r["members_csv"]): r["area"]
+        for r in overlay_op.mosaic_faces(feats).collect()
+    }
+    for res in (4, 6):
+        b = {
+            (r["key"], r["members_csv"]): r["area"]
+            for r in overlay_op.mosaic_faces_tiled(feats, res=res).collect()
+        }
+        assert set(a) == set(b), res
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-12), (res, k)
+
+
+def test_dissolve2_tiled_and_clean_tiled_match_global(spark):
+    """The distributed dissolve2 (face-area reduction over the tiled
+    mosaic) and tiled clean must equal their global twins exactly on
+    the fixture [VERDICT r2 #2]."""
+    from mapshaper_spark import fixtures as fx
+    from mapshaper_spark.operators import overlay as overlay_op
+    from mapshaper_spark.operators import topology as topo_op
+
+    feats = spark.createDataFrame(
+        fx.dissolve2_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    want = {r["key"]: r["area"] for r in topo_op.dissolve2(feats).collect()}
+    got = {r["key"]: r["area"] for r in overlay_op.dissolve2_tiled(feats, res=6).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+    cg = {
+        (r["key"], r["feature_id"]): r["clean_area"]
+        for r in overlay_op.clean_assign_areas(feats).collect()
+    }
+    ct = {
+        (r["key"], r["feature_id"]): r["clean_area"]
+        for r in overlay_op.clean_assign_areas(feats, tiled=True, res=6).collect()
+    }
+    assert set(cg) == set(ct)
+    for k in cg:
+        assert cg[k] == pytest.approx(ct[k], rel=1e-12), k
+
+
 def test_holed_x_holed_pair():
     """donut × shifted donut — both sides multi-ring; truth from the two
     signed decompositions' product algebra."""
