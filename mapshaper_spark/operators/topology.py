@@ -259,18 +259,14 @@ def dissolve_rings(features: DataFrame, arcs: DataFrame) -> DataFrame:
     )
 
 
-def polygons_from_arcs(arcs: list[dict]) -> list[dict]:
-    """-polygons [upstream src/commands/mapshaper-polygons.mjs behavior,
-    SURVEY.md §2.7]: build polygon faces from a bare arc layer by the
-    classic planar face walk — at every junction the traversal leaves by
-    the edge immediately clockwise of the arrival edge's reverse, so
-    each directed arc is used exactly once and interior faces close CCW.
-    The unbounded outer face (negative area) is dropped.
-
-    arcs: [{arc_id, xs, ys}] with shared endpoint coordinates. Returns
-    [{face_id, arc_ids (signed refs, TopoJSON convention), n_arcs,
-    area, xs, ys}].
-    """
+def _walk_all_faces(arcs: list[dict]) -> list[dict]:
+    """The planar face walk over an arc set with shared endpoint
+    coordinates — at every junction the traversal leaves by the edge
+    immediately clockwise of the arrival edge's reverse, so each
+    directed arc is used exactly once and interior faces close CCW.
+    Returns EVERY cycle (including negative-area outer/hole traversals —
+    callers filter) as {arc_ids (signed refs, TopoJSON convention),
+    n_arcs, area, xs, ys}."""
     import math
 
     # directed edge id: (arc_id, forward)
@@ -281,10 +277,6 @@ def polygons_from_arcs(arcs: list[dict]) -> list[dict]:
         geom[a["arc_id"]] = (xs, ys)
         node_of.setdefault((xs[0], ys[0]), []).append((a["arc_id"], True))
         node_of.setdefault((xs[-1], ys[-1]), []).append((a["arc_id"], False))
-
-    def tail(e):
-        xs, ys = geom[e[0]]
-        return (xs[0], ys[0]) if e[1] else (xs[-1], ys[-1])
 
     def head(e):
         xs, ys = geom[e[0]]
@@ -342,15 +334,32 @@ def polygons_from_arcs(arcs: list[dict]) -> list[dict]:
                     "ys": cys,
                 }
             )
-    out = [f for f in faces if f["area"] > 0.0]
+    return faces
+
+
+def polygons_from_arcs(arcs: list[dict]) -> list[dict]:
+    """-polygons [upstream src/commands/mapshaper-polygons.mjs behavior,
+    SURVEY.md §2.7]: build polygon faces from a bare arc layer via the
+    planar face walk (:func:`_walk_all_faces`). The unbounded outer face
+    and hole-reverse traversals (negative area) are dropped.
+
+    arcs: [{arc_id, xs, ys}] with shared endpoint coordinates. Returns
+    [{face_id, arc_ids (signed refs, TopoJSON convention), n_arcs,
+    area, xs, ys}].
+    """
+    out = [f for f in _walk_all_faces(arcs) if f["area"] > 0.0]
     for i, f in enumerate(out):
         f["face_id"] = i
     return out
 
 
 def polygons_from_arcs_df(arcs: DataFrame) -> DataFrame:
-    """DataFrame wrapper: one face-walk group over the (dim-sized) arc
-    layer — at scale, run per connected component / tile partition."""
+    """Single-task face walk over a DIM-SIZED arc layer (fixture /
+    exchange path). The scale plan is
+    :func:`mapshaper_spark.operators.faces.polygons_from_arcs_tiled` —
+    per-cell walks merged by border-segment signature, proven exactly
+    equal to this construction [tests/test_faces.py] — which the
+    registered query runs."""
 
     def run(it):
         for pdf in it:

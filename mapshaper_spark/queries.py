@@ -46,6 +46,7 @@ from .operators import raster as raster_op
 from .operators import simplify as simplify_op
 from .operators import skew as skew_op
 from .operators import spatial_join as sj
+from .operators import faces as faces_op
 from .operators import topology
 from .sources import testdata
 
@@ -2514,13 +2515,16 @@ def q_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_polygons_from_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """-polygons (build faces from a bare line layer) [SURVEY §2.7's
-    last gap]: planar face walk over the shared-arc grid — leave every
-    junction by the edge clockwise of the arrival reverse, interior
-    faces close CCW, the unbounded face drops. The 4x4 grid's 40 arcs
-    must yield exactly 16 unit faces of 4 arcs each."""
+    """-polygons (build faces from a bare line layer) through the
+    DISTRIBUTED plan [VERDICT r2 #2]: arcs split at cell lines, per-cell
+    face walks with the subdivided cell border, pieces merged into
+    global faces by border-segment signature (hash-min + pointer-jump
+    CC). The 4x4 grid's 40 arcs must yield exactly 16 unit faces of 4
+    arcs / 4 vertices / area exactly 1.0 (dyadic pitch + origin keep
+    every piece area exact). Tiled == single-task global construction
+    is pinned in tests/test_faces.py up to a 10k-arc layer."""
     arcs = topology.arcs_df(spark, fixtures.GRID_ARCS)
-    return topology.polygons_from_arcs_df(arcs)
+    return faces_op.polygons_from_arcs_tiled(arcs, n_cells=8)
 
 
 @query(
