@@ -558,7 +558,7 @@ def clean_assign_areas(features: DataFrame, tiled: bool = False, res: int = 4) -
     )
 
 
-def inlay_area(a_features: DataFrame, b_rings: list) -> DataFrame:
+def inlay_area(a_features: DataFrame, b_features: DataFrame) -> DataFrame:
     """-inlay slice [upstream -inlay: carve the inlay layer out of the
     target layer, keeping both; SURVEY.md §2.6]: every target feature
     minus the UNION of the inlay polygons, computed as a fold of
@@ -567,33 +567,68 @@ def inlay_area(a_features: DataFrame, b_rings: list) -> DataFrame:
     holes and split pieces survive subsequent steps). The inlay layer
     itself passes through unchanged (not re-emitted here).
 
-    a_features: (poly_id, ring_idx, xs, ys); b_rings: dim-sized list of
-    (k,2) arrays riding the closure (same dim-layer pattern as fixture
-    rings). Output: (poly_id, n_rings, area) of the carved targets."""
-    b_arrays = [np.asarray(r, dtype=float) for r in b_rings]
+    Both sides are DataFrames [VERDICT r2 #6 — the B side used to ride
+    the driver closure]: a_features (poly_id, ring_idx, xs, ys),
+    b_features (inlay_id, xs, ys) one simple ring per inlay polygon.
+    A bbox candidate join pairs each target with only the inlays that
+    can touch it (broadcast — inlay layers are the dim side; swap for
+    the cell-grid equi-join at scale), then a cogroup on poly_id hands
+    the kernel each target's ring set plus its candidate inlays;
+    disjoint inlays are skipped by the join but the fold is unchanged
+    (difference with a disjoint clip is the identity). Targets with no
+    candidates flow through the cogroup with an empty B frame and come
+    back uncarved. Output: (poly_id, n_rings, area)."""
+    # fresh attribute ids (pid alias) — cand re-joins a_features lineage
+    # in the cogroup, which trips Spark's ambiguous-self-join check
+    a_bbox = a_features.groupBy(F.col("poly_id").alias("pid")).agg(
+        F.min(F.expr("array_min(xs)")).alias("a_xmin"),
+        F.max(F.expr("array_max(xs)")).alias("a_xmax"),
+        F.min(F.expr("array_min(ys)")).alias("a_ymin"),
+        F.max(F.expr("array_max(ys)")).alias("a_ymax"),
+    )
+    b = _bbox_cols(b_features, "b")
+    cond = (
+        (F.col("a_xmin") <= F.col("b_xmax"))
+        & (F.col("a_xmax") >= F.col("b_xmin"))
+        & (F.col("a_ymin") <= F.col("b_ymax"))
+        & (F.col("a_ymax") >= F.col("b_ymin"))
+    )
+    # rename B coords — cogroup drops right-side columns whose names
+    # shadow left-side ones (asof.py precedent)
+    cand = a_bbox.join(F.broadcast(b), cond).select(
+        F.col("pid").alias("poly_id"),
+        "inlay_id",
+        F.col("xs").alias("bxs"),
+        F.col("ys").alias("bys"),
+    )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key, apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(apdf) == 0:
+            return pd.DataFrame(columns=["poly_id", "n_rings", "area"])
         rings = [
             np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
-            for _, r in pdf.sort_values("ring_idx").iterrows()
+            for _, r in apdf.sort_values("ring_idx").iterrows()
         ]
-        for b in b_arrays:
-            rings = geometry.gh_clip_rings(rings, [b], "difference")
+        for _, r in bpdf.sort_values("inlay_id").iterrows():
+            b_ring = np.column_stack([np.asarray(r["bxs"]), np.asarray(r["bys"])])
+            rings = geometry.gh_clip_rings(rings, [b_ring], "difference")
             if not rings:
                 break
         area = sum(geometry.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
         return pd.DataFrame(
             [
                 {
-                    "poly_id": int(pdf["poly_id"].iloc[0]),
+                    "poly_id": int(apdf["poly_id"].iloc[0]),
                     "n_rings": len(rings),
                     "area": area,
                 }
             ]
         )
 
-    return a_features.groupBy("poly_id").applyInPandas(
-        run, schema="poly_id int, n_rings int, area double"
+    return (
+        a_features.groupBy("poly_id")
+        .cogroup(cand.groupBy("poly_id"))
+        .applyInPandas(kernel, schema="poly_id int, n_rings int, area double")
     )
 
 

