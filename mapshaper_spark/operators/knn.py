@@ -139,46 +139,57 @@ def knn_join(
     allt = targets.select("target_id", F.col("lon").alias("tx"), F.col("lat").alias("ty"))
     out_cols = [c for c in points.columns] + ["target_id", "dist2", "knn_rank"]
 
-    def resolve(cand: DataFrame, guarantee2: float):
-        # materialize the ranked stage output once: it feeds THREE
-        # consumers (the resolved piece, the guarantee check, and — via
-        # the anti-join — the next ring's probe set); without this Spark
-        # recomputes the candidate join + window per consumer (measured
-        # 3x the query wall time at sf0.1). localCheckpoint (not
-        # persist): CacheManager entries from persist() accumulate across
-        # repeated operator invocations and degrade the session, while
-        # checkpoint RDDs are dropped by the ContextCleaner on GC. On a
-        # real cluster localCheckpoint trades executor-loss resilience
-        # for speed — acceptable for a per-stage intermediate that a
-        # retry of the whole query rebuilds.
-        ranked = _rank_topk(cand, k).localCheckpoint()
-        kth = ranked.groupBy("point_id").agg(
-            F.max("dist2").alias("_kd"), F.count(F.lit(1)).alias("_kn")
-        )
-        ok = kth.filter((F.col("_kn") >= k) & (F.col("_kd") <= guarantee2)).select(
-            "point_id"
-        )
-        return ranked.join(F.broadcast(ok), "point_id", "left_semi"), ok
+    # Single-window resolve [VERDICT r2 #10]: the guarantee check rides
+    # the SAME window shuffle as the ranking (rank → filter top-k →
+    # per-point max/count over the already-partitioned frame) instead of
+    # a separate groupBy + broadcast-semi-join chain — one shuffle and
+    # one materialization per ring. localCheckpoint (not persist): the
+    # ranked frame feeds the resolved piece, the residual ids, AND the
+    # next ring's probe set; CacheManager entries from persist()
+    # accumulate across repeated operator invocations and degrade the
+    # session, while checkpoint RDDs are dropped by the ContextCleaner.
+    w_rank = Window.partitionBy("point_id").orderBy("dist2", "target_id")
+    w_pt = Window.partitionBy("point_id")
 
+    n_pts: int | None = None  # lazily counted once, to early-exit stages
+    n_resolved = 0
     pieces = []
     rest = pts
     for i, ring in enumerate(expansion_rings):
         if i == 0:
             cand = rest.join(F.broadcast(tgt9), "cell_id")
         else:
+            # skip the wider ring (and its probe explosion) when every
+            # point already resolved — one cheap count of the dim side
+            if n_pts is None:
+                n_pts = pts.count()
+            if n_resolved >= n_pts:
+                break
             probe = _with_ring_cells(rest.drop("cell_id"), res, ring)
             cand = probe.join(F.broadcast(tgt_by_cell), "cell_id")
         cand = cand.withColumn(
             "dist2", _dist2(F.col("lon"), F.col("lat"), F.col("tx"), F.col("ty"))
         )
-        resolved, ok = resolve(cand, (ring * cell_h) ** 2)
+        g2 = (ring * cell_h) ** 2
+        ranked = (
+            cand.withColumn("knn_rank", F.row_number().over(w_rank))
+            .filter(F.col("knn_rank") <= k)
+            .withColumn("_ok", (F.count(F.lit(1)).over(w_pt) >= k) & (F.max("dist2").over(w_pt) <= g2))
+            .localCheckpoint()
+        )
+        resolved = ranked.filter("_ok")
         pieces.append(resolved.select(*out_cols))
-        rest = rest.join(ok, "point_id", "left_anti")
+        ok_ids = resolved.select("point_id").distinct()
+        n_resolved += ok_ids.count()
+        rest = rest.join(F.broadcast(ok_ids), "point_id", "left_anti")
 
-    brute = rest.crossJoin(F.broadcast(allt)).withColumn(
-        "dist2", _dist2(F.col("lon"), F.col("lat"), F.col("tx"), F.col("ty"))
-    )
-    pieces.append(_rank_topk(brute, k).select(*out_cols))
+    if n_pts is None:
+        n_pts = pts.count()
+    if n_resolved < n_pts:
+        brute = rest.crossJoin(F.broadcast(allt)).withColumn(
+            "dist2", _dist2(F.col("lon"), F.col("lat"), F.col("tx"), F.col("ty"))
+        )
+        pieces.append(_rank_topk(brute, k).select(*out_cols))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
