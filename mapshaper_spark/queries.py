@@ -2860,29 +2860,42 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 # checks) stay registered after slot 50 and remain covered by the local
 # pytest oracle-parity suite [tests/test_oracle_parity.py].
 _DRIVER_WINDOW = [
-    # graded spatial core (r1-green exemplars)
-    "cell_assign",
+    # graded spatial core (kept exemplars — every family retains at
+    # least one hard driver row while twice-green variants rotate out)
     "pip_count_by_polygon",
     "pip_attribute_rows",
-    "pip_nonconvex_rows",
     "pip_holes_rows",
     "clip_points",
-    "erase_points",
-    "polygon_point_agg",
     "knn_nearest_target",
     "tile_assign_counts",
-    "filter_geom_bbox",
     "raster_tile_pixel_counts",
     "raster_vectorize_runs",
     "simplify_visvalingam_counts",
     "dissolve_rings_grid",
     "dissolve_sum_fields",
-    "innerlines_grid",
-    "centroid_polygons",
-    "filter_islands_area",
-    "affine_points",
-    "snap_grid_half_degree",
-    # never driver-checked in r1: spatial + relational
+    # r3 ROTATION [VERDICT r2 #1 / CLAUDE.md window invariant]: the
+    # r2-new overlay/face family takes the slots of twice-driver-green
+    # exemplars (cell_assign, pip_nonconvex_rows, erase_points,
+    # polygon_point_agg, filter_geom_bbox, innerlines_grid,
+    # centroid_polygons, filter_islands_area, affine_points,
+    # snap_grid_half_degree, join_calc_many_to_one, semi/anti joins,
+    # uniq_first_order, topk_orders_per_customer — all r1+r2 green,
+    # still pytest-oracle-covered)
+    "mosaic_faces_overlap_layer",
+    "dissolve2_overlap_groups",
+    "clean_overlap_assignment",
+    "polygons_from_lines_grid",
+    "inlay_carved_areas",
+    "gh_boolean_pair_areas",
+    "gh_boolean_holed_pairs",
+    "union_pair_areas_boxes",
+    "clip_concave_pairs_area",
+    "erase_general_area_windows",
+    "clip_general_area_windows",
+    # r2-new aggregates / functions
+    "calc_mode_collect",
+    "classify_nice_breaks",
+    # once-green rows that keep their slot (first checked in r2)
     "subdivide_hot_cells",
     "overlay_pairs_nonempty",
     "join_interpolate_area_weighted",
@@ -2894,19 +2907,12 @@ _DRIVER_WINDOW = [
     "project_rename_fields",
     "window_rolling_sum",
     "asof_last_purchase_before_click",
-    # relational exemplars (r1-green)
+    # one relational equi-join exemplar
     "join_attr_region",
-    "join_calc_many_to_one",
-    "semi_join_matched",
-    "anti_join_unmatched",
-    "uniq_first_order",
-    "topk_orders_per_customer",
-    # r2 overlay capabilities (classify_quantile / lsh_dup_candidates
-    # yield their slots: both have green r1 driver rows + pytest parity)
-    "clip_general_area_windows",
-    # streaming (sessionize = the fixed r1 red row)
+    # streaming: sessionize (r2-green) + the r3-new sliding window
     "events_sessionize",
-    # never driver-checked in r1: LLM-data + images
+    "events_sliding_window",
+    # LLM-data + images (first green in r2) + r2-new multimodal oracles
     "token_distinct_counts",
     "language_id_stopword",
     "jaccard_ngram_pairs",
@@ -2916,9 +2922,9 @@ _DRIVER_WINDOW = [
     "images_meta_cells",
     "images_tile_stats",
     "images_phash_near_dup",
-    # multi-ring GH booleans (strictly supersedes the single-ring
-    # clip_concave_pairs_area check, which stays pytest-oracle-green)
-    "gh_boolean_holed_pairs",
+    "token_bpe_regex",
+    "audio_window_features",
+    "video_frame_stats",
 ]
 
 
