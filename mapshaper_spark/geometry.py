@@ -39,20 +39,34 @@ def pip_convex(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
 
 
 def pip_ray(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """General even-odd ray-crossing test, vectorized over points.
+    """General even-odd ray-crossing test, vectorized over points AND
+    edges (points (N,1) broadcast against the edge arrays (K,), edge
+    blocks chunked so the N×K intermediate stays bounded — the r3 fix
+    for the GH kernels' 1-point × dense-ring calls, which the old
+    per-edge Python loop made O(K) interpreter rounds each).
 
-    Mirrors the classic crossing-count used by mapshaper's
-    polygon-geom module [SURVEY.md §2.3].
+    Arithmetic is expression-identical to the classic per-edge
+    crossing-count [SURVEY.md §2.3], so results are bit-equal.
     """
+    px = np.asarray(px)
+    py = np.asarray(py)
+    ring = np.asarray(ring, dtype=float)
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
     inside = np.zeros(px.shape, dtype=bool)
+    pxc = px[..., None]
+    pyc = py[..., None]
     k = len(ring)
-    for j in range(k):
-        x1, y1 = ring[j]
-        x2, y2 = ring[(j + 1) % k]
-        cross = (y1 > py) != (y2 > py)
+    chunk = max(1, int(4_000_000 // max(1, px.size)))
+    for s in range(0, k, chunk):
+        e = slice(s, min(s + chunk, k))
+        cross = (y1[e] > pyc) != (y2[e] > pyc)
         with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-        inside ^= cross & (px < np.where(cross, xint, np.inf))
+            xint = x1[e] + (pyc - y1[e]) * (x2[e] - x1[e]) / (y2[e] - y1[e])
+        hits = cross & (pxc < np.where(cross, xint, np.inf))
+        inside ^= np.bitwise_xor.reduce(hits, axis=-1)
     return inside
 
 

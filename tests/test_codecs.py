@@ -277,3 +277,64 @@ def test_shp_dbf_attrs_drive_join(spark, tmp_path):
     rows = {r["region"]: (r["rank"], r["count"]) for r in labeled.collect()}
     assert set(rows) <= {"donut", "ell", "islands", "comb"}
     assert len(rows) > 0 and all(c > 0 for _, c in rows.values())
+
+
+def test_geojsonl_scan_scale_roundtrip(spark, tmp_path):
+    """Distributed GeoJSON file import: the ndjson export re-reads
+    through spark.read.text + from_json with ring coordinates bit-exact
+    (to_json renders exact doubles)."""
+    from mapshaper_spark.sources import geojson as gj, testdata
+
+    feats = testdata.holed_features(spark)
+    path = str(tmp_path / "layer_ndjson")
+    gj.export_geojsonl(feats, path)
+    back = gj.import_geojson_file(spark, path)
+    want = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in feats.collect()
+    }
+    got = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in back.collect()
+    }
+    assert got == want
+
+
+def test_geojson_featurecollection_doc_import(spark, tmp_path):
+    """A monolithic FeatureCollection document (the common external
+    shape) imports through the multiLine json reader — including
+    pretty-printed documents and features without ids (document order
+    becomes poly_id)."""
+    import json
+
+    from mapshaper_spark.sources import geojson as gj, testdata
+
+    feats = testdata.holed_features(spark).collect()
+    by_pid = {}
+    for r in feats:
+        by_pid.setdefault(r["poly_id"], []).append(r)
+    doc = {"type": "FeatureCollection", "features": []}
+    for pid in sorted(by_pid):
+        rings = sorted(by_pid[pid], key=lambda r: r["ring_idx"])
+        coords = [
+            [[x, y] for x, y in zip(r["xs"], r["ys"])] + [[r["xs"][0], r["ys"][0]]]
+            for r in rings
+        ]
+        doc["features"].append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "Polygon", "coordinates": coords},
+            }
+        )
+    p = tmp_path / "doc.geojson"
+    p.write_text(json.dumps(doc, indent=2))
+    back = gj.import_geojson_file(spark, str(p))
+    want = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in feats
+    }
+    got = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in back.collect()
+    }
+    assert got == want

@@ -198,3 +198,33 @@ def test_concave_concave_L_pair():
     #   other column ∩ L column ([0,1.5]x...) = empty
     out = G.gh_intersection(L_RING, other)
     assert _area(out) == pytest.approx(2.5 * 0.5 + 0.5)
+
+
+def test_dense_star_boolean_identities():
+    """The r3 pip_ray edge-vectorization keeps the kernels exact at
+    density: a 400-vertex star pair (hundreds of crossings) satisfies
+    the boolean area identities |A∩B| + |A∖B| = |A| and
+    |A∩B| + |A∪B| = |A| + |B| to float accumulation error."""
+    import numpy as np
+
+    from mapshaper_spark import geometry as G
+
+    def star(n, r1, r2, cx, cy, phase=0.0):
+        ang = np.arange(2 * n) * np.pi / n + phase
+        rad = np.where(np.arange(2 * n) % 2 == 0, r1, r2)
+        return np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+
+    a = star(200, 10.0, 6.0, 0.0, 0.0)
+    b = star(200, 10.0, 6.0, 3.0, 1.0, phase=0.013)
+
+    def signed(rings):
+        return sum(G.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
+
+    area_a = signed([a])
+    area_b = signed([b])
+    inter = signed(G.gh_clip_rings([a], [b], "intersection"))
+    diff = signed(G.gh_clip_rings([a], [b], "difference"))
+    union = signed(G.gh_clip_rings([a], [b], "union"))
+    assert 0.0 < inter < min(area_a, area_b)
+    assert abs(inter + diff - area_a) < 1e-9 * area_a
+    assert abs(inter + union - (area_a + area_b)) < 1e-9 * (area_a + area_b)
