@@ -88,6 +88,13 @@ BENCH_QUERIES = [
     "token_bpe_regex",
     "audio_window_features",
     "video_frame_stats",
+    # round-3 additions
+    "polygons_from_lines_grid",
+    "mosaic_faces_overlap_layer",
+    "clean_overlap_assignment",
+    "events_sliding_window",
+    "graticule_lines",
+    "shape_coordinates",
 ]
 
 

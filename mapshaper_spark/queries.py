@@ -1817,6 +1817,114 @@ def q_grid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graticule_lines",
+    """
+    WITH m AS (SELECT 'meridian' AS kind, CAST(v AS INT) AS coord
+               FROM generate_series(-180, 180, 30) t(v)),
+    p AS (SELECT 'parallel' AS kind, CAST(v AS INT) AS coord
+          FROM generate_series(-90, 90, 30) t(v))
+    SELECT kind, coord,
+           CASE kind WHEN 'meridian' THEN 19 ELSE 37 END AS n_vertices,
+           CASE kind WHEN 'meridian' THEN CAST(18 AS DOUBLE) * 10.0
+                     ELSE CAST(36 AS DOUBLE) * 10.0 END AS length_deg
+    FROM (SELECT * FROM m UNION ALL SELECT * FROM p)
+    """,
+)
+def q_graticule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-graticule [upstream src/commands/mapshaper-graticule.mjs
+    behavior, SURVEY.md §2.7]: the lon/lat graticule as a polyline
+    layer — meridians every 30° (vertices every 10° of latitude) and
+    parallels every 30° (vertices every 10° of longitude), generated
+    from pure arithmetic over spark.range. Vertex arrays are built for
+    real (sequence()) and the polyline length is the arc_lengths-style
+    JVM fold over them — every segment is an exact 10.0, so the fold
+    matches the oracle's closed form exactly."""
+    seg_len = (
+        "aggregate(sequence(0, size(xs) - 2), cast(0.0 as double), "
+        "(acc, i) -> acc + sqrt((xs[i+1] - xs[i]) * (xs[i+1] - xs[i]) + "
+        "(ys[i+1] - ys[i]) * (ys[i+1] - ys[i])))"
+    )
+    mer = spark.range(13).selectExpr(
+        "'meridian' AS kind",
+        "CAST(id * 30 - 180 AS INT) AS coord",
+        "transform(sequence(-90, 90, 10), v -> CAST(id * 30 - 180 AS DOUBLE)) AS xs",
+        "transform(sequence(-90, 90, 10), v -> CAST(v AS DOUBLE)) AS ys",
+    )
+    par = spark.range(7).selectExpr(
+        "'parallel' AS kind",
+        "CAST(id * 30 - 90 AS INT) AS coord",
+        "transform(sequence(-180, 180, 10), v -> CAST(v AS DOUBLE)) AS xs",
+        "transform(sequence(-180, 180, 10), v -> CAST(id * 30 - 90 AS DOUBLE)) AS ys",
+    )
+    return mer.unionByName(par).selectExpr(
+        "kind",
+        "coord",
+        "size(xs) AS n_vertices",
+        f"{seg_len} AS length_deg",
+    )
+
+
+# -shape coordinates= fixture: a rectilinear (axis-parallel) T-shape —
+# integer coordinates and integer segment lengths, so perimeter and
+# shoelace sums are order-independent exact in both engines
+SHAPE_COORDS = [
+    (0.0, 0.0), (30.0, 0.0), (30.0, 10.0), (20.0, 10.0),
+    (20.0, 40.0), (10.0, 40.0), (10.0, 10.0), (0.0, 10.0),
+]
+
+
+@query(
+    "shape_coordinates",
+    f"""
+    WITH pts AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE))" for i, (x, y) in enumerate(SHAPE_COORDS))})
+        AS t(i, x, y)),
+    seg AS (SELECT i, x, y,
+                   COALESCE(lead(x) OVER (ORDER BY i),
+                            (SELECT x FROM pts WHERE i = 0)) AS nx,
+                   COALESCE(lead(y) OVER (ORDER BY i),
+                            (SELECT y FROM pts WHERE i = 0)) AS ny
+            FROM pts)
+    SELECT 0 AS shape_id, count(*) AS n_vertices,
+           CAST(sum(x * ny - nx * y) / 2.0 AS DOUBLE) AS area,
+           CAST(sum(sqrt((nx - x) * (nx - x) + (ny - y) * (ny - y))) AS DOUBLE)
+             AS perimeter
+    FROM seg
+    """,
+)
+def q_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-shape coordinates=... [upstream src/commands/mapshaper-shape.mjs
+    behavior, SURVEY.md §2.7]: build a closed shape layer from an
+    explicit coordinate list. The engine folds shoelace area and
+    perimeter over the vertex arrays JVM-side; the rectilinear integer
+    fixture keeps both sums exact (integer cross products, integer
+    segment lengths) so the window-function oracle matches bit-for-bit
+    despite engine-different summation orders."""
+    xs = "array(" + ", ".join(repr(x) for x, _ in SHAPE_COORDS) + ")"
+    ys = "array(" + ", ".join(repr(y) for _, y in SHAPE_COORDS) + ")"
+    shoelace = (
+        "aggregate(sequence(0, size(xs) - 1), cast(0.0 as double), (acc, i) -> "
+        "acc + xs[i] * ys[(i + 1) % size(xs)] - xs[(i + 1) % size(xs)] * ys[i]"
+        ") / 2.0"
+    )
+    perim = (
+        "aggregate(sequence(0, size(xs) - 1), cast(0.0 as double), (acc, i) -> "
+        "acc + sqrt((xs[(i + 1) % size(xs)] - xs[i]) * (xs[(i + 1) % size(xs)] - xs[i])"
+        " + (ys[(i + 1) % size(ys)] - ys[i]) * (ys[(i + 1) % size(ys)] - ys[i])))"
+    )
+    return (
+        spark.range(1)
+        .selectExpr(f"{xs} AS xs", f"{ys} AS ys")
+        .selectExpr(
+            "0 AS shape_id",
+            "size(xs) AS n_vertices",
+            f"{shoelace} AS area",
+            f"{perim} AS perimeter",
+        )
+    )
+
+
+@query(
     "info_summary_customer",
     """
     SELECT count(*) AS n_rows,
@@ -2869,7 +2977,6 @@ _DRIVER_WINDOW = [
     "knn_nearest_target",
     "tile_assign_counts",
     "raster_tile_pixel_counts",
-    "raster_vectorize_runs",
     "simplify_visvalingam_counts",
     "dissolve_rings_grid",
     "dissolve_sum_fields",
@@ -2895,6 +3002,10 @@ _DRIVER_WINDOW = [
     # r2-new aggregates / functions
     "calc_mode_collect",
     "classify_nice_breaks",
+    # r3-new generators (take the slots of twice-green join_attr_region
+    # and raster_vectorize_runs per the window invariant)
+    "graticule_lines",
+    "shape_coordinates",
     # once-green rows that keep their slot (first checked in r2)
     "subdivide_hot_cells",
     "overlay_pairs_nonempty",
@@ -2907,8 +3018,6 @@ _DRIVER_WINDOW = [
     "project_rename_fields",
     "window_rolling_sum",
     "asof_last_purchase_before_click",
-    # one relational equi-join exemplar
-    "join_attr_region",
     # streaming: sessionize (r2-green) + the r3-new sliding window
     "events_sessionize",
     "events_sliding_window",
