@@ -145,12 +145,26 @@ def _split_arcs(arcs: DataFrame, ox: float, oy: float, pitch: float) -> DataFram
     )
 
 
-def _cc_labels(nodes: DataFrame, edges: DataFrame, max_iter: int = 32) -> DataFrame:
+def _cc_labels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 32,
+    driver_limit: int = 2_000_000,
+) -> DataFrame:
     """Connected components over (piece_id) nodes and undirected
-    (src, dst) edges: hash-min neighbor propagation + pointer jumping —
-    O(log n) rounds, each a bounded shuffle over the metadata-sized
-    piece/edge set. Returns (piece_id, label) with label = component
-    min piece_id."""
+    (src, dst) edges. Size-routed like ``pip_attribute_auto``: the
+    node/edge set is border-segment METADATA (grid geometry, not layer
+    geometry), so when it fits comfortably on the driver
+    (≤ ``driver_limit`` rows ≈ tens of MB) a single-pass union-find
+    there beats ~log(n) shuffle rounds of Spark-job overhead; above the
+    limit the hash-min + pointer-jumping loop (the standard O(log n)-
+    round MapReduce CC) takes over. Returns (piece_id, label) with
+    label = component min piece_id — identical from both routes."""
+    n_nodes = nodes.count()
+    if n_nodes <= driver_limit:
+        n_edges = edges.limit(driver_limit + 1).count()
+        if n_edges <= driver_limit:
+            return _cc_labels_driver(nodes, edges)
     lbl = nodes.select("piece_id", F.col("piece_id").alias("label")).localCheckpoint()
     sym = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -186,6 +200,33 @@ def _cc_labels(nodes: DataFrame, edges: DataFrame, max_iter: int = 32) -> DataFr
         if changed == 0:
             break
     return lbl
+
+
+def _cc_labels_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Driver-side union-find route of :func:`_cc_labels` — path
+    compression + union by min label, one pass over the collected
+    metadata edge list, one createDataFrame back out."""
+    spark = nodes.sparkSession
+    ids = [r.piece_id for r in nodes.collect()]
+    parent = {i: i for i in ids}
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for r in edges.collect():
+        ra, rb = find(r.src), find(r.dst)
+        if ra != rb:
+            # min-id root so labels match the distributed route exactly
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(i, find(i)) for i in ids]
+    return spark.createDataFrame(rows, "piece_id long, label long")
 
 
 def polygons_from_arcs_tiled(arcs: DataFrame, n_cells: int = 8) -> DataFrame:

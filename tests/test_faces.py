@@ -119,7 +119,10 @@ def test_split_arcs_pieces_cover_arc(spark):
         assert min(r.ys) >= y0 - 1e-12 and max(r.ys) <= y1 + 1e-12
 
 
-def test_cc_labels_chain_and_singleton(spark):
+@pytest.mark.parametrize("driver_limit", [2_000_000, 0])
+def test_cc_labels_chain_and_singleton(spark, driver_limit):
+    # both routes of the size-routed CC: driver union-find and the
+    # distributed hash-min + pointer-jump loop must label identically
     import pandas as pd
 
     nodes = spark.createDataFrame(
@@ -128,5 +131,8 @@ def test_cc_labels_chain_and_singleton(spark):
     edges = spark.createDataFrame(
         pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]}), schema="src long, dst long"
     )
-    lbl = {r.piece_id: r.label for r in faces._cc_labels(nodes, edges).collect()}
+    lbl = {
+        r.piece_id: r.label
+        for r in faces._cc_labels(nodes, edges, driver_limit=driver_limit).collect()
+    }
     assert lbl == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 9: 9}
