@@ -290,7 +290,7 @@ def gh_clip(subj: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray]:
 
     # phase 3: trace — forward from entries, backward from exits,
     # switch rings at every intersection, stop on return to the start
-    pieces = []
+    traced: list[np.ndarray] = []
     inters = [n for n in snodes if n.inter]
     max_steps = 4 * (len(snodes) + len(cnodes))
     for start in inters:
@@ -322,24 +322,26 @@ def gh_clip(subj: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray]:
                 break
             ring.append(cur.xy)
         if len(ring) >= 3:
-            arr = np.array(ring)
-            # hole-aware orientation: a traced ring whose interior
-            # belongs to the result region is an outer boundary (CCW);
-            # one whose interior is outside the result is a hole the
-            # result wraps around (e.g. a U's notch closed off by a
-            # union) — oriented CW so signed sums and even-odd agree
-            px, py = _interior_point(arr)
-            in_a = bool(pip_ray(np.array([px]), np.array([py]), subj)[0])
-            in_b = bool(pip_ray(np.array([px]), np.array([py]), clip)[0])
-            in_result = {
-                "intersection": in_a and in_b,
-                "union": in_a or in_b,
-                "difference": in_a and not in_b,
-            }[op]
+            traced.append(np.array(ring))
+    # hole-aware orientation, batched (r3): a traced ring whose interior
+    # belongs to the result region is an outer boundary (CCW); one whose
+    # interior is outside the result is a hole the result wraps around
+    # (e.g. a U's notch closed off by a union) — oriented CW so signed
+    # sums and even-odd agree. Membership of ALL pieces against subj and
+    # clip runs in two vectorized pip_ray calls (was 2 per piece).
+    pieces = []
+    if traced:
+        pts = np.array([_interior_point(arr) for arr in traced])
+        in_a = pip_ray(pts[:, 0], pts[:, 1], subj)
+        in_b = pip_ray(pts[:, 0], pts[:, 1], clip)
+        in_result = {
+            "intersection": in_a & in_b,
+            "union": in_a | in_b,
+            "difference": in_a & ~in_b,
+        }[op]
+        for i, arr in enumerate(traced):
             ccw = shoelace_area(arr[:, 0], arr[:, 1]) > 0.0
-            if in_result != ccw:
-                arr = arr[::-1]
-            pieces.append(arr)
+            pieces.append(arr if bool(in_result[i]) == ccw else arr[::-1])
     return pieces
 
 
@@ -395,15 +397,6 @@ def gh_clip_rings(
     def _member(px, py, rings):
         return bool(pip_rings(np.array([px]), np.array([py]), rings)[0])
 
-    def _in_result(px, py):
-        in_a = _member(px, py, a_rings)
-        in_b = _member(px, py, b_rings)
-        return {
-            "intersection": in_a and in_b,
-            "union": in_a or in_b,
-            "difference": in_a and not in_b,
-        }[op]
-
     out: list[np.ndarray] = []
 
     # uncrossed rings: whole-ring parity inclusion
@@ -448,6 +441,7 @@ def gh_clip_rings(
                 status = not status
 
     max_steps = 8 * sum(len(nodes) for nodes, _o, _f in ring_nodes)
+    traced: list[np.ndarray] = []
     for start in all_a_nodes:
         if start.visited:
             continue
@@ -476,13 +470,25 @@ def gh_clip_rings(
                 break
             ring.append(cur.xy)
         if len(ring) >= 3:
-            arr = np.array(ring)
-            px, py = _near_boundary_interior_point(arr)
-            in_res = _in_result(px, py)
+            traced.append(np.array(ring))
+    if traced:
+        # batched orientation (r3): one near-boundary interior point per
+        # traced piece, then membership of ALL pieces against each ring
+        # set in two vectorized pip_rings calls — was 2 single-point
+        # calls per piece, the dominant kernel cost on dense inputs.
+        # Per-point arithmetic is broadcast-identical to the 1-point
+        # calls, so orientations are bit-equal.
+        pts = np.array([_near_boundary_interior_point(arr) for arr in traced])
+        in_a = pip_rings(pts[:, 0], pts[:, 1], a_rings)
+        in_b = pip_rings(pts[:, 0], pts[:, 1], b_rings)
+        in_res = {
+            "intersection": in_a & in_b,
+            "union": in_a | in_b,
+            "difference": in_a & ~in_b,
+        }[op]
+        for i, arr in enumerate(traced):
             ccw = shoelace_area(arr[:, 0], arr[:, 1]) > 0.0
-            if in_res != ccw:
-                arr = arr[::-1]
-            out.append(arr)
+            out.append(arr if bool(in_res[i]) == ccw else arr[::-1])
     return out
 
 
@@ -490,26 +496,43 @@ def _near_boundary_interior_point(ring: np.ndarray) -> tuple[float, float]:
     """A point just inside the ring NEAR its boundary — robust when the
     region bounded by the ring contains other rings (a centroid could
     land in a contained hole): offset an edge midpoint along the inward
-    normal by eps scaled to the ring's extent."""
-    k = len(ring)
+    normal by eps scaled to the ring's extent. All edge-midpoint
+    candidates are tested in ONE vectorized pip_ray call (r3 — was a
+    per-edge Python loop of 1-point calls); the first passing candidate
+    in edge order is returned, bit-identical to the sequential scan."""
     span = max(
         float(ring[:, 0].max() - ring[:, 0].min()),
         float(ring[:, 1].max() - ring[:, 1].min()),
     )
     eps = span * 1e-7
     sgn = 1.0 if shoelace_area(ring[:, 0], ring[:, 1]) > 0 else -1.0
-    for i in range(k):
-        x1, y1 = ring[i]
-        x2, y2 = ring[(i + 1) % k]
-        dx, dy = x2 - x1, y2 - y1
-        ln = np.hypot(dx, dy)
-        if ln == 0:
-            continue
+    # fast path: the first edge's candidate almost always lands inside —
+    # one scalar construction + one 1-point pip test (the batched
+    # all-candidates fallback below is O(k^2) on the piece)
+    ax, ay = float(ring[0, 0]), float(ring[0, 1])
+    bx, by = float(ring[1, 0]), float(ring[1, 1])
+    d0 = float(np.hypot(bx - ax, by - ay))
+    if d0 > 0.0:
         # inward normal of a CCW ring edge is (-dy, dx)/ln
+        m0x = (ax + bx) / 2.0 + sgn * (-(by - ay) / d0) * eps
+        m0y = (ay + by) / 2.0 + sgn * ((bx - ax) / d0) * eps
+        if pip_ray(np.array([m0x]), np.array([m0y]), ring)[0]:
+            return float(m0x), float(m0y)
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    dx = x2 - x1
+    dy = y2 - y1
+    ln = np.hypot(dx, dy)
+    ok = ln > 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
         mx = (x1 + x2) / 2.0 + sgn * (-dy / ln) * eps
         my = (y1 + y2) / 2.0 + sgn * (dx / ln) * eps
-        if pip_ray(np.array([mx]), np.array([my]), ring)[0]:
-            return float(mx), float(my)
+    hits = ok & pip_ray(np.where(ok, mx, 0.0), np.where(ok, my, 0.0), ring)
+    i = int(np.argmax(hits))
+    if hits[i]:
+        return float(mx[i]), float(my[i])
     raise ValueError("no interior point found near ring boundary")
 
 
@@ -617,12 +640,14 @@ def _interior_point(ring: np.ndarray) -> tuple[float, float]:
     cx, cy = float(ring[:, 0].mean()), float(ring[:, 1].mean())
     if pip_ray(np.array([cx]), np.array([cy]), ring)[0]:
         return cx, cy
-    k = len(ring)
-    for i in range(k):
-        mx = (ring[i][0] + ring[(i + 2) % k][0]) / 2.0
-        my = (ring[i][1] + ring[(i + 2) % k][1]) / 2.0
-        if pip_ray(np.array([mx]), np.array([my]), ring)[0]:
-            return float(mx), float(my)
+    # short-diagonal midpoints, all tested in one vectorized call (r3);
+    # first hit in vertex order — bit-equal to the sequential scan
+    mx = (ring[:, 0] + np.roll(ring[:, 0], -2)) / 2.0
+    my = (ring[:, 1] + np.roll(ring[:, 1], -2)) / 2.0
+    hits = pip_ray(mx, my, ring)
+    i = int(np.argmax(hits))
+    if hits[i]:
+        return float(mx[i]), float(my[i])
     raise ValueError("no interior point found for traced ring")
 
 
