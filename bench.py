@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "events_sliding_window",
     "graticule_lines",
     "shape_coordinates",
+    "topojson_tiled_counts",
 ]
 
 

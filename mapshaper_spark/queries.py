@@ -1750,6 +1750,37 @@ def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "topojson_tiled_counts",
+    """
+    SELECT tx AS tile_x, ty AS tile_y, 24 AS n_features, 58 AS n_arcs
+    FROM range(3) a(tx), range(2) b(ty)
+    """,
+)
+def q_topojson_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-scale TopoJSON export [NEXT r3: shard the arc pool per
+    tile] driver-checked end-to-end: the 12x12 grid topology (144
+    features, 312 shared arcs) shards into 3x2 self-contained Topology
+    documents. Every tile must receive exactly its 4x6 feature block
+    and exactly the 4*7 horizontal + 5*6 vertical arcs those features
+    reference (58 — border arcs replicate only to referencing tiles),
+    which pins bbox tile assignment, the arc replication join, and the
+    local renumbering in one closed-form oracle. Per-tile ring
+    resolution is proven bit-exact against the global arc dictionary
+    in tests/test_codecs.py."""
+    from .sources import geojson as gj
+
+    arcs, feats = fixtures._make_grid_topology(12)
+    out = gj.export_topojson_tiled(
+        topology.features_df(spark, feats),
+        topology.arcs_df(spark, arcs),
+        nx=3,
+        ny=2,
+        layer="grid",
+    )
+    return out.select("tile_x", "tile_y", "n_features", "n_arcs")
+
+
 @query("filter_slivers_overlay")
 def q_filter_slivers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-filter-slivers min-area= on overlay output: drop sub-pixel
@@ -3010,11 +3041,13 @@ _DRIVER_WINDOW = [
     # and raster_vectorize_runs per the window invariant)
     "graticule_lines",
     "shape_coordinates",
+    # r3-new tiled TopoJSON export (takes twice-green grid_generate_z3's
+    # slot per the window invariant)
+    "topojson_tiled_counts",
     # once-green rows that keep their slot (first checked in r2)
     "subdivide_hot_cells",
     "overlay_pairs_nonempty",
     "join_interpolate_area_weighted",
-    "grid_generate_z3",
     "calc_median_quantity",
     "calc_every_some",
     "rollup_region_nation",

@@ -177,6 +177,141 @@ def topojson_json(features_pdf, arcs_pdf, layer: str = "layer") -> str:
     return json.dumps(topojson_doc(features_pdf, arcs_pdf, layer), sort_keys=True)
 
 
+def export_topojson_tiled(
+    features: DataFrame,
+    arcs: DataFrame,
+    nx: int = 2,
+    ny: int = 2,
+    layer: str = "layer",
+) -> DataFrame:
+    """Scan-scale TopoJSON export [NEXT r3: the arc-dictionary document
+    assembly collected the arc pool; shard per tile for continental
+    exports]. The layer splits into an nx x ny grid of SELF-CONTAINED
+    Topology documents: each feature lands on the tile of its bbox
+    center, and every arc a tile's features reference ships with that
+    tile, renumbered locally (the TopoJSON ``arcs`` array is
+    positional) with signed refs rewritten to match. Features keep
+    their global ids, so a reader can reassemble or consume tiles
+    independently.
+
+    Plan shape: the arc pool never assembles on the driver — one
+    bbox aggregation per feature (join on arc_id), a metadata-thin
+    tile-assignment join, one (tile, arc) replication join (factor =
+    number of tiles referencing the arc, ~1 for border-shared arcs),
+    and a per-tile cogrouped assembly. Returns one row per non-empty
+    tile: (tile_x, tile_y, n_features, n_arcs, doc)."""
+    refs = features.select(
+        "feature_id", F.explode(F.flatten("parts")).alias("ref")
+    ).select(
+        "feature_id",
+        F.when(F.col("ref") >= 0, F.col("ref"))
+        .otherwise(-F.col("ref") - 1)
+        .alias("arc_id"),
+    ).distinct()
+    ab = arcs.select(
+        "arc_id",
+        F.expr("array_min(xs)").alias("ax0"),
+        F.expr("array_max(xs)").alias("ax1"),
+        F.expr("array_min(ys)").alias("ay0"),
+        F.expr("array_max(ys)").alias("ay1"),
+    )
+    fbox = (
+        refs.join(ab, "arc_id")
+        .groupBy("feature_id")
+        .agg(
+            F.min("ax0").alias("x0"),
+            F.max("ax1").alias("x1"),
+            F.min("ay0").alias("y0"),
+            F.max("ay1").alias("y1"),
+        )
+    )
+    g = fbox.select(
+        F.min("x0").alias("gx0"),
+        F.max("x1").alias("gx1"),
+        F.min("y0").alias("gy0"),
+        F.max("y1").alias("gy1"),
+    ).first()
+    spanx = max(g.gx1 - g.gx0, 1e-300)
+    spany = max(g.gy1 - g.gy0, 1e-300)
+    ftile = fbox.select(
+        "feature_id",
+        F.least(
+            F.lit(nx - 1),
+            F.floor(((F.col("x0") + F.col("x1")) / 2 - g.gx0) / spanx * nx),
+        ).cast("int").alias("tile_x"),
+        F.least(
+            F.lit(ny - 1),
+            F.floor(((F.col("y0") + F.col("y1")) / 2 - g.gy0) / spany * ny),
+        ).cast("int").alias("tile_y"),
+    )
+    feats_t = features.join(ftile, "feature_id")
+    # rename the arc side's keys — both branches share ftile's lineage,
+    # and identically-named attributes make the cogroup ambiguous
+    tile_arcs = (
+        refs.join(ftile, "feature_id")
+        .select(
+            F.col("tile_x").alias("atx"),
+            F.col("tile_y").alias("aty"),
+            "arc_id",
+        )
+        .distinct()
+        .join(arcs, "arc_id")
+    )
+
+    def build(key, fpdf, apdf):
+        import pandas as pd
+
+        tx, ty = int(key[0]), int(key[1])
+        order = sorted(int(a) for a in apdf["arc_id"])
+        remap = {a: i for i, a in enumerate(order)}
+        by_id = {int(r["arc_id"]): r for _, r in apdf.iterrows()}
+        a2 = pd.DataFrame(
+            {
+                "arc_id": range(len(order)),
+                "xs": [list(by_id[a]["xs"]) for a in order],
+                "ys": [list(by_id[a]["ys"]) for a in order],
+            }
+        )
+
+        def remap_ref(ref):
+            ref = int(ref)
+            return remap[ref] if ref >= 0 else -remap[-ref - 1] - 1
+
+        f2 = pd.DataFrame(
+            {
+                "feature_id": fpdf["feature_id"].astype("int64"),
+                "key": fpdf["key"],
+                "parts": [
+                    [[remap_ref(r) for r in part] for part in parts]
+                    for parts in fpdf["parts"]
+                ],
+            }
+        ).sort_values("feature_id")
+        return pd.DataFrame(
+            [
+                {
+                    "tile_x": tx,
+                    "tile_y": ty,
+                    "n_features": len(f2),
+                    "n_arcs": len(a2),
+                    "doc": topojson_json(f2, a2, layer),
+                }
+            ]
+        )
+
+    return (
+        feats_t.groupBy("tile_x", "tile_y")
+        .cogroup(tile_arcs.groupBy("atx", "aty"))
+        .applyInPandas(
+            build,
+            schema=(
+                "tile_x int, tile_y int, n_features long,"
+                " n_arcs long, doc string"
+            ),
+        )
+    )
+
+
 def topojson_import(doc: dict | str, layer: str | None = None):
     """Topology document → (features_pdf, arcs_pdf) in the engine's
     native model — the inverse of :func:`topojson_doc`, so external

@@ -17,6 +17,7 @@ from __future__ import annotations
 import struct
 
 SHP_POINT = 1
+SHP_POLYLINE = 3
 SHP_POLYGON = 5
 
 
@@ -57,6 +58,28 @@ def write_polygons_shp(path: str, features: list[list[list[tuple[float, float]]]
     _write_shp(path, SHP_POLYGON, records, _bbox(allpts))
 
 
+def write_polylines_shp(path: str, features: list[list[list[tuple[float, float]]]]) -> None:
+    """features: one entry per polyline feature, each a list of parts
+    (open vertex chains, >= 2 points — written verbatim; PolyLine has
+    no closing-vertex rule)."""
+    records = b""
+    allpts = [p for f in features for part in f for p in part]
+    for i, parts_pts in enumerate(features):
+        pts = [p for part in parts_pts for p in part]
+        x0, y0, x1, y1 = _bbox(pts)
+        parts = []
+        off = 0
+        for part in parts_pts:
+            parts.append(off)
+            off += len(part)
+        content = struct.pack("<i4d", SHP_POLYLINE, x0, y0, x1, y1)
+        content += struct.pack("<ii", len(parts_pts), len(pts))
+        content += b"".join(struct.pack("<i", p) for p in parts)
+        content += b"".join(struct.pack("<dd", x, y) for x, y in pts)
+        records += struct.pack(">ii", i + 1, len(content) // 2) + content
+    _write_shp(path, SHP_POLYLINE, records, _bbox(allpts))
+
+
 def _write_shp(path: str, shp_type: int, records: bytes, bbox) -> None:
     x0, y0, x1, y1 = bbox
     total_16bit_words = (100 + len(records)) // 2
@@ -69,7 +92,9 @@ def _write_shp(path: str, shp_type: int, records: bytes, bbox) -> None:
 
 def read_shp(path: str):
     """Parse a .shp file → (shp_type, records). Point records are
-    (x, y); Polygon records are lists of CLOSED rings [(x, y), ...]."""
+    (x, y); Polygon records are lists of CLOSED rings [(x, y), ...];
+    PolyLine records are lists of open parts (same wire layout as
+    Polygon, no closing-vertex rule)."""
     with open(path, "rb") as f:
         buf = f.read()
     magic, = struct.unpack(">i", buf[:4])
@@ -87,7 +112,7 @@ def read_shp(path: str):
         if rtype == SHP_POINT:
             x, y = struct.unpack("<dd", content[4:20])
             out.append((x, y))
-        elif rtype == SHP_POLYGON:
+        elif rtype in (SHP_POLYGON, SHP_POLYLINE):
             n_parts, n_points = struct.unpack("<ii", content[36:44])
             parts = list(
                 struct.unpack(f"<{n_parts}i", content[44 : 44 + 4 * n_parts])
@@ -276,6 +301,39 @@ def import_polygons_shp(spark, path: str, with_attrs: bool = True):
     dbf_path = os.path.splitext(path)[0] + ".dbf"
     if with_attrs and os.path.exists(dbf_path):
         geom = geom.join(F.broadcast(_attrs_df(spark, dbf_path, "poly_id")), "poly_id")
+    return geom
+
+
+def import_polylines_shp(spark, path: str, with_attrs: bool = True):
+    """.shp polylines → (line_id, part_idx, xs, ys) open vertex chains
+    [+ .dbf attribute columns by record order when the sidecar
+    exists] — the input table of the Cyrus–Beck -clip polyline path."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    shp_type, recs = read_shp(path)
+    if shp_type != SHP_POLYLINE:
+        raise ValueError("not a polyline shapefile")
+    rows = []
+    for lid, parts in enumerate(recs):
+        for pi, part in enumerate(parts):
+            rows.append(
+                {
+                    "line_id": lid,
+                    "part_idx": pi,
+                    "xs": [p[0] for p in part],
+                    "ys": [p[1] for p in part],
+                }
+            )
+    geom = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["line_id", "part_idx", "xs", "ys"]),
+        schema="line_id int, part_idx int, xs array<double>, ys array<double>",
+    )
+    dbf_path = os.path.splitext(path)[0] + ".dbf"
+    if with_attrs and os.path.exists(dbf_path):
+        geom = geom.join(F.broadcast(_attrs_df(spark, dbf_path, "line_id")), "line_id")
     return geom
 
 

@@ -338,3 +338,125 @@ def test_geojson_featurecollection_doc_import(spark, tmp_path):
         for r in back.collect()
     }
     assert got == want
+
+
+def _resolve_rings(parts, arcs_pdf):
+    """Feature parts (signed arc refs) -> list of coordinate tuples per
+    part, following the TopoJSON convention (ref = -(id+1) reversed)."""
+    by_id = {int(r["arc_id"]): (list(r["xs"]), list(r["ys"])) for _, r in arcs_pdf.iterrows()}
+    out = []
+    for part in parts:
+        pts = []
+        for ref in part:
+            ref = int(ref)
+            xs, ys = by_id[ref if ref >= 0 else -ref - 1]
+            seq = list(zip(xs, ys))
+            if ref < 0:
+                seq = seq[::-1]
+            pts.extend(seq if not pts else seq[1:])
+        out.append(tuple(pts))
+    return out
+
+
+def test_topojson_tiled_export_lossless(spark):
+    """Sharded TopoJSON export: every feature lands on exactly one tile,
+    each tile document is a self-contained Topology whose locally
+    renumbered arcs resolve the feature's rings bit-exactly equal to
+    the global arc dictionary."""
+    from mapshaper_spark.operators import topology
+
+    arcs, feats = fixtures._make_grid_topology(8)
+    fdf = topology.features_df(spark, feats)
+    adf = topology.arcs_df(spark, arcs)
+    tiles = gj.export_topojson_tiled(fdf, adf, nx=3, ny=2, layer="grid").collect()
+    assert len(tiles) == 6
+
+    apdf_global = pd.DataFrame(arcs)
+    want = {
+        f["feature_id"]: _resolve_rings(f["parts"], apdf_global) for f in feats
+    }
+    seen = {}
+    for t in tiles:
+        doc = json.loads(t.doc)
+        assert doc["type"] == "Topology"
+        assert t.n_arcs == len(doc["arcs"])
+        f2, a2 = gj.topojson_import(t.doc, layer="grid")
+        assert t.n_features == len(f2)
+        for _, f in f2.iterrows():
+            fid = int(f["feature_id"])
+            assert fid not in seen  # exactly one tile per feature
+            seen[fid] = _resolve_rings(f["parts"], a2)
+    assert set(seen) == set(want)
+    assert seen == want  # bit-exact ring resolution through local arcs
+
+
+def test_topojson_tiled_arc_replication_bounded(spark):
+    """Border-shared arcs replicate only to the tiles whose features
+    reference them: total shipped arcs <= global arcs + border overlap
+    (for the 8x8 grid at 3x2 tiles, strictly less than 2x)."""
+    from mapshaper_spark.operators import topology
+
+    arcs, feats = fixtures._make_grid_topology(8)
+    fdf = topology.features_df(spark, feats)
+    adf = topology.arcs_df(spark, arcs)
+    tiles = gj.export_topojson_tiled(fdf, adf, nx=3, ny=2).collect()
+    shipped = sum(t.n_arcs for t in tiles)
+    assert len(arcs) <= shipped < 2 * len(arcs)
+
+
+def test_shp_polylines_roundtrip_multi_part(spark, tmp_path):
+    """PolyLine (type 3) .shp roundtrip: the seeded random-walk arcs,
+    packed two parts per feature, come back bit-exactly, and the
+    imported table drives the Cyrus-Beck clip identically to the
+    native fixture path."""
+    from mapshaper_spark.operators import overlay, topology
+    from mapshaper_spark.sources import shapefile as shp
+
+    arcs = fixtures.CROSS_LINES
+    # two parts per feature exercises the parts index
+    feats = [
+        [list(zip(a["xs"], a["ys"])) for a in arcs[i : i + 2]]
+        for i in range(0, len(arcs), 2)
+    ]
+    path = str(tmp_path / "lines.shp")
+    shp.write_polylines_shp(path, feats)
+    back = shp.import_polylines_shp(spark, path).orderBy("line_id", "part_idx").collect()
+    got = [(list(r["xs"]), list(r["ys"])) for r in back]
+    want = [
+        ([p[0] for p in part], [p[1] for p in part]) for f in feats for part in f
+    ]
+    assert got == want
+
+    # flatten imported parts back to the arcs model and drive -clip
+    flat = [
+        {"arc_id": arcs[i]["arc_id"], "xs": g[0], "ys": g[1]}
+        for i, g in enumerate(got)
+    ]
+    native = {
+        (r["arc_id"], r["clip_id"]): r["total_len"]
+        for r in overlay.clip_polylines(
+            topology.arcs_df(spark, arcs), testdata.polygons(spark)
+        ).collect()
+    }
+    imported = {
+        (r["arc_id"], r["clip_id"]): r["total_len"]
+        for r in overlay.clip_polylines(
+            topology.arcs_df(spark, flat), testdata.polygons(spark)
+        ).collect()
+    }
+    assert imported == native
+
+
+def test_shp_polylines_dbf_attrs(spark, tmp_path):
+    from mapshaper_spark.sources import shapefile as shp
+
+    feats = [[[(0.0, 0.0), (1.0, 2.0)]], [[(3.0, 1.0), (4.0, -1.0), (5.0, 0.0)]]]
+    path = str(tmp_path / "roads.shp")
+    shp.write_polylines_shp(path, feats)
+    shp.write_dbf(
+        str(tmp_path / "roads.dbf"),
+        [("NAME", "C", 12, 0), ("LANES", "N", 4, 0)],
+        [{"NAME": "main st", "LANES": 4}, {"NAME": "bypass", "LANES": 2}],
+    )
+    back = shp.import_polylines_shp(spark, path).orderBy("line_id").collect()
+    assert [(r["NAME"], r["LANES"]) for r in back] == [("main st", 4), ("bypass", 2)]
