@@ -71,6 +71,14 @@ def _split_arcs(arcs: DataFrame, ox: float, oy: float, pitch: float) -> DataFram
             for _, r in pdf.iterrows():
                 xs = np.asarray(r["xs"], dtype=np.float64)
                 ys = np.asarray(r["ys"], dtype=np.float64)
+                # vertex exactly on a cell line → degenerate origin;
+                # checked here (inside the one required scan) instead of
+                # a separate pre-scan job [r3]. Float-exact equality,
+                # same predicate as the retry loop's contract.
+                if np.any(ox + np.round((xs - ox) / pitch) * pitch == xs) or np.any(
+                    oy + np.round((ys - oy) / pitch) * pitch == ys
+                ):
+                    raise ValueError(_DEGEN + ": vertex on cell line")
                 # point chain with cut markers
                 cxs, cys, cut = [float(xs[0])], [float(ys[0])], [False]
                 for i in range(len(xs) - 1):
@@ -159,12 +167,14 @@ def _cc_labels(
     there beats ~log(n) shuffle rounds of Spark-job overhead; above the
     limit the hash-min + pointer-jumping loop (the standard O(log n)-
     round MapReduce CC) takes over. Returns (piece_id, label) with
-    label = component min piece_id — identical from both routes."""
-    n_nodes = nodes.count()
-    if n_nodes <= driver_limit:
-        n_edges = edges.limit(driver_limit + 1).count()
-        if n_edges <= driver_limit:
-            return _cc_labels_driver(nodes, edges)
+    label = component min piece_id — identical from both routes.
+    Size probing is the collect itself (``limit(driver_limit + 1)``) —
+    one job per side, no separate count actions."""
+    node_rows = nodes.limit(driver_limit + 1).collect()
+    if len(node_rows) <= driver_limit:
+        edge_rows = edges.limit(driver_limit + 1).collect()
+        if len(edge_rows) <= driver_limit:
+            return _cc_labels_driver(nodes.sparkSession, node_rows, edge_rows)
     lbl = nodes.select("piece_id", F.col("piece_id").alias("label")).localCheckpoint()
     sym = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -202,12 +212,11 @@ def _cc_labels(
     return lbl
 
 
-def _cc_labels_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _cc_labels_driver(spark, node_rows, edge_rows) -> DataFrame:
     """Driver-side union-find route of :func:`_cc_labels` — path
     compression + union by min label, one pass over the collected
     metadata edge list, one createDataFrame back out."""
-    spark = nodes.sparkSession
-    ids = [r.piece_id for r in nodes.collect()]
+    ids = [r.piece_id for r in node_rows]
     parent = {i: i for i in ids}
 
     def find(i):
@@ -218,7 +227,7 @@ def _cc_labels_driver(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             parent[i], i = root, parent[i]
         return root
 
-    for r in edges.collect():
+    for r in edge_rows:
         ra, rb = find(r.src), find(r.dst)
         if ra != rb:
             # min-id root so labels match the distributed route exactly
@@ -268,13 +277,10 @@ def _polygons_tiled_at(arcs: DataFrame, n_cells: int, attempt: int) -> DataFrame
     pitch = 2.0 ** math.ceil(math.log2(span * 1.25 / n_cells))
     off = _OFFSETS[attempt]
     ox, oy = b.x0 - pitch * off, b.y0 - pitch * off
-    on_line = (
-        f"exists(xs, v -> {ox!r} + round((v - {ox!r}) / {pitch!r}) * {pitch!r} = v)"
-        f" or exists(ys, v -> {oy!r} + round((v - {oy!r}) / {pitch!r}) * {pitch!r} = v)"
-    )
-    if arcs.select(F.max(F.expr(on_line)).alias("h")).first().h:
-        raise ValueError(_DEGEN + ": vertex on cell line")
-
+    # vertex-on-cell-line detection happens inside the split kernel
+    # (one scan instead of a dedicated pre-scan job); a hit raises the
+    # degeneracy marker out of the materializing action and the retry
+    # loop moves to the next dyadic origin
     pieces = _split_arcs(arcs, ox, oy, pitch)
     # skeleton row per cell so empty cells contribute their full-cell face
     skeleton = (
