@@ -90,6 +90,26 @@ def _write_shp(path: str, shp_type: int, records: bytes, bbox) -> None:
         f.write(header + records)
 
 
+def parse_record_content(content: bytes):
+    """One .shp record's content → Point (x, y) or Polygon/PolyLine
+    list of parts [(x, y), ...] — the shared kernel of the driver-side
+    and distributed readers."""
+    rtype, = struct.unpack("<i", content[:4])
+    if rtype == SHP_POINT:
+        return struct.unpack("<dd", content[4:20])
+    if rtype in (SHP_POLYGON, SHP_POLYLINE):
+        n_parts, n_points = struct.unpack("<ii", content[36:44])
+        parts = list(struct.unpack(f"<{n_parts}i", content[44 : 44 + 4 * n_parts]))
+        pts_off = 44 + 4 * n_parts
+        pts = [
+            struct.unpack("<dd", content[pts_off + 16 * i : pts_off + 16 * i + 16])
+            for i in range(n_points)
+        ]
+        bounds = parts + [n_points]
+        return [pts[bounds[k] : bounds[k + 1]] for k in range(n_parts)]
+    raise NotImplementedError(f"shp record type {rtype}")
+
+
 def read_shp(path: str):
     """Parse a .shp file → (shp_type, records). Point records are
     (x, y); Polygon records are lists of CLOSED rings [(x, y), ...];
@@ -106,26 +126,8 @@ def read_shp(path: str):
     while off < len(buf):
         _recno, length_words = struct.unpack(">ii", buf[off : off + 8])
         off += 8
-        content = buf[off : off + length_words * 2]
+        out.append(parse_record_content(buf[off : off + length_words * 2]))
         off += length_words * 2
-        rtype, = struct.unpack("<i", content[:4])
-        if rtype == SHP_POINT:
-            x, y = struct.unpack("<dd", content[4:20])
-            out.append((x, y))
-        elif rtype in (SHP_POLYGON, SHP_POLYLINE):
-            n_parts, n_points = struct.unpack("<ii", content[36:44])
-            parts = list(
-                struct.unpack(f"<{n_parts}i", content[44 : 44 + 4 * n_parts])
-            )
-            pts_off = 44 + 4 * n_parts
-            pts = [
-                struct.unpack("<dd", content[pts_off + 16 * i : pts_off + 16 * i + 16])
-                for i in range(n_points)
-            ]
-            bounds = parts + [n_points]
-            out.append([pts[bounds[k] : bounds[k + 1]] for k in range(n_parts)])
-        else:
-            raise NotImplementedError(f"shp record type {rtype}")
     return shp_type, out
 
 
@@ -302,6 +304,67 @@ def import_polygons_shp(spark, path: str, with_attrs: bool = True):
     if with_attrs and os.path.exists(dbf_path):
         geom = geom.join(F.broadcast(_attrs_df(spark, dbf_path, "poly_id")), "poly_id")
     return geom
+
+
+def import_polygons_shp_distributed(
+    spark, path: str, records_per_task: int = 8192
+):
+    """Scan-scale .shp polygon import [NEXT r3: driver-scale -i]: the
+    driver reads ONLY the tiny .shx sidecar (8 bytes per record); the
+    record byte-ranges distribute across executors and each task seeks
+    into the .shp and parses its slice with the shared record kernel —
+    geometry bytes never pass through the driver. Requires the .shp on
+    a filesystem every executor can open (local mode / shared FS — the
+    same contract ``spark.read`` itself relies on). Output schema and
+    values are identical to :func:`import_polygons_shp`'s geometry
+    table (join the .dbf attrs the same way if needed)."""
+    import math
+    import os
+
+    import pandas as pd
+
+    shx = os.path.splitext(path)[0] + ".shx"
+    entries = read_shx(shx)  # [(record_header_offset_bytes, content_length_bytes)]
+    meta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly_id": range(len(entries)),
+                "off": [o for o, _ in entries],
+                "length": [ln for _, ln in entries],
+            }
+        ),
+        schema="poly_id int, off long, length long",
+    ).repartition(max(1, math.ceil(len(entries) / records_per_task)))
+
+    def parse(it):
+        with open(path, "rb") as f:
+            for pdf in it:
+                rows = []
+                for _, r in pdf.iterrows():
+                    f.seek(int(r["off"]) + 8)  # skip the record header
+                    rings = parse_record_content(f.read(int(r["length"])))
+                    for ri, ring in enumerate(rings):
+                        open_ring = (
+                            ring[:-1]
+                            if len(ring) > 1 and ring[0] == ring[-1]
+                            else ring
+                        )
+                        rows.append(
+                            {
+                                "poly_id": int(r["poly_id"]),
+                                "ring_idx": ri,
+                                "xs": [p[0] for p in open_ring],
+                                "ys": [p[1] for p in open_ring],
+                            }
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["poly_id", "ring_idx", "xs", "ys"]
+                )
+
+    return meta.mapInPandas(
+        parse,
+        schema="poly_id int, ring_idx int, xs array<double>, ys array<double>",
+    )
 
 
 def import_polylines_shp(spark, path: str, with_attrs: bool = True):

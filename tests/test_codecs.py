@@ -460,3 +460,33 @@ def test_shp_polylines_dbf_attrs(spark, tmp_path):
     )
     back = shp.import_polylines_shp(spark, path).orderBy("line_id").collect()
     assert [(r["NAME"], r["LANES"]) for r in back] == [("main st", 4), ("bypass", 2)]
+
+
+def test_shp_distributed_import_matches_driver(spark, tmp_path):
+    """Scan-scale .shp import: executors seek record ranges from the
+    .shx index; output identical to the driver-side reader on the
+    holed multi-ring layer."""
+    from mapshaper_spark.sources import shapefile as shp
+
+    feats = [
+        [list(zip(r["xs"], r["ys"])) for r in grp]
+        for grp in (
+            [r for r in testdata.holed_features(spark).collect() if r["poly_id"] == p]
+            for p in range(4)
+        )
+    ]
+    path = str(tmp_path / "holed.shp")
+    shp.write_polygons_shp(path, feats)
+    shp.write_shx(str(tmp_path / "holed.shx"), path)
+    driver_side = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in shp.import_polygons_shp(spark, path, with_attrs=False).collect()
+    }
+    # records_per_task=2 forces multiple range partitions
+    dist = {
+        (r["poly_id"], r["ring_idx"]): (tuple(r["xs"]), tuple(r["ys"]))
+        for r in shp.import_polygons_shp_distributed(
+            spark, path, records_per_task=2
+        ).collect()
+    }
+    assert dist == driver_side
