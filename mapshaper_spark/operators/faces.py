@@ -414,9 +414,51 @@ def _polygons_tiled_at(arcs: DataFrame, n_cells: int, attempt: int) -> DataFrame
     )
     areas = kept.groupBy("label").agg(F.sum("area").alias("area"))
     out = areas.join(face_refs, "label")
-    return out.select(
-        (F.row_number().over(Window.orderBy("label")) - 1).alias("face_id"),
+    ranks = _rank_labels(kept.select("label").distinct())
+    return out.join(ranks, "label").select(
+        "face_id",
         F.col("n_arcs").cast("int").alias("n_arcs"),
         F.col("n_vertices").cast("int").alias("n_vertices"),
         "area",
+    )
+
+
+def _rank_labels(lab: DataFrame, driver_limit: int = 2_000_000) -> DataFrame:
+    """(label) → (label, face_id) with face_id = dense global rank of
+    label — WITHOUT the naive unpartitioned row_number window, which
+    moves every face to one task [r3; surfaced by PLANS.md's WindowExec
+    warning]. Size-routed like :func:`_cc_labels`: metadata-sized label
+    sets rank on the driver (one limited collect, broadcast back);
+    larger sets use the standard distributed global rank — range-
+    partition by label (global order across partitions), rank within
+    each partition, add exclusive per-partition offsets (the offset
+    table is #partitions-sized)."""
+    rows = lab.limit(driver_limit + 1).collect()
+    if len(rows) <= driver_limit:
+        ids = sorted(r.label for r in rows)
+        return F.broadcast(
+            lab.sparkSession.createDataFrame(
+                [(int(l), i) for i, l in enumerate(ids)],
+                "label long, face_id long",
+            )
+        )
+    rp = (
+        lab.repartitionByRange("label")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = sorted(
+        (r._pid, r.c)
+        for r in rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offs, acc = [], 0
+    for pid, c in sizes:
+        offs.append((int(pid), acc))
+        acc += int(c)
+    od = F.broadcast(
+        lab.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy("label")
+    return rp.join(od, "_pid").select(
+        "label", (F.col("_off") + F.row_number().over(w) - 1).alias("face_id")
     )

@@ -25,6 +25,8 @@ NAMES = (
     "join_interpolate_area_weighted",
     "gh_boolean_holed_pairs",
     "classify_nice_breaks",
+    "polygons_from_lines_grid",
+    "topojson_tiled_counts",
 )
 
 

@@ -136,3 +136,17 @@ def test_cc_labels_chain_and_singleton(spark, driver_limit):
         for r in faces._cc_labels(nodes, edges, driver_limit=driver_limit).collect()
     }
     assert lbl == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 9: 9}
+
+
+@pytest.mark.parametrize("driver_limit", [2_000_000, 0])
+def test_rank_labels_both_routes(spark, driver_limit):
+    import pandas as pd
+
+    lab = spark.createDataFrame(
+        pd.DataFrame({"label": [42, 7, 100, 3]}), schema="label long"
+    )
+    got = {
+        r.label: r.face_id
+        for r in faces._rank_labels(lab, driver_limit=driver_limit).collect()
+    }
+    assert got == {3: 0, 7: 1, 42: 2, 100: 3}
