@@ -329,9 +329,15 @@ def gh_clip(subj: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray]:
     # (e.g. a U's notch closed off by a union) — oriented CW so signed
     # sums and even-odd agree. Membership of ALL pieces against subj and
     # clip runs in two vectorized pip_ray calls (was 2 per piece).
+    # NEAR-BOUNDARY interior points, not centroids [r3 review fix]: a
+    # donut-forming union traces an outer ring whose centroid lies in
+    # the enclosed hole, and testing membership THERE flips the outer
+    # boundary to CW, corrupting every signed-area consumer. The
+    # near-boundary point is inside the traced ring and inside the
+    # region it bounds (same contract gh_clip_rings already uses).
     pieces = []
     if traced:
-        pts = np.array([_interior_point(arr) for arr in traced])
+        pts = np.array([_near_boundary_interior_point(arr) for arr in traced])
         in_a = pip_ray(pts[:, 0], pts[:, 1], subj)
         in_b = pip_ray(pts[:, 0], pts[:, 1], clip)
         in_result = {
@@ -631,24 +637,6 @@ def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
             continue
         acc = gh_clip_rings_robust(acc, [ring], "union")
     return acc
-
-
-def _interior_point(ring: np.ndarray) -> tuple[float, float]:
-    """A point strictly inside a simple ring: the centroid when it lands
-    inside (typical), else midpoints of short diagonals. Raises on
-    failure (degenerate ring outside this module's scope)."""
-    cx, cy = float(ring[:, 0].mean()), float(ring[:, 1].mean())
-    if pip_ray(np.array([cx]), np.array([cy]), ring)[0]:
-        return cx, cy
-    # short-diagonal midpoints, all tested in one vectorized call (r3);
-    # first hit in vertex order — bit-equal to the sequential scan
-    mx = (ring[:, 0] + np.roll(ring[:, 0], -2)) / 2.0
-    my = (ring[:, 1] + np.roll(ring[:, 1], -2)) / 2.0
-    hits = pip_ray(mx, my, ring)
-    i = int(np.argmax(hits))
-    if hits[i]:
-        return float(mx[i]), float(my[i])
-    raise ValueError("no interior point found for traced ring")
 
 
 def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:

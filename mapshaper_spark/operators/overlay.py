@@ -431,9 +431,28 @@ def mosaic_faces_tiled(features: DataFrame, res: int = 4) -> DataFrame:
 
     Work per task is bounded by cell content; the shuffle carries one
     feature copy per overlapped cell (same asymptotics as shipping
-    clipped pieces). Output: (key, members_csv, area)."""
+    clipped pieces). Output: (key, members_csv, area).
+
+    The grid derives from the layer's own bounds [r3 review fix: the
+    fixed lonlat world grid silently DROPPED features outside
+    [-180,180]x[-90,90] — projected-coordinate layers vanished from the
+    tiled result while the global mosaic kept them]. One bounds
+    aggregation, then n x n cells padded so every vertex lands strictly
+    inside the grid — coordinate-system-agnostic, like the distributed
+    -polygons plan."""
     n = 1 << res
-    cw, ch = 360.0 / n, 180.0 / n
+    b = features.select(
+        F.min(F.expr("array_min(xs)")).alias("x0"),
+        F.max(F.expr("array_max(xs)")).alias("x1"),
+        F.min(F.expr("array_min(ys)")).alias("y0"),
+        F.max(F.expr("array_max(ys)")).alias("y1"),
+    ).first()
+    if b.x0 is None:  # empty layer: any grid works, replication emits 0 rows
+        ox, oy, cw, ch = 0.0, 0.0, 1.0, 1.0
+    else:
+        ox, oy = b.x0, b.y0
+        cw = max(b.x1 - b.x0, 1e-12) * (1.0 + 1e-9) / n
+        ch = max(b.y1 - b.y0, 1e-12) * (1.0 + 1e-9) / n
 
     def replicate(it):
         for pdf in it:
@@ -441,10 +460,10 @@ def mosaic_faces_tiled(features: DataFrame, res: int = 4) -> DataFrame:
             for _, r in pdf.iterrows():
                 xs = np.asarray(r["xs"])
                 ys = np.asarray(r["ys"])
-                ix0 = max(0, int((xs.min() + 180.0) // cw))
-                ix1 = min(n - 1, int((xs.max() + 180.0) // cw))
-                iy0 = max(0, int((ys.min() + 90.0) // ch))
-                iy1 = min(n - 1, int((ys.max() + 90.0) // ch))
+                ix0 = max(0, int((xs.min() - ox) // cw))
+                ix1 = min(n - 1, int((xs.max() - ox) // cw))
+                iy0 = max(0, int((ys.min() - oy) // ch))
+                iy1 = min(n - 1, int((ys.max() - oy) // ch))
                 for ix in range(ix0, ix1 + 1):
                     for iy in range(iy0, iy1 + 1):
                         out.append(
@@ -472,7 +491,7 @@ def mosaic_faces_tiled(features: DataFrame, res: int = 4) -> DataFrame:
     def cell_faces(pdf: pd.DataFrame) -> pd.DataFrame:
         ix = int(pdf["ix"].iloc[0])
         iy = int(pdf["iy"].iloc[0])
-        x_lo, y_lo = -180.0 + ix * cw, -90.0 + iy * ch
+        x_lo, y_lo = ox + ix * cw, oy + iy * ch
         x_hi, y_hi = x_lo + cw, y_lo + ch
         faces: list[tuple[list, frozenset]] = []
         processed: list[list] = []

@@ -228,3 +228,34 @@ def test_dense_star_boolean_identities():
     assert 0.0 < inter < min(area_a, area_b)
     assert abs(inter + diff - area_a) < 1e-9 * area_a
     assert abs(inter + union - (area_a + area_b)) < 1e-9 * (area_a + area_b)
+
+
+def test_gh_clip_donut_union_orientation():
+    """r3 review regression: two C-shapes closing a picture frame — the
+    traced outer ring's CENTROID lies inside the enclosed hole, so
+    centroid-based orientation flipped the outer boundary CW and the
+    union's signed area came out -98.69 instead of 30.825. gh_clip must
+    orient with near-boundary interior points (like gh_clip_rings) and
+    agree with the multi-ring kernel on all three ops + the boolean
+    identity."""
+    c1 = np.array(
+        [(0, 0), (7.8, 0), (7.8, 0.9), (1.1, 0.9), (1.1, 7.1), (7.8, 7.1), (7.8, 8), (0, 8)],
+        float,
+    )
+    c2 = np.array(
+        [(0.2, 0.05), (8.1, 0.05), (8.1, 7.9), (0.2, 7.9), (0.2, 6.9), (6.9, 6.9), (6.9, 1.05), (0.2, 1.05)],
+        float,
+    )
+
+    def area(rings):
+        return sum(G.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
+
+    for op in ("union", "intersection", "difference"):
+        a_single = area(G.gh_clip(c1, c2, op))
+        a_rings = area(G.gh_clip_rings([c1], [c2], op))
+        assert a_single == pytest.approx(a_rings, rel=1e-12), op
+    a = area(G.gh_clip(c1, c2, "intersection")) + area(
+        G.gh_clip(c1, c2, "difference")
+    )
+    assert a == pytest.approx(G.shoelace_area(c1[:, 0], c1[:, 1]), rel=1e-12)
+    assert area(G.gh_clip(c1, c2, "union")) == pytest.approx(30.825, rel=1e-9)

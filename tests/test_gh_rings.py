@@ -287,3 +287,34 @@ def test_holed_x_holed_pair():
     area_a = 40.0 * 40.0 - 20.0 * 20.0
     diff = _signed(G.gh_clip_rings(donut, shifted, "difference"))
     assert inter + diff == pytest.approx(area_a, rel=1e-12)
+
+
+def test_tiled_mosaic_projected_coordinates(spark):
+    """r3 review regression: the tiled mosaic's grid derives from the
+    layer bounds, so a projected-coordinate layer (WebMercator-scale
+    meters, far outside the lonlat world box) must match the global
+    mosaic instead of silently vanishing from the replication."""
+    from mapshaper_spark import fixtures as fx
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    pdf = fx.dissolve2_pdf()
+    pdf["xs"] = [[v * 1000.0 + 2.0e6 for v in xs] for xs in pdf["xs"]]
+    pdf["ys"] = [[v * 1000.0 + 5.0e6 for v in ys] for ys in pdf["ys"]]
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    a = {
+        (r["key"], r["members_csv"]): r["area"]
+        for r in overlay_op.mosaic_faces(feats).collect()
+    }
+    b = {
+        (r["key"], r["members_csv"]): r["area"]
+        for r in overlay_op.mosaic_faces_tiled(feats, res=4).collect()
+    }
+    assert set(a) == set(b) and len(a) >= 7
+    # rel=1e-8 not 1e-9: at 2e6-magnitude coordinates the per-cell
+    # clipped-piece shoelace sums round at ~1e13-scale products, so the
+    # tiled and global folds legitimately differ by ~1.5e-9 relative.
+    # The regression under test is 100%-missing features, not FP noise.
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-8), k
