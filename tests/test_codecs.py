@@ -490,3 +490,69 @@ def test_shp_distributed_import_matches_driver(spark, tmp_path):
         ).collect()
     }
     assert dist == driver_side
+
+
+def test_svg_polygon_document(spark):
+    """-o format=svg: the holed multi-ring layer renders one
+    fill-rule=evenodd path per feature; subpaths are rings in ring_idx
+    order, coordinates are the layer-frame affine (y flipped) rounded
+    to the requested precision."""
+    import xml.etree.ElementTree as ET
+
+    from mapshaper_spark.sources import svg as svg_mod
+
+    feats = testdata.holed_features(spark)
+    doc = svg_mod.svg_document(feats, width=800.0, precision=2)
+    root = ET.fromstring(doc)
+    ns = "{http://www.w3.org/2000/svg}"
+    paths = root.findall(f"{ns}path")
+    assert len(paths) == 4
+    assert all(p.get("fill-rule") == "evenodd" for p in paths)
+
+    # reconstruct the affine from the layer bounds and check every
+    # vertex of the donut feature (2 rings -> 2 subpaths)
+    rings = {
+        (r["poly_id"], r["ring_idx"]): (r["xs"], r["ys"])
+        for r in feats.collect()
+    }
+    all_x = [v for (xs, _) in rings.values() for v in xs]
+    all_y = [v for (_, ys) in rings.values() for v in ys]
+    x0, x1, y1 = min(all_x), max(all_x), max(all_y)
+    k = 800.0 / (x1 - x0)
+    donut = [p for p in paths if p.get("id") == "f0"][0]
+    subs = [s for s in donut.get("d").split("M") if s]
+    assert len(subs) == 2
+    for ri, sub in enumerate(subs):
+        xs, ys = rings[(0, ri)]
+        pts = [t.split(",") for t in sub.strip().rstrip("Z").split(" L")]
+        assert len(pts) == len(xs)
+        for (sx, sy), wx, wy in zip(pts, xs, ys):
+            assert abs(float(sx) - (wx - x0) * k) <= 0.005 + 1e-9
+            assert abs(float(sy) - (y1 - wy) * k) <= 0.005 + 1e-9
+
+    # y flip: the island feature sits at the top of the layer, so its
+    # SVG y coordinates are among the smallest
+    viewbox = root.get("viewBox").split()
+    assert float(viewbox[2]) == 800.0
+    assert float(viewbox[3]) > 0.0
+
+
+def test_svg_point_document(spark):
+    import xml.etree.ElementTree as ET
+
+    from mapshaper_spark.sources import svg as svg_mod
+
+    pts = testdata.customer_points(spark, SF_SMOKE).limit(50)
+    doc = svg_mod.svg_point_document(
+        pts, width=400.0, precision=1, id_col="point_id",
+        x_col="lon", y_col="lat",
+    )
+    root = ET.fromstring(doc)
+    ns = "{http://www.w3.org/2000/svg}"
+    circles = root.findall(f"{ns}circle")
+    assert len(circles) == 50
+    w = float(root.get("viewBox").split()[2])
+    h = float(root.get("viewBox").split()[3])
+    for c in circles:
+        assert -0.5 <= float(c.get("cx")) <= w + 0.5
+        assert -0.5 <= float(c.get("cy")) <= h + 0.5

@@ -245,3 +245,85 @@ def test_webmercator_tile_poles_clamped(spark):
     rows = proj_fn.webmercator_tile(df, z=4).collect()
     ys = sorted(r["wm_tile_y"] for r in rows)
     assert ys == [0, 15]  # clamped to the MAX_LAT band, never out of range
+
+
+def test_albers_roundtrip_and_equal_area(spark):
+    """Spherical Albers conic (r3): forward→inverse is identity, a
+    numpy twin agrees, and the projection is equal-area — a small
+    geodesic quad's projected planar area matches its spherical area
+    to first order."""
+    import math as m
+
+    pts = [(-120.0, 34.0), (-96.0, 23.0), (-75.0, 45.0), (-96.0, 49.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.albers_inverse(proj_fn.albers(df)).orderBy("lon").collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9
+        assert abs(r["lat2"] - r["lat"]) < 1e-9
+
+    # numpy twin for the forward map
+    f1, f2 = m.radians(29.5), m.radians(45.5)
+    n = (m.sin(f1) + m.sin(f2)) / 2.0
+    c = m.cos(f1) ** 2 + 2.0 * n * m.sin(f1)
+    R = proj_fn.R
+    rho0 = R * m.sqrt(c - 2.0 * n * m.sin(m.radians(23.0))) / n
+    fwd = {
+        (r["lon"], r["lat"]): (r["ax"], r["ay"])
+        for r in proj_fn.albers(df).collect()
+    }
+    for lon, lat in pts:
+        rho = R * m.sqrt(c - 2.0 * n * m.sin(m.radians(lat))) / n
+        th = n * m.radians(lon - (-96.0))
+        ax, ay = rho * m.sin(th), rho0 - rho * m.cos(th)
+        # cm-level: JVM and CPython associate the R*sqrt(...)/n chain
+        # differently, so exact-double equality is not expected at
+        # 1e7-m magnitudes
+        assert abs(fwd[(lon, lat)][0] - ax) < 0.01
+        assert abs(fwd[(lon, lat)][1] - ay) < 0.01
+
+    # equal-area: a 0.1-degree quad at 40N
+    d = 0.05
+    quad = [(-96.0 - d, 40.0 - d), (-96.0 + d, 40.0 - d),
+            (-96.0 + d, 40.0 + d), (-96.0 - d, 40.0 + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["ax"], r["ay"])
+           for r in proj_fn.albers(qdf).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * m.radians(d)) * (
+        m.sin(m.radians(40.0 + d)) - m.sin(m.radians(40.0 - d))
+    )
+    assert abs(planar - spherical) < 2e-5 * spherical
+
+
+def test_lambert_cc_roundtrip_and_conformal(spark):
+    """Spherical Lambert conformal conic (r3): forward→inverse
+    identity; conformality — an east-step and a north-step of equal
+    ground length project to segments of equal length (scale isotropy)
+    and stay orthogonal."""
+    import math as m
+
+    pts = [(-110.0, 35.0), (-96.0, 39.0), (-80.0, 44.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.lambert_cc_inverse(proj_fn.lambert_cc(df)).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9
+        assert abs(r["lat2"] - r["lat"]) < 1e-9
+
+    lon, lat = -96.0, 39.0
+    h = 1e-4
+    de = h / m.cos(m.radians(lat))  # lon step with the same ground length
+    probe = [(lon, lat), (lon + de, lat), (lon, lat + h)]
+    pdf = spark.createDataFrame(probe, schema="lon double, lat double")
+    got = {(r["lon"], r["lat"]): (r["lx"], r["ly"])
+           for r in proj_fn.lambert_cc(pdf).collect()}
+    ox, oy = got[(lon, lat)]
+    ex, ey = got[(lon + de, lat)]
+    nx, ny = got[(lon, lat + h)]
+    len_e = m.hypot(ex - ox, ey - oy)
+    len_n = m.hypot(nx - ox, ny - oy)
+    assert abs(len_e / len_n - 1.0) < 1e-4
+    dot = (ex - ox) * (nx - ox) + (ey - oy) * (ny - oy)
+    assert abs(dot) < 1e-4 * len_e * len_n
