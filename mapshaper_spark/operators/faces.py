@@ -59,6 +59,11 @@ _OFFSETS = (9 / 32, 7 / 64, 29 / 64, 3 / 128, 47 / 128, 83 / 256, 13 / 256)
 
 _DEGEN = "GRID_DEGENERACY"
 
+# rows of merge-stage metadata (piece ids / border edges) the fused
+# driver union-find route may collect; above this the distributed
+# hash-min CC + range-partitioned rank path runs instead
+_DRIVER_LIMIT = 2_000_000
+
 
 def _split_arcs(arcs: DataFrame, ox: float, oy: float, pitch: float) -> DataFrame:
     """Arc pieces keyed by cell: each arc cut at every cell-line
@@ -387,18 +392,82 @@ def _polygons_tiled_at(arcs: DataFrame, n_cells: int, attempt: int) -> DataFrame
     edges = pairs.filter((F.col("c") == 2) & (F.col("src") != F.col("dst"))).select(
         "src", "dst"
     )
-    labels = _cc_labels(piece_faces.select("piece_id"), edges)
-    comp = piece_faces.join(labels, "piece_id")
-    outside = comp.filter("ext").select("label").distinct()
-    kept = comp.join(outside, "label", "left_anti")
+
+    # FUSED driver route [r3 action-count trim]: collect piece metadata
+    # (piece_id, ext) AND the border edges in ONE tagged-union action,
+    # then run union-find + outside-component drop + dense face rank in
+    # a single driver pass and broadcast one (piece_id, face_id) map
+    # back. That replaces three separate actions (node probe, edge
+    # probe, kept-label rank collect) plus the anti-join with one
+    # action and one inner join — the whole merge stage is metadata-
+    # sized. Above the limit, the standard distributed CC + anti-join +
+    # range-partitioned rank takes over unchanged.
+    probe = (
+        piece_faces.select(
+            F.lit("n").alias("t"),
+            F.col("piece_id").alias("a"),
+            F.col("ext").cast("long").alias("b"),
+        )
+        .unionByName(
+            edges.select(
+                F.lit("e").alias("t"),
+                F.col("src").alias("a"),
+                F.col("dst").alias("b"),
+            )
+        )
+        .limit(2 * _DRIVER_LIMIT + 2)
+        .collect()
+    )
+    if len(probe) <= 2 * _DRIVER_LIMIT:
+        node_rows = [(r.a, r.b) for r in probe if r.t == "n"]
+        parent = {i: i for i, _ in node_rows}
+
+        def find(i):
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        for r in probe:
+            if r.t != "e":
+                continue
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        label = {i: find(i) for i, _ in node_rows}
+        outside = {label[i] for i, ext in node_rows if ext}
+        kept_labels = sorted(set(label.values()) - outside)
+        rank = {l: k for k, l in enumerate(kept_labels)}
+        piece_face = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(i), int(rank[label[i]]))
+                    for i, _ in node_rows
+                    if label[i] not in outside
+                ],
+                "piece_id long, face_id long",
+            )
+        )
+        kept = piece_faces.join(piece_face, "piece_id")  # inner: drops outside
+    else:
+        labels = _cc_labels(piece_faces.select("piece_id"), edges)
+        comp = piece_faces.join(labels, "piece_id")
+        outside_df = comp.filter("ext").select("label").distinct()
+        kept_l = comp.join(outside_df, "label", "left_anti")
+        ranks = _rank_labels(kept_l.select("label").distinct())
+        kept = kept_l.join(ranks, "label").drop("label")
 
     n_vert = arcs.select(
         "arc_id", (F.size("xs") - F.lit(1)).alias("nv1")
     )
     face_refs = (
-        kept.select("label", F.explode("refs").alias("ref"))
+        kept.select("face_id", F.explode("refs").alias("ref"))
         .select(
-            "label",
+            "face_id",
             "ref",
             F.when(F.col("ref") >= 0, F.col("ref"))
             .otherwise(-F.col("ref") - 1)
@@ -406,16 +475,14 @@ def _polygons_tiled_at(arcs: DataFrame, n_cells: int, attempt: int) -> DataFrame
         )
         .distinct()
         .join(F.broadcast(n_vert), "arc_id")
-        .groupBy("label")
+        .groupBy("face_id")
         .agg(
             F.count(F.lit(1)).alias("n_arcs"),
             F.sum("nv1").alias("n_vertices"),
         )
     )
-    areas = kept.groupBy("label").agg(F.sum("area").alias("area"))
-    out = areas.join(face_refs, "label")
-    ranks = _rank_labels(kept.select("label").distinct())
-    return out.join(ranks, "label").select(
+    areas = kept.groupBy("face_id").agg(F.sum("area").alias("area"))
+    return areas.join(face_refs, "face_id").select(
         "face_id",
         F.col("n_arcs").cast("int").alias("n_arcs"),
         F.col("n_vertices").cast("int").alias("n_vertices"),

@@ -150,3 +150,15 @@ def test_rank_labels_both_routes(spark, driver_limit):
         for r in faces._rank_labels(lab, driver_limit=driver_limit).collect()
     }
     assert got == {3: 0, 7: 1, 42: 2, 100: 3}
+
+
+def test_tiled_full_plan_distributed_route(spark, monkeypatch):
+    """The fused driver union-find route and the distributed CC +
+    range-partitioned rank route must produce identical faces through
+    the WHOLE tiled plan (monkeypatched _DRIVER_LIMIT=0 forces the
+    distributed branch on a fixture-sized layer)."""
+    arcs = fixtures.GRID_ARCS
+    fast = _tiled_multiset(spark, arcs, n_cells=8)
+    monkeypatch.setattr(faces, "_DRIVER_LIMIT", 0)
+    slow = _tiled_multiset(spark, arcs, n_cells=8)
+    assert fast == slow == _global_multiset(arcs)
