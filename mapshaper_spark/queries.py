@@ -1751,6 +1751,40 @@ def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topojson_tiled_import_stats",
+    """
+    SELECT 144 AS n_features, 312 AS n_arcs, 576 AS n_refs
+    """,
+)
+def q_topojson_tiled_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-scale TopoJSON IMPORT (r3): shard the 12x12 grid topology
+    into 3x2 tile documents, read them back through the distributed
+    parser (from_json + content-addressed arc dedup + signed-ref
+    remap), and require the global model to reassemble exactly: 144
+    features, the replicated border arcs deduped back to the 312-arc
+    global pool, and 4 signed refs per feature (576). Bit-exact ring
+    resolution through the remapped refs is proven in
+    tests/test_codecs.py."""
+    from .sources import geojson as gj
+
+    arcs, feats = fixtures._make_grid_topology(12)
+    tiles = gj.export_topojson_tiled(
+        topology.features_df(spark, feats),
+        topology.arcs_df(spark, arcs),
+        nx=3,
+        ny=2,
+        layer="grid",
+    )
+    f2, a2 = gj.import_topojson_tiled(tiles, layer="grid")
+    stats_f = f2.select(
+        F.count(F.lit(1)).cast("int").alias("n_features"),
+        F.sum(F.size(F.flatten("parts"))).cast("int").alias("n_refs"),
+    )
+    stats_a = a2.select(F.count(F.lit(1)).cast("int").alias("n_arcs"))
+    return stats_f.crossJoin(stats_a).select("n_features", "n_arcs", "n_refs")
+
+
+@query(
     "topojson_tiled_counts",
     """
     SELECT tx AS tile_x, ty AS tile_y, 24 AS n_features, 58 AS n_arcs

@@ -343,3 +343,107 @@ def topojson_import(doc: dict | str, layer: str | None = None):
             }
         )
     return pd.DataFrame(rows, columns=["feature_id", "key", "parts"]), arcs_pdf
+
+
+_TOPO_DOC_SCHEMA = (
+    "type string, arcs array<array<array<double>>>, "
+    "objects map<string, struct<type string, geometries array<struct<"
+    "type string, id long, properties map<string,string>, "
+    "arcs array<array<long>>>>>>"
+)
+
+
+def import_topojson_tiled(
+    docs: DataFrame, col: str = "doc", layer: str = "layer"
+) -> tuple[DataFrame, DataFrame]:
+    """-i of SHARDED TopoJSON at scan scale — the inverse of
+    :func:`export_topojson_tiled`, and the last codec whose import was
+    driver-bound. Input: one self-contained Topology JSON per row
+    (e.g. the tiled export's ``doc`` column, or one file per row via
+    ``spark.read.text``). Output: the engine's global
+    (features, arcs) DataFrames.
+
+    Everything is distributed column work: ``from_json`` parses each
+    document executor-side against the Topology schema; per-tile local
+    arcs explode to rows; tiles REPLICATE border-shared arcs, so the
+    global arc pool dedups by exact coordinate-array equality (the
+    tiled exporter ships arcs verbatim, so copies are bit-identical —
+    JSON double rendering is shortest-roundtrip lossless). The global
+    arc_id is the CONTENT ADDRESS ``shiftrightunsigned(xxhash64(xs,
+    ys), 1)`` — the same content-hash convention
+    ``topology.build_arc_hashes`` uses for shared-border dedup, kept
+    non-negative so the signed-ref convention (ref = -(arc_id+1) for
+    reversed) stays unambiguous; replicas collapse because identical
+    coordinates hash identically, with no global rank window and no
+    dedup shuffle join. Signed refs remap through the (doc_id, local)
+    → global map with orientation preserved, and parts reassemble by
+    position. Features are assumed to appear in exactly one tile (the
+    exporter's contract)."""
+    d = docs.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.from_json(F.col(col), _TOPO_DOC_SCHEMA).alias("t"),
+    )
+    la = d.select(
+        "doc_id", F.posexplode("t.arcs").alias("la", "pts")
+    ).select(
+        "doc_id",
+        "la",
+        F.expr("transform(pts, p -> p[0])").alias("xs"),
+        F.expr("transform(pts, p -> p[1])").alias("ys"),
+    ).withColumn("arc_id", F.expr("shiftrightunsigned(xxhash64(xs, ys), 1)"))
+    arcs_out = la.select("arc_id", "xs", "ys").dropDuplicates(["arc_id"])
+    mapping = la.select("doc_id", "la", "arc_id")
+
+    feats = d.select(
+        "doc_id",
+        F.explode(F.element_at(F.col("t.objects"), F.lit(layer))["geometries"]).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.id").alias("feature_id"),
+        F.coalesce(
+            F.element_at(F.col("g.properties"), F.lit("key")),
+            F.col("g.id").cast("string"),
+        ).alias("key"),
+        F.col("g.arcs").alias("parts"),
+    )
+    refs = feats.select(
+        "doc_id",
+        "feature_id",
+        "key",
+        F.posexplode("parts").alias("pi", "part"),
+    ).select(
+        "doc_id",
+        "feature_id",
+        "key",
+        "pi",
+        F.posexplode("part").alias("ri", "ref"),
+    ).withColumn(
+        "la",
+        F.when(F.col("ref") >= 0, F.col("ref")).otherwise(-F.col("ref") - 1),
+    )
+    remapped = refs.join(mapping, ["doc_id", "la"]).select(
+        "feature_id",
+        "key",
+        "pi",
+        "ri",
+        F.when(F.col("ref") >= 0, F.col("arc_id"))
+        .otherwise(-F.col("arc_id") - 1)
+        .alias("gref"),
+    )
+    parts = (
+        remapped.groupBy("feature_id", "key", "pi")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ri", "gref"))),
+                lambda s: s["gref"],
+            ).alias("part")
+        )
+        .groupBy("feature_id", "key")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pi", "part"))),
+                lambda s: s["part"],
+            ).alias("parts")
+        )
+    )
+    return parts, arcs_out

@@ -556,3 +556,33 @@ def test_svg_point_document(spark):
     for c in circles:
         assert -0.5 <= float(c.get("cx")) <= w + 0.5
         assert -0.5 <= float(c.get("cy")) <= h + 0.5
+
+
+def test_topojson_tiled_import_roundtrip(spark):
+    """Scan-scale sharded-TopoJSON import: export the 8x8 grid layer to
+    3x2 self-contained tile documents, read them back through the
+    distributed parser, and require (a) the deduped global arc pool has
+    exactly the original arc count (border-shared replicas collapse),
+    (b) every feature's rings resolve bit-exactly equal to the original
+    arc dictionary under the remapped signed refs."""
+    from mapshaper_spark.operators import topology
+
+    arcs, feats = fixtures._make_grid_topology(8)
+    fdf = topology.features_df(spark, feats)
+    adf = topology.arcs_df(spark, arcs)
+    tiles = gj.export_topojson_tiled(fdf, adf, nx=3, ny=2, layer="grid").collect()
+
+    docs = spark.createDataFrame([(t.doc,) for t in tiles], "doc string")
+    f2, a2 = gj.import_topojson_tiled(docs, layer="grid")
+    a2_pdf = a2.toPandas()
+    assert len(a2_pdf) == len(arcs)  # replicas dedup to the global pool
+
+    want = {
+        f["feature_id"]: _resolve_rings(f["parts"], pd.DataFrame(arcs))
+        for f in feats
+    }
+    got = {
+        int(r["feature_id"]): _resolve_rings(r["parts"], a2_pdf)
+        for _, r in f2.toPandas().iterrows()
+    }
+    assert got == want
