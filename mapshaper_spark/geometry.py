@@ -38,6 +38,18 @@ def pip_convex(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return inside
 
 
+def rot1(a: np.ndarray) -> np.ndarray:
+    """``np.roll(a, -1, axis=0)`` as two slice assignments. Produces the
+    IDENTICAL array (so every downstream dot/sum is bit-equal) without
+    roll's generic axis machinery — which profiling showed dominating
+    the GH kernels' per-piece orientation work (45k roll calls per
+    dense-pair boolean)."""
+    out = np.empty_like(a)
+    out[:-1] = a[1:]
+    out[-1] = a[0]
+    return out
+
+
 def pip_ray(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """General even-odd ray-crossing test, vectorized over points AND
     edges (points (N,1) broadcast against the edge arrays (K,), edge
@@ -53,8 +65,8 @@ def pip_ray(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     ring = np.asarray(ring, dtype=float)
     x1 = ring[:, 0]
     y1 = ring[:, 1]
-    x2 = np.roll(x1, -1)
-    y2 = np.roll(y1, -1)
+    x2 = rot1(x1)
+    y2 = rot1(y1)
     inside = np.zeros(px.shape, dtype=bool)
     pxc = px[..., None]
     pyc = py[..., None]
@@ -145,9 +157,9 @@ def _seg_intersections_bulk(ra: np.ndarray, rb: np.ndarray):
     broadcast twin of :func:`_seg_intersect` — same open-interval
     (general-position) semantics, O(Ka·Kb) numpy instead of Python."""
     p1 = ra
-    p2 = np.roll(ra, -1, axis=0)
+    p2 = rot1(ra)
     q1 = rb
-    q2 = np.roll(rb, -1, axis=0)
+    q2 = rot1(rb)
     r = p2 - p1  # (K,2)
     s = q2 - q1  # (M,2)
     den = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]  # (K,M)
@@ -526,8 +538,8 @@ def _near_boundary_interior_point(ring: np.ndarray) -> tuple[float, float]:
             return float(m0x), float(m0y)
     x1 = ring[:, 0]
     y1 = ring[:, 1]
-    x2 = np.roll(x1, -1)
-    y2 = np.roll(y1, -1)
+    x2 = rot1(x1)
+    y2 = rot1(y1)
     dx = x2 - x1
     dy = y2 - y1
     ln = np.hypot(dx, dy)
@@ -641,16 +653,16 @@ def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
 
 def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:
     """Signed area of a ring (positive = CCW)."""
-    return 0.5 * float(np.dot(xs, np.roll(ys, -1)) - np.dot(np.roll(xs, -1), ys))
+    return 0.5 * float(np.dot(xs, rot1(ys)) - np.dot(rot1(xs), ys))
 
 
 def ring_centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
-    cross = xs * np.roll(ys, -1) - np.roll(xs, -1) * ys
+    cross = xs * rot1(ys) - rot1(xs) * ys
     a = cross.sum() / 2.0
     if a == 0.0:
         return float(xs.mean()), float(ys.mean())
-    cx = float(((xs + np.roll(xs, -1)) * cross).sum() / (6.0 * a))
-    cy = float(((ys + np.roll(ys, -1)) * cross).sum() / (6.0 * a))
+    cx = float(((xs + rot1(xs)) * cross).sum() / (6.0 * a))
+    cy = float(((ys + rot1(ys)) * cross).sum() / (6.0 * a))
     return cx, cy
 
 
@@ -888,8 +900,8 @@ def clip_polyline_convex(
     Returns a list of (xs, ys) pieces, each with >= 2 vertices.
     """
     k = len(ring)
-    ex = np.roll(ring[:, 0], -1) - ring[:, 0]
-    ey = np.roll(ring[:, 1], -1) - ring[:, 1]
+    ex = rot1(ring[:, 0]) - ring[:, 0]
+    ey = rot1(ring[:, 1]) - ring[:, 1]
     # inward normal of a CCW edge = (-ey, ex)
     nx_, ny_ = -ey, ex
     pieces: list[tuple[list, list]] = []
@@ -961,7 +973,7 @@ def rasterize_ring(
         return out
     px_y = ymax - (np.arange(h) + 0.5) * (ymax - ymin) / h
     x1s, y1s = xs, ys
-    x2s, y2s = np.roll(xs, -1), np.roll(ys, -1)
+    x2s, y2s = rot1(xs), rot1(ys)
     for r in range(h):
         yc = px_y[r]
         crosses = (y1s > yc) != (y2s > yc)
