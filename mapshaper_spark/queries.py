@@ -1855,6 +1855,34 @@ def q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("proj_albers_roundtrip")
+def q_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-proj Albers equal-area conic forward + inverse over the point
+    layer (r3). Rows-only (sin/asin are not ULP-portable across libm
+    [SURVEY.md §5.2]); pytest asserts inverse identity < 1e-9 deg plus
+    the equal-area property [tests/test_overlay.py]."""
+    pts = testdata.customer_points(spark, sf_dir)
+    return proj_fn.albers_inverse(proj_fn.albers(pts)).select(
+        "point_id", "lon", "lat", "ax", "ay", "lon2", "lat2"
+    )
+
+
+@query("export_svg_paths")
+def q_export_svg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-o format=svg (r3): one even-odd path d-string per holed
+    feature, built JVM-side (format_string/transform — the per-vertex
+    work never leaves the projection). Rows-only (double→text
+    formatting differs across engines); pytest parses the document
+    back and checks the affine at the chosen precision
+    [tests/test_codecs.py]."""
+    from .sources import svg as svg_mod
+
+    paths, _, _ = svg_mod.svg_path_features(
+        testdata.holed_features(spark), width=800.0, precision=2
+    )
+    return paths
+
+
 @query(
     "grid_generate_z3",
     """
