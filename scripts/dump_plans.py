@@ -27,6 +27,8 @@ NAMES = (
     "classify_nice_breaks",
     "polygons_from_lines_grid",
     "topojson_tiled_counts",
+    "topojson_tiled_import_stats",
+    "export_svg_paths",
 )
 
 
