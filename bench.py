@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "graticule_lines",
     "shape_coordinates",
     "topojson_tiled_counts",
+    "topojson_tiled_import_stats",
 ]
 
 

@@ -5,10 +5,12 @@ Spark-idiomatic split of the work: the expensive part — one ``d``
 path string per feature over every ring vertex — is pure JVM column
 math (``transform`` + ``format_string`` + ``concat_ws`` inside the
 projection, no UDFs), so it scans with full parallelism at any layer
-size. Only the final document assembly collects, and what it collects
-is one small string per FEATURE (not per vertex) — same scale posture
-as ``geojson.topojson_doc``; a tiled variant would shard documents the
-way ``export_topojson_tiled`` does.
+size. The single-document export collects one small string per
+FEATURE (not per vertex) — same scale posture as
+``geojson.topojson_doc`` — and :func:`svg_tiled_documents` is the
+scan-scale form: per-tile documents assembled in a grouped Arrow
+stage, nothing on the driver, the way ``export_topojson_tiled``
+shards the Topology export.
 
 Geometry model in, presentation out: rings arrive as the engine's
 (poly_id, ring_idx, xs, ys) table; each feature becomes one
@@ -125,4 +127,69 @@ def svg_point_document(
         '<svg xmlns="http://www.w3.org/2000/svg" version="1.2" '
         f'baseProfile="tiny" width="{w:g}" height="{h:g}" '
         f'viewBox="0 0 {w:g} {h:g}">\n{body}\n</svg>'
+    )
+
+
+def svg_tiled_documents(
+    features: DataFrame,
+    nx: int = 2,
+    ny: int = 2,
+    width: float = 800.0,
+    precision: int = 2,
+) -> DataFrame:
+    """-o format=svg at SCAN scale: the layer splits into an nx x ny
+    grid of SELF-CONTAINED SVG documents sharing ONE global affine —
+    each tile's viewBox is its sub-rectangle of the global frame, so
+    tiles render side by side seamlessly. Features land on the tile of
+    their bbox center (one whole feature per tile — SVG is a
+    presentation format; features are not clipped).
+
+    Plan shape: the per-vertex d-string projection and the per-feature
+    bbox aggregation run distributed; per-tile document assembly is a
+    grouped Arrow stage over the already-built path STRINGS (vertex
+    data never reaches it). Returns (tile_x, tile_y, n_features, doc)
+    — nothing assembles on the driver."""
+    x0, y1, k, w, h = _layer_frame(features, width)
+    fb = features.groupBy("poly_id").agg(
+        F.min(F.expr("array_min(xs)")).alias("fx0"),
+        F.max(F.expr("array_max(xs)")).alias("fx1"),
+        F.min(F.expr("array_min(ys)")).alias("fy0"),
+        F.max(F.expr("array_max(ys)")).alias("fy1"),
+    )
+    tw, th = w / nx, h / ny
+    assign = fb.select(
+        "poly_id",
+        F.least(
+            F.lit(nx - 1),
+            F.floor(((F.col("fx0") + F.col("fx1")) / 2 - F.lit(x0)) * F.lit(k) / F.lit(tw)),
+        ).cast("int").alias("tile_x"),
+        F.least(
+            F.lit(ny - 1),
+            F.floor((F.lit(y1) - (F.col("fy0") + F.col("fy1")) / 2) * F.lit(k) / F.lit(th)),
+        ).cast("int").alias("tile_y"),
+    )
+    paths, _, _ = svg_path_features(features, width, precision)
+    tagged = paths.join(assign, "poly_id")
+
+    def build(pdf):
+        import pandas as pd
+
+        tx, ty = int(pdf["tile_x"].iloc[0]), int(pdf["tile_y"].iloc[0])
+        rows = pdf.sort_values("poly_id")
+        body = "\n".join(
+            f'<path id="f{int(r["poly_id"])}" d="{r["d"]}" fill-rule="evenodd"/>'
+            for _, r in rows.iterrows()
+        )
+        vb = f"{tx * tw:g} {ty * th:g} {tw:g} {th:g}"
+        doc = (
+            '<svg xmlns="http://www.w3.org/2000/svg" version="1.2" '
+            f'baseProfile="tiny" width="{tw:g}" height="{th:g}" '
+            f'viewBox="{vb}">\n{body}\n</svg>'
+        )
+        return pd.DataFrame(
+            [{"tile_x": tx, "tile_y": ty, "n_features": len(rows), "doc": doc}]
+        )
+
+    return tagged.groupBy("tile_x", "tile_y").applyInPandas(
+        build, schema="tile_x int, tile_y int, n_features long, doc string"
     )

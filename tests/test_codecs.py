@@ -586,3 +586,41 @@ def test_topojson_tiled_import_roundtrip(spark):
         for _, r in f2.toPandas().iterrows()
     }
     assert got == want
+
+
+def test_svg_tiled_documents(spark):
+    """Scan-scale SVG export: 2x2 self-contained tile documents share
+    the GLOBAL affine — every feature lands on exactly one tile with a
+    d-string identical to the single-document export's, and the tile
+    viewBoxes partition the global frame."""
+    import xml.etree.ElementTree as ET
+
+    from mapshaper_spark.sources import svg as svg_mod
+
+    feats = testdata.holed_features(spark)
+    global_doc = svg_mod.svg_document(feats, width=800.0, precision=2)
+    ns = "{http://www.w3.org/2000/svg}"
+    global_d = {
+        p.get("id"): p.get("d")
+        for p in ET.fromstring(global_doc).findall(f"{ns}path")
+    }
+    gw = float(ET.fromstring(global_doc).get("viewBox").split()[2])
+    gh = float(ET.fromstring(global_doc).get("viewBox").split()[3])
+
+    tiles = svg_mod.svg_tiled_documents(feats, nx=2, ny=2, width=800.0, precision=2).collect()
+    assert sum(t.n_features for t in tiles) == 4
+    seen = {}
+    boxes = []
+    for t in tiles:
+        root = ET.fromstring(t.doc)
+        boxes.append(tuple(float(v) for v in root.get("viewBox").split()))
+        for p in root.findall(f"{ns}path"):
+            assert p.get("id") not in seen  # exactly one tile per feature
+            seen[p.get("id")] = p.get("d")
+    assert set(seen) <= set(global_d)
+    for fid, d in seen.items():
+        assert d == global_d[fid]  # same global affine, same strings
+    # tile viewBoxes partition the global frame
+    area = sum(b[2] * b[3] for b in boxes)
+    assert all(0 <= b[0] <= gw and 0 <= b[1] <= gh for b in boxes)
+    assert area <= gw * gh + 1e-6
