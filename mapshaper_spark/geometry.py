@@ -600,17 +600,31 @@ def gh_clip_rings_robust(
                 raise ValueError(
                     f"boolean identity violated (|got-area|={abs(got - area_a)!r})"
                 )
+            # measure-monotonicity net [found by the hypothesis sweep]:
+            # FULLY COINCIDENT boundaries (duplicate features) mis-trace
+            # in a way the sum identities are blind to — identical boxes
+            # gave inter=2|A|, diff=-|A| (sums to |A|!), union=0. These
+            # bounds hold for ANY regions, so a violation is always a
+            # mis-trace; the perturb retry then resolves it to within
+            # O(eps * perimeter). Exact results on clean adjacent
+            # geometry are untouched (bounds hold there unperturbed).
+            i_got = sum(shoelace_area(r[:, 0], r[:, 1]) for r in inter)
+            d_got = got - i_got
+            tol = rel_tol * max(abs(area_a) + abs(area_b), 1.0)
+            if not (-tol <= i_got <= min(area_a, area_b) + tol):
+                raise ValueError("intersection measure out of bounds")
+            if not (-tol <= d_got <= area_a + tol):
+                raise ValueError("difference measure out of bounds")
             if op == "intersection":
                 return inter
             if op == "difference":
                 return diff
             union = gh_clip_rings(a_rings, b_try, "union")
             u_got = sum(shoelace_area(r[:, 0], r[:, 1]) for r in union)
-            i_got = sum(shoelace_area(r[:, 0], r[:, 1]) for r in inter)
-            if abs(u_got - (area_a + area_b - i_got)) > rel_tol * max(
-                abs(area_a) + abs(area_b), 1.0
-            ):
+            if abs(u_got - (area_a + area_b - i_got)) > tol:
                 raise ValueError("union identity violated")
+            if u_got < max(area_a, area_b) - tol:
+                raise ValueError("union measure out of bounds")
             return union
         except ValueError as e:
             last_err = e

@@ -29,15 +29,28 @@ _FEATURE_SCHEMA = (
 )
 
 
-def export_polygons_geojson(features: DataFrame) -> DataFrame:
+def export_polygons_geojson(
+    features: DataFrame, precision: int | None = None
+) -> DataFrame:
     """Multi-ring layer (poly_id, ring_idx, xs, ys) → one GeoJSON
-    Feature string per feature (Polygon with all rings, closed)."""
+    Feature string per feature (Polygon with all rings, closed).
+
+    precision: upstream's ``-o precision=`` — round coordinates to that
+    many decimals before serializing (smaller files for web maps);
+    None (default) keeps full doubles for the lossless roundtrip."""
+    if precision is None:
+        feats = features
+    else:
+        p = int(precision)
+        feats = features.withColumn(
+            "xs", F.expr(f"transform(xs, v -> round(v, {p}))")
+        ).withColumn("ys", F.expr(f"transform(ys, v -> round(v, {p}))"))
     closed = F.expr(
         "concat(transform(arrays_zip(xs, ys), p -> array(p.xs, p.ys)),"
         " array(array(xs[0], ys[0])))"
     )
     rings = (
-        features.select("poly_id", "ring_idx", closed.alias("coords"))
+        feats.select("poly_id", "ring_idx", closed.alias("coords"))
         .groupBy("poly_id")
         .agg(
             F.transform(

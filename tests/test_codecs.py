@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from mapshaper_spark import fixtures
 from mapshaper_spark.sources import geojson as gj
@@ -624,3 +625,18 @@ def test_svg_tiled_documents(spark):
     area = sum(b[2] * b[3] for b in boxes)
     assert all(0 <= b[0] <= gw and 0 <= b[1] <= gh for b in boxes)
     assert area <= gw * gh + 1e-6
+
+
+def test_geojson_export_precision_option(spark):
+    """-o precision=: coordinates round to the requested decimals (the
+    parsed values are exactly the rounded doubles); default stays the
+    full-precision lossless path."""
+    feats = testdata.holed_features(spark).withColumn(
+        "xs", F.expr("transform(xs, v -> v + 0.123456789)")
+    )
+    rows = gj.export_polygons_geojson(feats, precision=3).collect()
+    for r in rows:
+        f = json.loads(r["geojson"])
+        for ring in f["geometry"]["coordinates"]:
+            for x, y in ring:
+                assert x == round(x, 3) and y == round(y, 3)

@@ -1,0 +1,125 @@
+"""Property-based kernel tests (hypothesis): randomized polygon pairs
+must satisfy the boolean-algebra identities the oracle fixtures pin
+pointwise. Random float coordinates put inputs in general position
+with probability 1, so these sweep a far larger input space than the
+hand-written cases — any violated identity is a real kernel bug, not a
+tolerance artifact.
+
+Invariants per (A, B) pair and ops (∩, \\, ∪):
+  area(A∩B) + area(A\\B) == area(A)
+  area(A∩B) + area(A∪B) == area(A) + area(B)
+  0 <= area(A∩B) <= min(area(A), area(B))
+  single-ring gh_clip == multi-ring gh_clip_rings on the same pair
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mapshaper_spark import geometry as G
+
+
+def _star(n, r1, r2, cx, cy, rot):
+    ang = np.linspace(0.0, 2.0 * np.pi, 2 * n, endpoint=False) + rot
+    r = np.where(np.arange(2 * n) % 2 == 0, r1, r2)
+    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    return ring
+
+
+def _area(rings):
+    return sum(G.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
+
+
+_pair = st.tuples(
+    st.integers(min_value=3, max_value=9),     # star points A
+    st.integers(min_value=3, max_value=9),     # star points B
+    st.floats(min_value=2.0, max_value=10.0),  # outer radius A
+    st.floats(min_value=0.5, max_value=1.9),   # inner radius A
+    st.floats(min_value=2.0, max_value=10.0),  # outer radius B
+    st.floats(min_value=0.5, max_value=1.9),   # inner radius B
+    st.floats(min_value=-6.0, max_value=6.0),  # B center x
+    st.floats(min_value=-6.0, max_value=6.0),  # B center y
+    st.floats(min_value=0.01, max_value=3.0),  # B rotation
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_pair)
+def test_gh_boolean_identities_random_stars(p):
+    na, nb, ra1, ra2, rb1, rb2, bx, by, rot = p
+    a = _star(na, ra1, ra2, 0.0, 0.0, 0.017)
+    b = _star(nb, rb1, rb2, bx, by, rot)
+    area_a = G.shoelace_area(a[:, 0], a[:, 1])
+    area_b = G.shoelace_area(b[:, 0], b[:, 1])
+    inter = _area(G.gh_clip(a, b, "intersection"))
+    diff = _area(G.gh_clip(a, b, "difference"))
+    union = _area(G.gh_clip(a, b, "union"))
+    scale = max(area_a, area_b)
+    assert -1e-9 * scale <= inter <= min(area_a, area_b) + 1e-9 * scale
+    assert inter + diff == pytest.approx(area_a, rel=1e-9, abs=1e-9 * scale)
+    assert inter + union == pytest.approx(
+        area_a + area_b, rel=1e-9, abs=1e-9 * scale
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(_pair)
+def test_gh_single_ring_matches_ring_set(p):
+    na, nb, ra1, ra2, rb1, rb2, bx, by, rot = p
+    a = _star(na, ra1, ra2, 0.0, 0.0, 0.017)
+    b = _star(nb, rb1, rb2, bx, by, rot)
+    scale = max(
+        G.shoelace_area(a[:, 0], a[:, 1]), G.shoelace_area(b[:, 0], b[:, 1])
+    )
+    for op in ("intersection", "difference", "union"):
+        single = _area(G.gh_clip(a, b, op))
+        rings = _area(G.gh_clip_rings([a], [b], op))
+        assert single == pytest.approx(rings, rel=1e-9, abs=1e-9 * scale), op
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-8.0, max_value=8.0),
+            st.floats(min_value=-8.0, max_value=8.0),
+            st.floats(min_value=0.7, max_value=4.0),
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_union_many_upper_and_lower_bounds(boxes):
+    """union_many over random axis-offset squares: the union area is
+    bounded by max(single) and sum(all), and adding a box never shrinks
+    the union (monotonicity)."""
+    rings = [
+        np.array([(x, y), (x + s, y), (x + s, y + s), (x, y + s)])
+        for x, y, s in boxes
+    ]
+    # 1e-6 not 1e-9: duplicate/touching boxes route through the robust
+    # wrapper's eps-perturb retry, which moves results by
+    # O(eps * perimeter) ~ 1e-8 — documented contract, not a bug
+    prev = 0.0
+    for i in range(1, len(rings) + 1):
+        u = _area(G.union_many(rings[:i]))
+        singles = [_area([r]) for r in rings[:i]]
+        tol = 1e-6 * max(1.0, sum(singles))
+        assert max(singles) - tol <= u <= sum(singles) + tol
+        assert u >= prev - tol
+        prev = u
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+)
+def test_morton_roundtrip_property(ix, iy):
+    from mapshaper_spark import cells
+
+    cid = int(cells.cell_id_from_xy_np(np.array([ix]), np.array([iy]), 10)[0])
+    jx, jy, res = cells.cell_to_xy(cid)
+    assert (jx, jy, res) == (ix, iy, 10)
