@@ -123,3 +123,63 @@ def test_morton_roundtrip_property(ix, iy):
     cid = int(cells.cell_id_from_xy_np(np.array([ix]), np.array([iy]), 10)[0])
     jx, jy, res = cells.cell_to_xy(cid)
     assert (jx, jy, res) == (ix, iy, 10)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-50.0, max_value=50.0),
+            st.floats(min_value=-50.0, max_value=50.0),
+        ),
+        min_size=3,
+        max_size=40,
+    ),
+    st.floats(min_value=0.0, max_value=100.0),
+    st.floats(min_value=0.0, max_value=100.0),
+)
+def test_simplify_thresholds_nested_levels(pts, t1, t2):
+    """Visvalingam and Douglas-Peucker threshold signatures: endpoints
+    are always +inf (never removed), and the kept-vertex set at a
+    higher threshold is a SUBSET of the set at a lower one — the
+    multi-resolution `thr >= t` contract every simplify query filters
+    by."""
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    lo, hi = min(t1, t2), max(t1, t2)
+    for fn in (G.visvalingam_thresholds, G.dp_thresholds):
+        thr = fn(xs, ys)
+        assert thr[0] == np.inf and thr[-1] == np.inf
+        keep_lo = thr >= lo
+        keep_hi = thr >= hi
+        assert not np.any(keep_hi & ~keep_lo)  # nested levels
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=3, max_value=8),
+    st.floats(min_value=1.0, max_value=8.0),
+    st.floats(min_value=0.3, max_value=0.9),
+    st.floats(min_value=-3.0, max_value=3.0),
+    st.floats(min_value=-3.0, max_value=3.0),
+    st.floats(min_value=0.5, max_value=6.0),
+)
+def test_clip_ring_bbox_bounds(n, r1, frac, bx, by, half):
+    """Sutherland–Hodgman box clip: the clipped area is within
+    [0, min(ring, box)], clipping by a box that contains the ring
+    returns the EXACT ring, and clipping by a disjoint box returns
+    empty."""
+    ring = _star(n, r1, r1 * frac, 0.0, 0.0, 0.37)
+    area_ring = G.shoelace_area(ring[:, 0], ring[:, 1])
+    cx, cy = G.clip_ring_bbox(ring[:, 0], ring[:, 1], bx - half, by - half, bx + half, by + half)
+    a = G.shoelace_area(cx, cy) if len(cx) >= 3 else 0.0
+    box_area = (2 * half) * (2 * half)
+    assert -1e-9 <= a <= min(area_ring, box_area) + 1e-9 * max(area_ring, 1.0)
+    # containing box -> the same ring (possibly cyclically rotated, so
+    # the shoelace SUM ORDER differs -> compare at 1e-12 rel, not ==)
+    gx, gy = G.clip_ring_bbox(ring[:, 0], ring[:, 1], -100.0, -100.0, 100.0, 100.0)
+    assert np.array_equal(np.sort(gx), np.sort(ring[:, 0]))
+    assert G.shoelace_area(gx, gy) == pytest.approx(area_ring, rel=1e-12)
+    # disjoint box -> empty
+    dx, dy = G.clip_ring_bbox(ring[:, 0], ring[:, 1], 200.0, 200.0, 210.0, 210.0)
+    assert len(dx) == 0 or G.shoelace_area(dx, dy) == 0.0
