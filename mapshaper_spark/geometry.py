@@ -554,6 +554,39 @@ def _near_boundary_interior_point(ring: np.ndarray) -> tuple[float, float]:
     raise ValueError("no interior point found near ring boundary")
 
 
+def _exact_incidence(
+    a_rings: list[np.ndarray], b_rings: list[np.ndarray]
+) -> bool:
+    """True iff any vertex of one ring set lies EXACTLY on an edge of
+    the other (vertex-on-vertex included): zero cross product AND
+    inside the edge's bbox, all in exact float comparison — the
+    symbolic-coincidence class the GH kernel's general-position
+    contract excludes."""
+    def _hit(pts: np.ndarray, rings: list[np.ndarray]) -> bool:
+        px = pts[:, 0][:, None]
+        py = pts[:, 1][:, None]
+        for ring in rings:
+            x1 = ring[:, 0]
+            y1 = ring[:, 1]
+            x2 = rot1(x1)
+            y2 = rot1(y1)
+            cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+            on = (
+                (cross == 0.0)
+                & (px >= np.minimum(x1, x2))
+                & (px <= np.maximum(x1, x2))
+                & (py >= np.minimum(y1, y2))
+                & (py <= np.maximum(y1, y2))
+            )
+            if on.any():
+                return True
+        return False
+
+    a_pts = np.concatenate(a_rings) if a_rings else np.empty((0, 2))
+    b_pts = np.concatenate(b_rings) if b_rings else np.empty((0, 2))
+    return _hit(b_pts, a_rings) or _hit(a_pts, b_rings)
+
+
 def gh_clip_rings_robust(
     a_rings: list[np.ndarray],
     b_rings: list[np.ndarray],
@@ -584,7 +617,17 @@ def gh_clip_rings_robust(
     )
     phi = (1.0 + 5.0**0.5) / 2.0
     last_err: Exception | None = None
-    for k in range(max_tries):
+    # SYMBOLIC-COINCIDENCE pre-trigger [found by the hypothesis sweep]:
+    # a vertex of one side lying EXACTLY on an edge of the other (axis-
+    # aligned real data does this constantly) can make the no-crossing
+    # classification mis-read CONSISTENTLY — two offset boxes sharing
+    # collinear edge runs returned union=|A| with every identity AND
+    # measure bound satisfied. Exact incidence is a float-equality
+    # event, so detect it directly and start at the perturbed attempt;
+    # clean disjoint/crossing geometry keeps its exact unperturbed
+    # result.
+    start = 1 if _exact_incidence(a_rings, b_rings) else 0
+    for k in range(start, max_tries):
         if k == 0:
             b_try = b_rings
         else:

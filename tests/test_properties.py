@@ -183,3 +183,52 @@ def test_clip_ring_bbox_bounds(n, r1, frac, bx, by, half):
     # disjoint box -> empty
     dx, dy = G.clip_ring_bbox(ring[:, 0], ring[:, 1], 200.0, 200.0, 210.0, 210.0)
     assert len(dx) == 0 or G.shoelace_area(dx, dy) == 0.0
+
+
+def _interval_algebra(boxes):
+    """Exact covered-area reference for axis-aligned boxes: elementary-
+    cell decomposition (the generalization of the hand-written mosaic
+    oracles to arbitrary inputs). Returns {frozenset(member idx): area}
+    over non-empty covering sets."""
+    ex = sorted({v for x, y, s in boxes for v in (x, x + s)})
+    ey = sorted({v for x, y, s in boxes for v in (y, y + s)})
+    sig_area: dict[frozenset, float] = {}
+    for x0, x1 in zip(ex, ex[1:]):
+        for y0, y1 in zip(ey, ey[1:]):
+            cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+            members = frozenset(
+                i
+                for i, (bx, by, s) in enumerate(boxes)
+                if bx < cx < bx + s and by < cy < by + s
+            )
+            if members:
+                sig_area[members] = sig_area.get(members, 0.0) + (x1 - x0) * (
+                    y1 - y0
+                )
+    return sig_area
+
+
+_boxes = st.lists(
+    st.tuples(
+        st.floats(min_value=-8.0, max_value=8.0),
+        st.floats(min_value=-8.0, max_value=8.0),
+        st.floats(min_value=0.7, max_value=5.0),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_boxes)
+def test_union_many_matches_interval_algebra(boxes):
+    """union_many's measure equals the exact elementary-cell covered
+    area for random box layers — an independent reference, not a
+    kernel identity."""
+    rings = [
+        np.array([(x, y), (x + s, y), (x + s, y + s), (x, y + s)])
+        for x, y, s in boxes
+    ]
+    want = sum(_interval_algebra(boxes).values())
+    got = _area(G.union_many(rings))
+    assert got == pytest.approx(want, rel=1e-6)
