@@ -1071,3 +1071,67 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+def gh_split_rings_robust(
+    a_rings: list[np.ndarray],
+    b_rings: list[np.ndarray],
+    rel_tol: float = 1e-9,
+    max_tries: int = 4,
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """(A ∩ B, A ∖ B) in ONE verified pass — the face-split primitive
+    the mosaic family folds over [hypothesis sweep r3: the raw kernel
+    crashes or silently corrupts on coincident layers — duplicate
+    features, shared edge runs — which the general-position fixture
+    oracles never exercise]. Same net as :func:`gh_clip_rings_robust`:
+    symbolic-incidence pre-trigger, boolean-identity + measure-bound
+    verification, ε-perturb retry on failure — but both outputs come
+    from the same attempt, so the split costs one verification instead
+    of two wrapped calls."""
+    a_rings = [np.asarray(r, dtype=float) for r in a_rings]
+    b_rings = [np.asarray(r, dtype=float) for r in b_rings]
+    if not a_rings:
+        return [], []
+    if not b_rings:
+        return [], [r.copy() for r in a_rings]
+    area_a = sum(shoelace_area(r[:, 0], r[:, 1]) for r in a_rings)
+    area_b = sum(shoelace_area(r[:, 0], r[:, 1]) for r in b_rings)
+    span = max(
+        (
+            max(float(r[:, 0].max() - r[:, 0].min()), float(r[:, 1].max() - r[:, 1].min()))
+            for r in a_rings + b_rings
+        ),
+        default=1.0,
+    )
+    phi = (1.0 + 5.0**0.5) / 2.0
+    last_err: Exception | None = None
+    start = 1 if _exact_incidence(a_rings, b_rings) else 0
+    for k in range(start, max_tries):
+        if k == 0:
+            b_try = b_rings
+        else:
+            eps = span * 1e-9 * (10.0 ** (k - 1))
+            shift = np.array([eps, eps * phi])
+            b_try = [r + shift for r in b_rings]
+        try:
+            inter = gh_clip_rings(a_rings, b_try, "intersection")
+            diff = gh_clip_rings(a_rings, b_try, "difference")
+            got = sum(shoelace_area(r[:, 0], r[:, 1]) for r in inter + diff)
+            scale = max(abs(area_a), 1.0)
+            if abs(got - area_a) > rel_tol * scale:
+                raise ValueError("boolean identity violated")
+            i_got = sum(shoelace_area(r[:, 0], r[:, 1]) for r in inter)
+            d_got = got - i_got
+            tol = rel_tol * max(abs(area_a) + abs(area_b), 1.0)
+            if not (-tol <= i_got <= min(area_a, area_b) + tol):
+                raise ValueError("intersection measure out of bounds")
+            if not (-tol <= d_got <= area_a + tol):
+                raise ValueError("difference measure out of bounds")
+            return inter, diff
+        except ValueError as e:
+            last_err = e
+            continue
+    raise ValueError(
+        f"gh_split_rings_robust: degenerate input not resolved after "
+        f"{max_tries} perturbed attempts"
+    ) from last_err

@@ -374,15 +374,17 @@ def mosaic_faces(features: DataFrame) -> DataFrame:
             poly = np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
             new_faces: list[tuple[list, frozenset]] = []
             for rings, ids in faces:
-                inter = geometry.gh_clip_rings(rings, [poly], "intersection")
-                diff = geometry.gh_clip_rings(rings, [poly], "difference")
+                # robust split [r3 hypothesis find]: the raw kernel
+                # crashes or silently corrupts on coincident layers
+                # (duplicate features, shared edge runs)
+                inter, diff = geometry.gh_split_rings_robust(rings, [poly])
                 if inter:
                     new_faces.append((inter, ids | {pid}))
                 if diff:
                     new_faces.append((diff, ids))
             rem: list = [poly]
             for _prev_id, prev in processed:
-                rem = geometry.gh_clip_rings(rem, [prev], "difference")
+                _, rem = geometry.gh_split_rings_robust(rem, [prev])
                 if not rem:
                     break
             if rem:
@@ -500,15 +502,14 @@ def mosaic_faces_tiled(features: DataFrame, res: int = 4) -> DataFrame:
             rings = [np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])]
             new_faces: list[tuple[list, frozenset]] = []
             for fr, ids in faces:
-                inter = geometry.gh_clip_rings(fr, rings, "intersection")
-                diff = geometry.gh_clip_rings(fr, rings, "difference")
+                inter, diff = geometry.gh_split_rings_robust(fr, rings)
                 if inter:
                     new_faces.append((inter, ids | {pid}))
                 if diff:
                     new_faces.append((diff, ids))
             rem = rings
             for prev in processed:
-                rem = geometry.gh_clip_rings(rem, prev, "difference")
+                _, rem = geometry.gh_split_rings_robust(rem, prev)
                 if not rem:
                     break
             if rem:

@@ -232,3 +232,45 @@ def test_union_many_matches_interval_algebra(boxes):
     want = sum(_interval_algebra(boxes).values())
     got = _area(G.union_many(rings))
     assert got == pytest.approx(want, rel=1e-6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_boxes)
+def test_mosaic_faces_matches_interval_algebra(boxes):
+    """Operator-level randomized check: mosaic_faces' per-signature
+    areas equal the exact elementary-cell decomposition on random box
+    layers — membership AND measure, not just totals (the session-
+    scoped get_spark is a process singleton, so this reuses the test
+    session)."""
+    from mapshaper_spark.operators import overlay as overlay_op
+    from mapshaper_spark.session import get_spark
+    import pandas as pd
+
+    spark = get_spark("mapshaper_spark_tests", cpus=8, shuffle_partitions=8)
+    pdf = pd.DataFrame(
+        [
+            {
+                "feature_id": i,
+                "key": "h",
+                "xs": [x, x + s, x + s, x],
+                "ys": [y, y, y + s, y + s],
+            }
+            for i, (x, y, s) in enumerate(boxes)
+        ]
+    )
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    raw = {}
+    for r in overlay_op.mosaic_faces(feats).collect():
+        k = frozenset(int(v) for v in r["members_csv"].split(","))
+        raw[k] = raw.get(k, 0.0) + r["area"]
+    want = _interval_algebra(boxes)
+    # coincident inputs (duplicate boxes, shared edge runs) route
+    # through the eps-perturb retry, which can leave O(eps)-area sliver
+    # faces — drop them before comparing membership sets
+    total = sum(want.values())
+    got = {k: a for k, a in raw.items() if a > 1e-6 * max(total, 1.0)}
+    assert set(got) == {k for k, a in want.items() if a > 1e-6 * max(total, 1.0)}
+    for k, a in got.items():
+        assert a == pytest.approx(want[k], rel=1e-5, abs=1e-6 * total), sorted(k)
