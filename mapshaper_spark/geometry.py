@@ -1078,7 +1078,8 @@ def gh_split_rings_robust(
     b_rings: list[np.ndarray],
     rel_tol: float = 1e-9,
     max_tries: int = 4,
-) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    want_union: bool = False,
+):
     """(A ∩ B, A ∖ B) in ONE verified pass — the face-split primitive
     the mosaic family folds over [hypothesis sweep r3: the raw kernel
     crashes or silently corrupts on coincident layers — duplicate
@@ -1091,9 +1092,13 @@ def gh_split_rings_robust(
     a_rings = [np.asarray(r, dtype=float) for r in a_rings]
     b_rings = [np.asarray(r, dtype=float) for r in b_rings]
     if not a_rings:
-        return [], []
+        empty_u = [r.copy() for r in b_rings]
+        return ([], [], empty_u) if want_union else ([], [])
     if not b_rings:
-        return [], [r.copy() for r in a_rings]
+        keep = [r.copy() for r in a_rings]
+        return (
+            ([], keep, [r.copy() for r in a_rings]) if want_union else ([], keep)
+        )
     area_a = sum(shoelace_area(r[:, 0], r[:, 1]) for r in a_rings)
     area_b = sum(shoelace_area(r[:, 0], r[:, 1]) for r in b_rings)
     span = max(
@@ -1127,7 +1132,15 @@ def gh_split_rings_robust(
                 raise ValueError("intersection measure out of bounds")
             if not (-tol <= d_got <= area_a + tol):
                 raise ValueError("difference measure out of bounds")
-            return inter, diff
+            if not want_union:
+                return inter, diff
+            union = gh_clip_rings(a_rings, b_try, "union")
+            u_got = sum(shoelace_area(r[:, 0], r[:, 1]) for r in union)
+            if abs(u_got - (area_a + area_b - i_got)) > tol:
+                raise ValueError("union identity violated")
+            if u_got < max(area_a, area_b) - tol:
+                raise ValueError("union measure out of bounds")
+            return inter, diff, union
         except ValueError as e:
             last_err = e
             continue

@@ -274,9 +274,15 @@ def gh_boolean_pair_areas(subject: DataFrame, clip: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 a = np.column_stack([r["sxs"], r["sys"]])
                 b = np.column_stack([r["cxs"], r["cys"]])
+                # robust one-pass booleans [r3 hypothesis find: raw
+                # kernels mis-trace on coincident real-world pairs]
+                trio = geometry.gh_split_rings_robust(
+                    [a], [b], want_union=True
+                )
                 areas = {}
-                for op in ("intersection", "difference", "union"):
-                    rings = geometry.gh_clip(a, b, op)
+                for op, rings in zip(
+                    ("intersection", "difference", "union"), trio
+                ):
                     areas[op] = sum(
                         geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings
                     )
@@ -324,9 +330,9 @@ def gh_boolean_areas_rings(a_features: DataFrame, b_features: DataFrame) -> Data
             np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
             for _, r in bpdf.sort_values("ring_idx").iterrows()
         ]
+        trio = geometry.gh_split_rings_robust(ra, rb, want_union=True)
         vals = {}
-        for op in ("intersection", "difference", "union"):
-            rings = geometry.gh_clip_rings(ra, rb, op)
+        for op, rings in zip(("intersection", "difference", "union"), trio):
             vals[op] = sum(geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings)
         return pd.DataFrame(
             [
@@ -631,7 +637,7 @@ def inlay_area(a_features: DataFrame, b_features: DataFrame) -> DataFrame:
         ]
         for _, r in bpdf.sort_values("inlay_id").iterrows():
             b_ring = np.column_stack([np.asarray(r["bxs"]), np.asarray(r["bys"])])
-            rings = geometry.gh_clip_rings(rings, [b_ring], "difference")
+            _, rings = geometry.gh_split_rings_robust(rings, [b_ring])
             if not rings:
                 break
         area = sum(geometry.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
