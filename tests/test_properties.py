@@ -274,3 +274,64 @@ def test_mosaic_faces_matches_interval_algebra(boxes):
     assert set(got) == {k for k, a in want.items() if a > 1e-6 * max(total, 1.0)}
     for k, a in got.items():
         assert a == pytest.approx(want[k], rel=1e-5, abs=1e-6 * total), sorted(k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=3, max_value=10),
+    st.floats(min_value=1.0, max_value=8.0),
+    st.floats(min_value=0.3, max_value=0.95),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-9.0, max_value=9.0),
+            st.floats(min_value=-9.0, max_value=9.0),
+        ),
+        min_size=5,
+        max_size=40,
+    ),
+)
+def test_pip_ray_matches_winding_number(n, r1, frac, pts):
+    """Independent-reference PIP check: for SIMPLE polygons the
+    even-odd crossing parity must equal the winding-number test
+    (coded here from the signed-angle formulation, sharing nothing
+    with pip_ray). Random points are on the boundary with probability
+    0, so exact agreement is required."""
+    ring = _star(n, r1, r1 * frac, 0.4, -0.3, 0.23)
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    got = G.pip_ray(px, py, ring)
+    # winding number via summed signed angles
+    vx = ring[:, 0][None, :] - px[:, None]
+    vy = ring[:, 1][None, :] - py[:, None]
+    wx = np.concatenate([vx[:, 1:], vx[:, :1]], axis=1)
+    wy = np.concatenate([vy[:, 1:], vy[:, :1]], axis=1)
+    ang = np.arctan2(vx * wy - vy * wx, vx * wx + vy * wy)
+    winding = np.rint(ang.sum(axis=1) / (2.0 * np.pi)).astype(int)
+    assert np.array_equal(got, winding != 0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=3, max_value=8),
+    st.floats(min_value=2.0, max_value=8.0),
+    st.floats(min_value=0.4, max_value=0.95),
+)
+def test_rasterize_ring_area_converges(n, r1, frac):
+    """Scanline rasterization: pixel-count area approximates the
+    shoelace area within O(perimeter * pixel) at a 128-px grid — an
+    independent cross-check of the raster<->vector kernel against the
+    analytic area."""
+    ring = _star(n, r1, r1 * frac, 0.0, 0.0, 0.41)
+    pad = 0.5
+    xmin, xmax = ring[:, 0].min() - pad, ring[:, 0].max() + pad
+    ymin, ymax = ring[:, 1].min() - pad, ring[:, 1].max() + pad
+    w = h = 128
+    mask = G.rasterize_ring(ring[:, 0], ring[:, 1], xmin, ymin, xmax, ymax, w, h)
+    pixel_area = ((xmax - xmin) / w) * ((ymax - ymin) / h)
+    raster_area = float(mask.sum()) * pixel_area
+    true_area = G.shoelace_area(ring[:, 0], ring[:, 1])
+    # perimeter bound on the boundary-pixel error band
+    per = float(np.hypot(np.diff(np.append(ring[:, 0], ring[0, 0])),
+                         np.diff(np.append(ring[:, 1], ring[0, 1]))).sum())
+    band = per * max((xmax - xmin) / w, (ymax - ymin) / h)
+    assert abs(raster_area - true_area) <= band
