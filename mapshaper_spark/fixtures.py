@@ -478,6 +478,15 @@ DISSOLVE2_RECTS = [
     ("c", 44.0, -0.5, 45.0, 7.5),  # right bar (1 x 8)
     ("c", 39.5, 0.0, 47.5, 1.0),   # bottom bar (8 x 1)
     ("c", 39.5, 6.0, 47.5, 7.0),   # top bar (8 x 1)
+    # group d [VERDICT r3 #1 done-criterion]: the union fold's
+    # accumulator goes DISJOINT (two separated squares) before the
+    # third rect bridges both — the multi-component subject shape the
+    # r3 counterexample broke. General position (no shared coordinate
+    # lines), so the whole fold stays on the exact unperturbed path and
+    # the driver hash-checks it bit-for-bit: area 4+4+4-0.5-0.5 = 11.
+    ("d", 50.0, 0.0, 52.0, 2.0),   # left square (2 x 2)
+    ("d", 55.0, 0.0, 57.0, 2.0),   # right square (2 x 2), disjoint
+    ("d", 51.5, 0.5, 55.5, 1.5),   # bridge bar (4 x 1) overlapping both
 ]
 
 

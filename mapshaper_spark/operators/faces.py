@@ -361,6 +361,17 @@ def _polygons_tiled_at(arcs: DataFrame, n_cells: int, attempt: int) -> DataFrame
                     sig, e = border_sig[lid]
                     sigs.append(sig)
                     ext = ext or e
+            if seq >= (1 << 20):
+                # the packing below reserves 20 bits for the per-cell
+                # face sequence; a silent wrap would collide piece ids
+                # across faces and corrupt the CC merge [ADVICE r3 #2].
+                # A cell this dense means the grid res is far too
+                # coarse for the layer — fail loudly with the remedy.
+                raise ValueError(
+                    f"cell ({ix},{iy}) produced >2^20 faces; raise the "
+                    "tiling resolution (res=) so per-cell face counts "
+                    "stay below 1M"
+                )
             out.append(
                 {
                     "piece_id": (ix * n_cells + iy) * (1 << 20) + seq,

@@ -185,7 +185,10 @@ def knn_join(
 
     if n_pts is None:
         n_pts = pts.count()
-    if n_resolved < n_pts:
+    if n_resolved < n_pts or not pieces:
+        # the brute piece is unconditional when nothing else produced a
+        # frame (expansion_rings=() on an empty input would otherwise
+        # leave pieces empty and crash below) [ADVICE r3 #3]
         brute = rest.crossJoin(F.broadcast(allt)).withColumn(
             "dist2", _dist2(F.col("lon"), F.col("lat"), F.col("tx"), F.col("ty"))
         )

@@ -2633,7 +2633,7 @@ def q_dissolve_sum_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND r.y0 <= c.ya AND c.yb <= r.y1)),
     area AS (SELECT key, CAST(sum(a) AS DOUBLE) AS area FROM cov GROUP BY key)
     SELECT area.key, g.n_rings, area.area
-    FROM area JOIN (VALUES ('a', 1), ('b', 2), ('c', 2)) AS g(key, n_rings)
+    FROM area JOIN (VALUES ('a', 1), ('b', 2), ('c', 2), ('d', 1)) AS g(key, n_rings)
       ON area.key = g.key
     """,
 )

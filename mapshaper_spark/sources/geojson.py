@@ -404,7 +404,32 @@ def import_topojson_tiled(
         F.expr("transform(pts, p -> p[0])").alias("xs"),
         F.expr("transform(pts, p -> p[1])").alias("ys"),
     ).withColumn("arc_id", F.expr("shiftrightunsigned(xxhash64(xs, ys), 1)"))
-    arcs_out = la.select("arc_id", "xs", "ys").dropDuplicates(["arc_id"])
+    # dedup replicas by content address, VERIFYING the address on the
+    # way [ADVICE r3 #5]: at multi-billion-arc scale a 63-bit birthday
+    # collision between DISTINCT arcs would silently merge them — the
+    # countDistinct rides the dedup aggregation's own shuffle (no extra
+    # job) and assert_true fails the import loudly on any collision
+    arcs_out = (
+        la.groupBy("arc_id")
+        .agg(
+            F.first("xs").alias("xs"),
+            F.first("ys").alias("ys"),
+            F.countDistinct("xs", "ys").alias("_variants"),
+        )
+        # assert_true returns NULL when the condition holds and throws
+        # otherwise; expressing it as a FILTER (not a dropped column)
+        # keeps Catalyst from pruning the check out of the plan
+        .where(
+            F.assert_true(
+                F.col("_variants") == 1,
+                F.lit(
+                    "import_topojson_tiled: xxhash64 content-address "
+                    "collision between distinct arcs"
+                ),
+            ).isNull()
+        )
+        .drop("_variants")
+    )
     mapping = la.select("doc_id", "la", "arc_id")
 
     feats = d.select(

@@ -73,21 +73,29 @@ def import_kml_all(doc: str) -> dict:
     sequential id instead of raising, and mixed documents keep BOTH
     layers [ADVICE r2]."""
     root = ET.fromstring(doc)
-    points, polys = [], []
-    seq = 0
-    for pm in root.iter():
-        if _strip(pm.tag) != "Placemark":
-            continue
-        name = None
+    placemarks = [pm for pm in root.iter() if _strip(pm.tag) == "Placemark"]
+
+    def _explicit_id(pm):
         for el in pm.iter():
             if _strip(el.tag) == "name":
                 try:
-                    name = int(el.text)
+                    return int(el.text)
                 except (TypeError, ValueError):
-                    name = None
+                    return None
+        return None
+
+    # fallback ids come from a range DISJOINT from every explicit
+    # integer name — a per-placemark sequential fallback can collide
+    # with another placemark's explicit name in mixed documents,
+    # silently merging features downstream [ADVICE r3 #4]
+    explicit = [_explicit_id(pm) for pm in placemarks]
+    base = max((e for e in explicit if e is not None), default=-1) + 1
+    points, polys = [], []
+    seq = 0
+    for pm, name in zip(placemarks, explicit):
         if name is None:
-            name = seq
-        seq += 1
+            name = base + seq
+            seq += 1
         for el in pm.iter():
             kind = _strip(el.tag)
             if kind == "Point":

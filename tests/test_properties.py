@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from mapshaper_spark import geometry as G
 
@@ -219,8 +219,17 @@ _boxes = st.lists(
 )
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(_boxes)
+# r3 verdict counterexample [VERDICT r3 #1]: disjoint accumulator
+# [A, B-with-perturbation-residue] meets C overlapping B while corner-
+# touching A; the old fixed-direction eps*(1, phi) shift re-coincided
+# C with B's residue exactly and the kernel silently dropped C
+# (union=5.0, truth 7.0). Pinned with permutations (the bug was
+# order-independent).
+@example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
+@example(boxes=[(0.0, 1.0, 2.0), (0.0, 0.0, 1.0), (1.0, 1.0, 2.0)])
+@example(boxes=[(1.0, 1.0, 2.0), (0.0, 1.0, 2.0), (0.0, 0.0, 1.0)])
 def test_union_many_matches_interval_algebra(boxes):
     """union_many's measure equals the exact elementary-cell covered
     area for random box layers — an independent reference, not a
@@ -234,8 +243,36 @@ def test_union_many_matches_interval_algebra(boxes):
     assert got == pytest.approx(want, rel=1e-6)
 
 
-@settings(max_examples=8, deadline=None)
+def test_split_robust_disjoint_accumulator_bridge():
+    """Deterministic regression for the r3 verdict repro: the subject
+    set carries a prior fold's perturbation residue (A exact, B shifted
+    by the OLD fixed eps*(1, phi) vector), and the incoming clip C
+    overlaps B while corner-touching A. The old wrapper re-shifted C by
+    the identical vector, making C exactly coincident with B again —
+    split returned inter=4/diff=1 where truth is 2/3."""
+    A = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+    old_residue = np.array([2e-9, 2e-9 * (1.0 + 5.0**0.5) / 2.0])
+    B = np.array([(0.0, 1.0), (2.0, 1.0), (2.0, 3.0), (0.0, 3.0)]) + old_residue
+    C = np.array([(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)])
+    inter, diff = G.gh_split_rings_robust([A, B], [C])
+    assert _area(inter) == pytest.approx(2.0, rel=1e-6)
+    assert _area(diff) == pytest.approx(3.0, rel=1e-6)
+    union = G.gh_clip_rings_robust([A, B], [C], "union")
+    assert _area(union) == pytest.approx(7.0, rel=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
 @given(_boxes)
+@example(boxes=[(0.5, 0.5, 1.0), (0.5, 0.5, 1.0), (0.0, 0.0, 1.0)])
+@example(boxes=[(0.5, -0.5, 1.0), (0.25, 0.0, 2.0), (0.0, 1.175494351e-38, 1.0)])
+@example(boxes=[(0.0, 0.0, 1.0), (0.0, 0.0, 1.0)])
+@example(boxes=[(0.0, 0.0, 0.75), (0.0, 0.5, 1.0)])
+@example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
+# r4 sweep find: denormal-scale offsets (5e-324) are not EXACTLY
+# incident, but every true crossing's parameter rounds to 1.0 and is
+# rejected — caught by widening the incidence trigger to near-incidence
+@example(boxes=[(-1.0, 5e-324, 1.25), (-1.175494351e-38, 0.5, 1.0), (0.0, 0.0, 1.0)])
+@example(boxes=[(1.0, 0.0, 2.0), (1.0, 0.0, 0.75), (0.0, -1.0, 2.0)])
 def test_mosaic_faces_matches_interval_algebra(boxes):
     """Operator-level randomized check: mosaic_faces' per-signature
     areas equal the exact elementary-cell decomposition on random box
@@ -274,6 +311,123 @@ def test_mosaic_faces_matches_interval_algebra(boxes):
     assert set(got) == {k for k, a in want.items() if a > 1e-6 * max(total, 1.0)}
     for k, a in got.items():
         assert a == pytest.approx(want[k], rel=1e-5, abs=1e-6 * total), sorted(k)
+
+
+def _boxes_feats_df(boxes):
+    """(feature_id, key, xs, ys) layer over random boxes — shared input
+    shape of the overlay-family operator sweeps."""
+    from mapshaper_spark.session import get_spark
+    import pandas as pd
+
+    spark = get_spark("mapshaper_spark_tests", cpus=8, shuffle_partitions=8)
+    pdf = pd.DataFrame(
+        [
+            {
+                "feature_id": i,
+                "key": "h",
+                "xs": [x, x + s, x + s, x],
+                "ys": [y, y, y + s, y + s],
+            }
+            for i, (x, y, s) in enumerate(boxes)
+        ]
+    )
+    return spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(_boxes)
+@example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
+@example(boxes=[(0.5, 0.5, 1.0), (0.5, 0.5, 1.0), (0.0, 0.0, 1.0)])
+def test_dissolve2_matches_interval_algebra(boxes):
+    """Operator-level randomized check [VERDICT r3 #2]: dissolve2's
+    per-key union measure equals the exact elementary-cell covered
+    area — the operator folds multi-component ring sets through the
+    same robust kernel the r3 counterexample broke."""
+    from mapshaper_spark.operators import topology as topo_op
+
+    rows = topo_op.dissolve2(_boxes_feats_df(boxes)).collect()
+    want = sum(_interval_algebra(boxes).values())
+    assert len(rows) == 1
+    assert rows[0]["area"] == pytest.approx(want, rel=1e-5, abs=1e-6 * want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_boxes)
+@example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
+@example(boxes=[(0.0, 0.0, 1.0), (0.0, 0.0, 1.0)])
+# r4 sweep find: corner-coincident B leaves a near-tangent residue hole
+# in face[0]; the old span*1e-7 interior-point offset overshot into it
+# and mis-oriented the A∩C piece (consistent, identity-proof)
+@example(boxes=[(1.0, 0.0, 2.0), (1.0, 0.0, 0.75), (0.0, -1.0, 2.0)])
+def test_clean_assign_matches_interval_algebra(boxes):
+    """Operator-level randomized check [VERDICT r3 #2]: -clean's
+    min-member face assignment equals assigning every elementary cell
+    to its lowest covering box — membership AND per-feature measure."""
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    raw: dict[int, float] = {}
+    for r in overlay_op.clean_assign_areas(_boxes_feats_df(boxes)).collect():
+        raw[int(r["feature_id"])] = raw.get(int(r["feature_id"]), 0.0) + r["clean_area"]
+    want: dict[int, float] = {}
+    for members, a in _interval_algebra(boxes).items():
+        fid = min(members)
+        want[fid] = want.get(fid, 0.0) + a
+    total = sum(want.values())
+    floor = 1e-6 * max(total, 1.0)
+    got = {k: a for k, a in raw.items() if a > floor}
+    assert set(got) == {k for k, a in want.items() if a > floor}
+    for k, a in got.items():
+        assert a == pytest.approx(want[k], rel=1e-5, abs=floor), k
+
+
+@settings(max_examples=30, deadline=None)
+@given(_boxes)
+@example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
+def test_inlay_matches_interval_algebra(boxes):
+    """Operator-level randomized check [VERDICT r3 #2]: -inlay carving
+    the first box by the rest equals the cells covered by the target
+    and by NO inlay."""
+    from mapshaper_spark.operators import overlay as overlay_op
+    from mapshaper_spark.session import get_spark
+    import pandas as pd
+
+    spark = get_spark("mapshaper_spark_tests", cpus=8, shuffle_partitions=8)
+    tx, ty, ts = boxes[0]
+    a_feats = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "poly_id": 0,
+                    "ring_idx": 0,
+                    "xs": [tx, tx + ts, tx + ts, tx],
+                    "ys": [ty, ty, ty + ts, ty + ts],
+                }
+            ]
+        ),
+        schema="poly_id int, ring_idx int, xs array<double>, ys array<double>",
+    )
+    b_feats = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "inlay_id": i,
+                    "xs": [x, x + s, x + s, x],
+                    "ys": [y, y, y + s, y + s],
+                }
+                for i, (x, y, s) in enumerate(boxes[1:])
+            ]
+        ),
+        schema="inlay_id int, xs array<double>, ys array<double>",
+    )
+    rows = overlay_op.inlay_area(a_feats, b_feats).collect()
+    want = sum(
+        a for m, a in _interval_algebra(boxes).items() if m == frozenset({0})
+    )
+    assert len(rows) == 1
+    total = max(ts * ts, 1.0)
+    assert rows[0]["area"] == pytest.approx(want, rel=1e-5, abs=1e-6 * total)
 
 
 @settings(max_examples=40, deadline=None)
