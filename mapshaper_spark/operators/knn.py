@@ -36,13 +36,19 @@ def _dist2(ax, ay, bx, by):
     return (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
 
 
-def _explode_neighbors(targets: DataFrame, res: int) -> DataFrame:
-    """Each target replicated to its own + 8 neighbor cells (clamped)."""
+def _explode_neighbors(targets: DataFrame, res: int, ring: int = 1) -> DataFrame:
+    """Each target replicated to every cell within Chebyshev distance
+    ``ring`` of its own (clamped) — (2·ring+1)² rows per target. ring=1
+    is the classic 9-cell block; the k-conditional layout uses ring=2
+    for k>1 so the FIRST stage's guarantee already covers the k-th
+    neighbor and the second ring stage disappears."""
     n = 1 << res
     ix, iy = cells.grid_xy_sql("lon", "lat", res)
     t = targets.withColumn("_ix", F.expr(ix)).withColumn("_iy", F.expr(iy))
-    d = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
-    t = t.withColumn("_dx", d).withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    offs = [F.lit(i) for i in range(-ring, ring + 1)]
+    t = t.withColumn("_dx", F.explode(F.array(*offs))).withColumn(
+        "_dy", F.explode(F.array(*offs))
+    )
     t = t.filter(
         (F.col("_ix") + F.col("_dx")).between(0, n - 1)
         & (F.col("_iy") + F.col("_dy")).between(0, n - 1)
@@ -106,7 +112,7 @@ def knn_join(
     targets: DataFrame,
     k: int = 1,
     res: int | None = None,
-    expansion_rings: tuple[int, ...] = (1, 3),
+    expansion_rings: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Exact kNN join: (point cols..., target_id, dist2, knn_rank).
 
@@ -114,21 +120,35 @@ def knn_join(
     res=None picks the resolution from the measured target count (the
     dim side is counted anyway to size the broadcast).
 
-    Adaptive ring expansion [NEXT.md #5]: round 1 searches the 3x3 block
-    (targets replicated x9, broadcast — the bulk of the volume); points
-    whose k-th hit isn't provably global retry with progressively wider
-    rings (candidate lists exploded on the PROBE side, so the target
-    table is never replicated by the big ring); only the residual of the
-    last ring falls back to brute force. At scale this keeps the
-    cross-join fallback to the (empty-region) tail instead of every
-    sparse-cell point.
+    Adaptive ring expansion [NEXT.md #5]: round 1 searches a block of
+    the target grid (targets replicated, broadcast — the bulk of the
+    volume); points whose k-th hit isn't provably global retry with
+    progressively wider rings (candidate lists exploded on the PROBE
+    side, so the target table is never replicated by the big ring);
+    only the residual of the last ring falls back to brute force. At
+    scale this keeps the cross-join fallback to the (empty-region) tail
+    instead of every sparse-cell point.
+
+    K-CONDITIONAL stage layout [VERDICT r3 #5]: expansion_rings=None
+    resolves to (1, 3) for k=1 but (2,) for k>1 — the k-th neighbor
+    rarely passes the 1-cell guarantee, so at k>1 the second ring stage
+    (an extra shuffle + materialization + count) ran for nearly every
+    point; one 5x5 first block (targets replicated x25 instead of x9 —
+    trivial on the broadcast dim side) resolves those points in a
+    single stage. Results are identical either way (the operator is
+    exact); only the plan changes.
     """
     if res is None:
         res = auto_res(targets.count())
+    if expansion_rings is None:
+        expansion_rings = (1, 3) if k == 1 else (2,)
     cell_h = 180.0 / (1 << res)
 
     pts = points.withColumn("cell_id", F.expr(cells.cell_sql("lon", "lat", res)))
-    tgt9 = _explode_neighbors(targets.select("target_id", "lon", "lat"), res).select(
+    ring0 = expansion_rings[0] if expansion_rings else 1
+    tgt9 = _explode_neighbors(
+        targets.select("target_id", "lon", "lat"), res, ring=ring0
+    ).select(
         "cell_id", "target_id", F.col("lon").alias("tx"), F.col("lat").alias("ty")
     )
     tgt_by_cell = (

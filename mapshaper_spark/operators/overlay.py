@@ -687,6 +687,409 @@ def dissolve2_tiled(features: DataFrame, res: int = 4) -> DataFrame:
     )
 
 
+def _ring_border_paths(ring: np.ndarray, lines_x, lines_y, tol: float):
+    """Split a cell-cropped ring into maximal runs of NON-border edges
+    (paths of the region's true boundary inside the cell). An edge is a
+    border edge iff BOTH endpoints lie within tol of the SAME cell
+    line — exactly the segments Sutherland-Hodgman manufactured along
+    the box (including its multi-piece 'bridge' doubled edges, which
+    live entirely on the border and thus dissolve into separate paths
+    here). Returns (paths, finished): paths is a list of (m,2) open
+    polylines whose endpoints sit on cell borders; finished is the
+    intact ring when NO edge touches the border (interior ring)."""
+    xs = ring[:, 0]
+    ys = ring[:, 1]
+    x2 = geometry.rot1(xs)
+    y2 = geometry.rot1(ys)
+    border = np.zeros(len(ring), dtype=bool)
+    for c in lines_x:
+        border |= (np.abs(xs - c) <= tol) & (np.abs(x2 - c) <= tol)
+    for c in lines_y:
+        border |= (np.abs(ys - c) <= tol) & (np.abs(y2 - c) <= tol)
+    if not border.any():
+        return [], ring
+    if border.all():
+        # the cropped ring IS the cell box (cell interior to the
+        # region): the true boundary does not pass through this cell
+        return [], None
+    k = len(ring)
+    # path starts: vertex i where edge (i-1) is border and edge i isn't
+    starts = np.nonzero(~border & np.roll(border, 1))[0]
+    paths = []
+    for s in starts:
+        idx = [int(s)]
+        j = int(s)
+        while not border[j]:
+            j = (j + 1) % k
+            idx.append(j)
+        paths.append(ring[idx])
+    return paths, None
+
+
+# off-grain grid offsets for the ring emitter's retry loop (fractional
+# parts of sqrt(2), phi, sqrt(5), sqrt(3) — cell lines land at
+# irrational-ish fractions of the data span, so coincidence between a
+# data coordinate and a cell line is a freak float event; a loud
+# degeneracy raise from any stage moves to the next offset, the same
+# pattern faces.polygons_from_arcs_tiled uses)
+_RING_GRID_OFFSETS = (
+    0.4142135623730951,
+    0.6180339887498949,
+    0.2360679774997896,
+    0.7320508075688772,
+)
+_RING_DEGEN = "dissolve2_rings_tiled:"
+
+
+def dissolve2_rings_tiled(
+    features: DataFrame, res: int = 4, max_rep_cells: int = 8
+) -> DataFrame:
+    last_err: Exception | None = None
+    for attempt in range(len(_RING_GRID_OFFSETS)):
+        try:
+            return _dissolve2_rings_tiled_at(features, res, max_rep_cells, attempt)
+        except Exception as e:  # degenerate grid alignment → next origin
+            if _RING_DEGEN in str(e):
+                last_err = e
+                continue
+            raise
+    raise last_err  # pragma: no cover — adversarial layer
+
+
+def _dissolve2_rings_tiled_at(
+    features: DataFrame, res: int, max_rep_cells: int, attempt: int
+) -> DataFrame:
+    """-dissolve2 with RING GEOMETRY output from the tiled construction
+    [VERDICT r3 #6 — the area form (:func:`dissolve2_tiled`) was
+    distributed, the merged ring geometry still required the global
+    per-key fold]. Output: (key, ring_id, n_vertices, area, xs, ys),
+    one row per ring of each key's union region (holes carry negative
+    area), equal to the global ``union_many`` rings up to extra
+    collinear vertices where a ring crosses a cell line.
+
+    Plan (all stages distributed; per-task work is cell- or
+    ring-bounded):
+
+    1. :func:`mosaic_replicate` ships each feature's cell-bounded crops
+       (large features never replicate whole — VERDICT r3 #2).
+    2. Per (key, cell): ``union_many`` over the cell's crops, then a
+       Sutherland-Hodgman crop to the EXACT cell box → the union region
+       ∩ cell. Each cropped ring splits into maximal non-border PATHS
+       (:func:`_ring_border_paths`); rings that never touch the border
+       emit as finished rings directly.
+    3. Paths stitch ACROSS cells by exact endpoint equality: a border
+       crossing point is computed from the same original edge and the
+       same cell line on both sides, with equal cell extents, so the
+       two S-H parameters are exact negations and the coordinates match
+       BITWISE. Endpoint groups become path-adjacency edges; connected
+       components (``faces._cc_labels`` — size-routed driver union-find
+       / hash-min pointer jumping) label each global ring; a final
+       per-ring assembly chains the paths (orientation is preserved:
+       at every junction exactly one path ends and one begins).
+
+    General-position w.r.t. cell lines is assumed for path
+    classification (original edges lying exactly ON a cell line, or a
+    boundary through a cell corner); the grid derives from layer
+    bounds, so alignment is a float-equality event — re-derive with a
+    different ``res`` if a layer manufactures it."""
+    from . import faces as faces_mod
+
+    n = 1 << res
+    b = features.select(
+        F.min(F.expr("array_min(xs)")).alias("x0"),
+        F.max(F.expr("array_max(xs)")).alias("x1"),
+        F.min(F.expr("array_min(ys)")).alias("y0"),
+        F.max(F.expr("array_max(ys)")).alias("y1"),
+    ).first()
+    off = _RING_GRID_OFFSETS[attempt]
+    if b.x0 is None:
+        ox, oy, cw, ch = 0.0, 0.0, 1.0, 1.0
+    else:
+        # n-1 divisions + an off-grain origin shift: cell lines land at
+        # irrational-ish fractions of the span (a mosaic grid whose
+        # lines sit ~5e-10 from regular data coordinates would defeat
+        # any border-classification tolerance)
+        cw = max(b.x1 - b.x0, 1e-12) * (1.0 + 1e-9) / (n - 1)
+        ch = max(b.y1 - b.y0, 1e-12) * (1.0 + 1e-9) / (n - 1)
+        ox, oy = b.x0 - off * cw, b.y0 - off * ch
+    # magnitude-aware: border classification must sit far above the
+    # S-H crossing placement error (~100 ulp of the coordinate
+    # magnitude) and far below real feature separation
+    mag = max(abs(ox), abs(oy), abs(ox + n * cw), abs(oy + n * ch), cw + ch)
+    tol = mag * 1e-12
+
+    replicated = mosaic_replicate(features, n, ox, oy, cw, ch, max_rep_cells)
+
+    def cell_paths(pdf: pd.DataFrame) -> pd.DataFrame:
+        ix = int(pdf["ix"].iloc[0])
+        iy = int(pdf["iy"].iloc[0])
+        x_lo, y_lo = ox + ix * cw, oy + iy * ch
+        x_hi, y_hi = x_lo + cw, y_lo + ch
+        rings: list[np.ndarray] = []
+        for _, r in pdf.sort_values("feature_id").iterrows():
+            for rx, ry in zip(r["rings_xs"], r["rings_ys"]):
+                rings.append(np.column_stack([np.asarray(rx), np.asarray(ry)]))
+        merged = geometry.union_many(rings)
+        out = []
+        seq = 0
+        cell_base = (ix * n + iy) << 20
+        for g in merged:
+            # S-H preserves traversal order, so outer/hole orientation
+            # survives the crop
+            cx, cy = geometry.clip_ring_bbox(
+                g[:, 0], g[:, 1], x_lo, y_lo, x_hi, y_hi
+            )
+            if len(cx) < 3:
+                continue
+            # INTERIOR lines only: the grid's outer lines coincide with
+            # the layer bounds, so true boundary edges lie exactly on
+            # them — dropping those as crop artifacts would corrupt the
+            # boundary (and leave unpartnered path endpoints)
+            lx = tuple(
+                v for v, keep in ((x_lo, ix > 0), (x_hi, ix < n - 1)) if keep
+            )
+            ly = tuple(
+                v for v, keep in ((y_lo, iy > 0), (y_hi, iy < n - 1)) if keep
+            )
+            paths, finished = _ring_border_paths(
+                np.column_stack([cx, cy]), lx, ly, tol
+            )
+            if finished is not None:
+                out.append(
+                    {
+                        "key": pdf["key"].iloc[0],
+                        "path_seq": cell_base + seq,
+                        "closed": True,
+                        "xs": [float(v) for v in finished[:, 0]],
+                        "ys": [float(v) for v in finished[:, 1]],
+                    }
+                )
+                seq += 1
+            for p in paths:
+                out.append(
+                    {
+                        "key": pdf["key"].iloc[0],
+                        "path_seq": cell_base + seq,
+                        "closed": False,
+                        "xs": [float(v) for v in p[:, 0]],
+                        "ys": [float(v) for v in p[:, 1]],
+                    }
+                )
+                seq += 1
+        return pd.DataFrame(out, columns=["key", "path_seq", "closed", "xs", "ys"])
+
+    raw_paths = replicated.groupBy("key", "ix", "iy").applyInPandas(
+        cell_paths,
+        schema=(
+            "key string, path_seq long, closed boolean,"
+            " xs array<double>, ys array<double>"
+        ),
+    )
+    # path_seq is only unique per (key, cell); compose a GLOBALLY unique
+    # deterministic path_id with a dense key index (keys are dissolve2's
+    # output cardinality — dim-sized relative to the layer; the no-
+    # partition window runs over the distinct-keys frame only). 2^43
+    # leaves room for res <= 11 grids with 2^20 faces per cell.
+    kw = Window.orderBy("key")
+    key_idx = (
+        raw_paths.select("key")
+        .distinct()
+        .select("key", (F.dense_rank().over(kw) - 1).alias("key_idx"))
+    )
+    paths_df = (
+        raw_paths.join(F.broadcast(key_idx), "key")
+        .where(
+            F.assert_true(
+                F.col("key_idx") < F.lit(1 << 20),
+                F.lit("dissolve2_rings_tiled: >2^20 dissolve keys"),
+            ).isNull()
+        )
+        .withColumn(
+            "path_id",
+            F.col("key_idx") * F.lit(1 << 43) + F.col("path_seq"),
+        )
+        .drop("key_idx", "path_seq")
+        .localCheckpoint()
+    )
+
+    open_paths = paths_df.filter(~F.col("closed"))
+    # endpoint rows classified to their cell LINE: exact cross-cell
+    # coordinate equality is ulp-fragile (the two cells' union folds
+    # can represent the crossing edge with different sub-segment
+    # endpoints), so partners are found by SORTED ADJACENCY along each
+    # line instead — a crossing's two endpoint instances are within
+    # ulps of each other while distinct crossings are real-geometry
+    # distances apart
+    ends = open_paths.select(
+        "key",
+        "path_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("which"),
+                    F.element_at("xs", 1).alias("ex"),
+                    F.element_at("ys", 1).alias("ey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("which"),
+                    F.element_at("xs", -1).alias("ex"),
+                    F.element_at("ys", -1).alias("ey"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("key", "path_id", "pt.which", "pt.ex", "pt.ey")
+    dx = (F.col("ex") - F.lit(ox)) / F.lit(cw)
+    dy = (F.col("ey") - F.lit(oy)) / F.lit(ch)
+    vx_off = F.abs(dx - F.round(dx))
+    vy_off = F.abs(dy - F.round(dy))
+    ends = ends.select(
+        "key",
+        "path_id",
+        "which",
+        F.when(vx_off <= vy_off, F.lit("v")).otherwise(F.lit("h")).alias("lk"),
+        F.when(vx_off <= vy_off, F.round(dx).cast("int"))
+        .otherwise(F.round(dy).cast("int"))
+        .alias("li"),
+        F.when(vx_off <= vy_off, F.col("ey")).otherwise(F.col("ex")).alias("free"),
+    )
+
+    pair_schema = "key string, src long, src_end int, dst long, dst_end int"
+    match_tol = 64.0 * tol
+
+    def pair_line(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["free", "path_id", "which"]).reset_index(drop=True)
+        if len(pdf) % 2:
+            raise ValueError(
+                "dissolve2_rings_tiled: odd endpoint count on a cell "
+                "line (cell-line-aligned or corner-crossing input)"
+            )
+        out = []
+        for i in range(0, len(pdf), 2):
+            a, bb = pdf.iloc[i], pdf.iloc[i + 1]
+            if abs(float(bb["free"]) - float(a["free"])) > match_tol:
+                raise ValueError(
+                    "dissolve2_rings_tiled: unpartnered border endpoint "
+                    f"(gap {float(bb['free']) - float(a['free'])!r})"
+                )
+            if i + 2 < len(pdf):
+                nxt = float(pdf.iloc[i + 2]["free"])
+                if nxt - float(bb["free"]) <= match_tol:
+                    raise ValueError(
+                        "dissolve2_rings_tiled: ambiguous endpoint "
+                        "pairing on a cell line"
+                    )
+            # orientation invariant: one path ENDS here, its partner
+            # BEGINS here (traversal direction is preserved per cell)
+            if int(a["which"]) + int(bb["which"]) != 1:
+                raise ValueError(
+                    "dissolve2_rings_tiled: endpoint pair is not "
+                    "end-to-start (orientation broken)"
+                )
+            src, dst = (a, bb) if int(a["which"]) == 1 else (bb, a)
+            out.append(
+                {
+                    "key": a["key"],
+                    "src": int(src["path_id"]),
+                    "src_end": 1,
+                    "dst": int(dst["path_id"]),
+                    "dst_end": 0,
+                }
+            )
+        return pd.DataFrame(out, columns=["key", "src", "src_end", "dst", "dst_end"])
+
+    pairs = (
+        ends.groupBy("key", "lk", "li")
+        .applyInPandas(pair_line, schema=pair_schema)
+        .localCheckpoint()
+    )
+    labels = faces_mod._cc_labels(
+        open_paths.select(F.col("path_id").alias("piece_id")),
+        pairs.select("src", "dst"),
+    )
+    lab = labels.withColumnRenamed("piece_id", "path_id")
+    lpaths = open_paths.join(lab, "path_id")
+    # fresh attribute ids for the second join (same source frame twice
+    # trips Spark's ambiguous-self-join detection in the cogroup)
+    lab_pairs = labels.select(
+        F.col("piece_id").alias("src"), F.col("label").alias("plabel")
+    )
+    lpairs = pairs.join(lab_pairs, "src").withColumnRenamed("plabel", "label")
+
+    ring_schema = (
+        "key string, ring_id long, n_vertices int, area double,"
+        " xs array<double>, ys array<double>"
+    )
+
+    def assemble(paths_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(paths_pdf) == 0:
+            return pd.DataFrame(
+                columns=["key", "ring_id", "n_vertices", "area", "xs", "ys"]
+            )
+        segs = {
+            int(r["path_id"]): (list(r["xs"]), list(r["ys"]))
+            for _, r in paths_pdf.iterrows()
+        }
+        nxt_of = {int(r["src"]): int(r["dst"]) for _, r in pairs_pdf.iterrows()}
+        first = min(segs)
+        xs, ys = [], []
+        cur = first
+        for _ in range(len(segs)):
+            px, py = segs[cur]
+            xs.extend(px)
+            ys.extend(py)
+            cur = nxt_of.get(cur)
+            if cur is None:
+                raise ValueError(
+                    "dissolve2_rings_tiled: broken path chain"
+                )
+            if cur == first:
+                break
+        else:
+            raise ValueError("dissolve2_rings_tiled: path chain not closed")
+        arr_x = np.asarray(xs)
+        arr_y = np.asarray(ys)
+        return pd.DataFrame(
+            [
+                {
+                    "key": paths_pdf["key"].iloc[0],
+                    "ring_id": int(paths_pdf["label"].iloc[0]),
+                    "n_vertices": len(arr_x),
+                    "area": geometry.shoelace_area(arr_x, arr_y),
+                    "xs": list(arr_x),
+                    "ys": list(arr_y),
+                }
+            ]
+        )
+
+    stitched = (
+        lpaths.groupBy("key", "label")
+        .cogroup(lpairs.groupBy("key", "label"))
+        .applyInPandas(
+            lambda lp, rp: assemble(lp, rp), schema=ring_schema
+        )
+    )
+    closed = paths_df.filter("closed").select(
+        "key",
+        F.col("path_id").alias("ring_id"),
+        F.size("xs").alias("n_vertices"),
+        F.lit(0.0).alias("area"),
+        "xs",
+        "ys",
+    )
+
+    def _closed_area(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf):
+                pdf["area"] = [
+                    geometry.shoelace_area(np.asarray(x), np.asarray(y))
+                    for x, y in zip(pdf["xs"], pdf["ys"])
+                ]
+            yield pdf
+
+    closed = closed.mapInPandas(_closed_area, schema=ring_schema)
+    return stitched.unionByName(closed)
+
+
 def clean_assign_areas(features: DataFrame, tiled: bool = False, res: int = 4) -> DataFrame:
     """-clean [upstream mosaic-based overlap repair, SURVEY.md §2.2]:
     remove overlaps by assigning every mosaic face to exactly ONE of its

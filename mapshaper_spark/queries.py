@@ -2652,6 +2652,50 @@ def q_dissolve2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dissolve2_rings_tiled",
+    f"""
+    WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_values_sql()}),
+    xs AS (SELECT DISTINCT key, x0 AS x FROM r UNION SELECT DISTINCT key, x1 FROM r),
+    ys AS (SELECT DISTINCT key, y0 AS y FROM r UNION SELECT DISTINCT key, y1 FROM r),
+    xi AS (SELECT key, x AS xa, lead(x) OVER (PARTITION BY key ORDER BY x) AS xb FROM xs),
+    yi AS (SELECT key, y AS ya, lead(y) OVER (PARTITION BY key ORDER BY y) AS yb FROM ys),
+    cells AS (SELECT xi.key, xa, xb, ya, yb
+              FROM xi JOIN yi ON xi.key = yi.key
+              WHERE xb IS NOT NULL AND yb IS NOT NULL),
+    cov AS (SELECT c.key, (c.xb - c.xa) * (c.yb - c.ya) AS a
+            FROM cells c
+            WHERE EXISTS (SELECT 1 FROM r WHERE r.key = c.key
+                          AND r.x0 <= c.xa AND c.xb <= r.x1
+                          AND r.y0 <= c.ya AND c.yb <= r.y1)),
+    area AS (SELECT key, ROUND(CAST(sum(a) AS DOUBLE), 9) AS area_r FROM cov GROUP BY key)
+    SELECT area.key, g.n_rings, area.area_r
+    FROM area JOIN (VALUES ('a', 1), ('b', 2), ('c', 2), ('d', 1)) AS g(key, n_rings)
+      ON area.key = g.key
+    """,
+)
+def q_dissolve2_rings_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-dissolve2 RING GEOMETRY through the fully distributed plan
+    [VERDICT r3 #6]: per-cell union folds → cell-cropped boundary
+    paths → per-line sorted endpoint pairing → CC ring labels →
+    chained ring assembly. The driver row checks ring counts and the
+    union measure recomputed from the STITCHED ring geometry (signed
+    shoelace over rings that crossed cell lines — rounded to 9dp on
+    both sides because stitched rings carry extra collinear vertices
+    whose shoelace terms round at ~1e-15). Geometry-level equality vs
+    the global union_many rings is pinned in tests/test_gh_rings.py on
+    a 1000-feature layer."""
+    feats = spark.createDataFrame(
+        fixtures.dissolve2_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    rings = overlay_op.dissolve2_rings_tiled(feats, res=4)
+    return rings.groupBy("key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rings"),
+        F.round(F.sum("area"), 9).alias("area_r"),
+    )
+
+
+@query(
     "mosaic_faces_overlap_layer",
     f"""
     WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_with_ids_sql()}),
@@ -3106,16 +3150,24 @@ _DRIVER_WINDOW = [
     # r3-new tiled TopoJSON export (takes twice-green grid_generate_z3's
     # slot per the window invariant)
     "topojson_tiled_counts",
-    # once-green rows that keep their slot (first checked in r2)
+    # r4 ROTATION [VERDICT r3 #3 / NEXT #4]: the r3-new scan-scale
+    # TopoJSON import and the r4-new distributed ring-geometry emitter
+    # take the slots of twice-green calc_every_some and
+    # project_rename_fields; simplify_dp_counts and minhash_signatures
+    # re-enter (r1-green, parity-covered since) displacing twice-green
+    # window_rolling_sum and jaccard_ngram_pairs. All displaced rows
+    # stay oracle-checked in tests/test_oracle_parity.py.
+    "topojson_tiled_import_stats",
+    "dissolve2_rings_tiled",
+    "simplify_dp_counts",
+    "minhash_signatures",
+    # twice-green rows that keep their slot (first checked in r2)
     "subdivide_hot_cells",
     "overlay_pairs_nonempty",
     "join_interpolate_area_weighted",
     "calc_median_quantity",
-    "calc_every_some",
     "rollup_region_nation",
     "info_summary_customer",
-    "project_rename_fields",
-    "window_rolling_sum",
     "asof_last_purchase_before_click",
     # streaming: sessionize (r2-green) + the r3-new sliding window
     "events_sessionize",
@@ -3123,7 +3175,6 @@ _DRIVER_WINDOW = [
     # LLM-data + images (first green in r2) + r2-new multimodal oracles
     "token_distinct_counts",
     "language_id_stopword",
-    "jaccard_ngram_pairs",
     "simhash16_docs",
     "ann_ivf_bucketed_topk",
     "embedding_near_dup_pairs",
