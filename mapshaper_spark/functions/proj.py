@@ -1,9 +1,11 @@
-"""-proj: the two projections the engine needs [SURVEY.md §2.2 -proj —
-full PROJ port explicitly out of scope; fixtures use lonlat and
-WebMercator only].
+"""-proj: the projection family the engine ships [SURVEY.md §2.2
+-proj — the full PROJ long tail stays out of scope; this module covers
+WebMercator, the two conics (Albers equal-area, Lambert conformal),
+spherical transverse Mercator with per-row UTM zones, and Robinson
+(r4) — the projections mapshaper users actually reach for].
 
 Pure column expressions (JVM-side, codegen). tan/log are not
-ULP-portable across libm implementations, so WebMercator outputs are
+ULP-portable across libm implementations, so projection outputs are
 pytest-golden-checked rather than DuckDB-oracle-hashed [SURVEY.md §5.2].
 """
 
@@ -146,4 +148,154 @@ def lambert_cc_inverse(
         - F.lit(math.pi / 2.0)
     )
     lon_out = F.lit(lon0) + F.degrees(th / F.lit(n))
+    return df.withColumn("lon2", lon_out).withColumn("lat2", lat_out)
+
+
+def transverse_mercator(
+    df: DataFrame,
+    lon0: float = -93.0,
+    k0: float = 1.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spherical transverse Mercator (Snyder 1987 eq. 8-5/8-6; the
+    public spherical form). B = cos f sin(lam-lam0); x = k0 R atanh(B);
+    y = k0 R atan2(tan f, cos(lam-lam0)). Conformal — the property the
+    tests pin. Pure codegen column math."""
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    f = F.radians(F.col(lat))
+    b = F.cos(f) * F.sin(dl)
+    x = F.lit(k0 * R * 0.5) * F.log((F.lit(1.0) + b) / (F.lit(1.0) - b))
+    y = F.lit(k0 * R) * F.atan2(F.tan(f), F.cos(dl))
+    return df.withColumn("tx", x).withColumn("ty", y)
+
+
+def transverse_mercator_inverse(
+    df: DataFrame,
+    lon0: float = -93.0,
+    k0: float = 1.0,
+    tx: str = "tx",
+    ty: str = "ty",
+) -> DataFrame:
+    """Inverse spherical TM: D = y/(k0 R); f = asin(sin D / cosh(x/(k0
+    R))); lam = lam0 + atan2(sinh(x/(k0 R)), cos D)."""
+    xs = F.col(tx) / F.lit(k0 * R)
+    d = F.col(ty) / F.lit(k0 * R)
+    lat_out = F.degrees(F.asin(F.sin(d) / F.cosh(xs)))
+    lon_out = F.lit(lon0) + F.degrees(F.atan2(F.sinh(xs), F.cos(d)))
+    return df.withColumn("lon2", lon_out).withColumn("lat2", lat_out)
+
+
+UTM_K0 = 0.9996
+UTM_FALSE_E = 500000.0
+UTM_FALSE_N_S = 10000000.0
+
+
+def utm(df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """UTM with the zone chosen PER ROW from the longitude — entirely
+    column math, so a planet-wide point table projects in one codegen
+    stage with no per-zone driver loop: zone = floor((lon+180)/6)+1
+    (clamped), lam0 = 6 zone - 183, k0 = 0.9996, false easting 500 km,
+    false northing 10000 km on the southern hemisphere. Output columns:
+    utm_zone, utm_north (hemisphere), utm_e, utm_n."""
+    zone = F.least(
+        F.lit(60),
+        F.greatest(
+            F.lit(1), (F.floor((F.col(lon) + 180.0) / 6.0) + 1).cast("int")
+        ),
+    )
+    lon0 = (zone.cast("double") * 6.0) - 183.0
+    dl = F.radians(F.col(lon) - lon0)
+    f = F.radians(F.col(lat))
+    b = F.cos(f) * F.sin(dl)
+    x = F.lit(UTM_K0 * R * 0.5) * F.log((F.lit(1.0) + b) / (F.lit(1.0) - b))
+    y = F.lit(UTM_K0 * R) * F.atan2(F.tan(f), F.cos(dl))
+    north = F.col(lat) >= 0.0
+    return (
+        df.withColumn("utm_zone", zone)
+        .withColumn("utm_north", north)
+        .withColumn("utm_e", x + F.lit(UTM_FALSE_E))
+        .withColumn(
+            "utm_n", F.when(north, y).otherwise(y + F.lit(UTM_FALSE_N_S))
+        )
+    )
+
+
+def utm_inverse(
+    df: DataFrame,
+    zone: str = "utm_zone",
+    north: str = "utm_north",
+    e: str = "utm_e",
+    n: str = "utm_n",
+) -> DataFrame:
+    """Inverse UTM from (zone, hemisphere, easting, northing) columns."""
+    lon0 = F.col(zone).cast("double") * 6.0 - 183.0
+    xs = (F.col(e) - F.lit(UTM_FALSE_E)) / F.lit(UTM_K0 * R)
+    y = F.when(F.col(north), F.col(n)).otherwise(F.col(n) - F.lit(UTM_FALSE_N_S))
+    d = y / F.lit(UTM_K0 * R)
+    lat_out = F.degrees(F.asin(F.sin(d) / F.cosh(xs)))
+    lon_out = lon0 + F.degrees(F.atan2(F.sinh(xs), F.cos(d)))
+    return df.withColumn("lon2", lon_out).withColumn("lat2", lat_out)
+
+
+# Robinson's published 5-degree table (Robinson 1974; Snyder & Voxland
+# 1989 p.82 — public domain values): PLEN scales x, PDFE scales y.
+ROBINSON_X = (
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+)
+ROBINSON_Y = (
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+)
+_ROB_XM = 0.8487
+_ROB_YM = 1.3523
+
+
+def robinson(df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Robinson pseudocylindrical from the published 5-degree table,
+    LINEAR interpolation between nodes (documented variant — upstream
+    mproj uses a spline through the same table; node values agree
+    exactly, between-node values differ <0.1%). x = 0.8487 R X(|f|) lam,
+    y = 1.3523 R Y(|f|) sign(f). Table lookup is element_at over array
+    literals — still one codegen stage, no UDF."""
+    xarr = F.array(*[F.lit(v) for v in ROBINSON_X])
+    yarr = F.array(*[F.lit(v) for v in ROBINSON_Y])
+    alat = F.least(F.lit(90.0), F.abs(F.col(lat)))
+    idx = F.least(F.lit(17), F.floor(alat / 5.0).cast("int"))
+    frac = alat / 5.0 - idx.cast("double")
+    lo_x = F.element_at(xarr, idx + 1)
+    hi_x = F.element_at(xarr, idx + 2)
+    lo_y = F.element_at(yarr, idx + 1)
+    hi_y = F.element_at(yarr, idx + 2)
+    px = lo_x + frac * (hi_x - lo_x)
+    py = lo_y + frac * (hi_y - lo_y)
+    x = F.lit(_ROB_XM * R) * px * F.radians(F.col(lon))
+    y = F.lit(_ROB_YM * R) * py * F.signum(F.col(lat))
+    return df.withColumn("rx", x).withColumn("ry", y)
+
+
+def robinson_inverse(df: DataFrame, rx: str = "rx", ry: str = "ry") -> DataFrame:
+    """Inverse of the linear-interpolated Robinson: the piecewise-linear
+    Y is strictly increasing, so the segment inverse is exact — an
+    18-arm CASE finds the segment (generated column expression, still
+    JVM-side), then lam = x / (0.8487 R X(f))."""
+    v = F.abs(F.col(ry)) / F.lit(_ROB_YM * R)
+    # build the CASE from the top segment down so the first WHEN that
+    # matches (v < Y[i+1]) is the correct segment
+    lat_a = F.lit(90.0)
+    for i in range(17, -1, -1):
+        y0, y1 = ROBINSON_Y[i], ROBINSON_Y[i + 1]
+        seg_lat = F.lit(5.0) * (F.lit(float(i)) + (v - F.lit(y0)) / F.lit(y1 - y0))
+        lat_a = F.when(v < F.lit(y1), seg_lat).otherwise(lat_a)
+    xarr = F.array(*[F.lit(v2) for v2 in ROBINSON_X])
+    idx = F.least(F.lit(17), F.floor(lat_a / 5.0).cast("int"))
+    frac = lat_a / 5.0 - idx.cast("double")
+    px = F.element_at(xarr, idx + 1) + frac * (
+        F.element_at(xarr, idx + 2) - F.element_at(xarr, idx + 1)
+    )
+    lat_out = lat_a * F.signum(F.col(ry))
+    lon_out = F.degrees(F.col(rx) / (F.lit(_ROB_XM * R) * px))
     return df.withColumn("lon2", lon_out).withColumn("lat2", lat_out)

@@ -423,6 +423,7 @@ def mosaic_replicate(
     cw: float,
     ch: float,
     max_rep_cells: int = 8,
+    pad_salt: int = 0,
 ) -> DataFrame:
     """Map-stage (feature, cell) replication for the tiled mosaic, with
     bounded shipping for large features [VERDICT r3 #2].
@@ -476,8 +477,12 @@ def mosaic_replicate(
                 # large feature: crop per cell. Per-feature pad keeps
                 # crop-box edge lines distinct across features (1021 is
                 # prime; a rare pad collision just routes that pair
-                # through the robust kernel's perturb retry).
-                pad = min(cw, ch) * 1e-3 * (1.0 + (fid % 1021) / 1021.0)
+                # through the robust kernel's perturb retry). pad_salt
+                # shifts the residue class per retry attempt [NEXT r4
+                # #6] so a grid-origin retry also re-deals the pads.
+                pad = min(cw, ch) * 1e-3 * (
+                    1.0 + ((fid + 521 * pad_salt) % 1021) / 1021.0
+                )
                 ring = np.column_stack([xs, ys])
                 edges = np.column_stack(
                     [xs, ys, geometry.rot1(xs), geometry.rot1(ys)]
@@ -742,12 +747,17 @@ _RING_DEGEN = "dissolve2_rings_tiled:"
 
 
 def dissolve2_rings_tiled(
-    features: DataFrame, res: int = 4, max_rep_cells: int = 8
+    features: DataFrame,
+    res: int = 4,
+    max_rep_cells: int = 8,
+    chunked: bool = False,
 ) -> DataFrame:
     last_err: Exception | None = None
     for attempt in range(len(_RING_GRID_OFFSETS)):
         try:
-            return _dissolve2_rings_tiled_at(features, res, max_rep_cells, attempt)
+            return _dissolve2_rings_tiled_at(
+                features, res, max_rep_cells, attempt, chunked
+            )
         except Exception as e:  # degenerate grid alignment → next origin
             if _RING_DEGEN in str(e):
                 last_err = e
@@ -757,7 +767,11 @@ def dissolve2_rings_tiled(
 
 
 def _dissolve2_rings_tiled_at(
-    features: DataFrame, res: int, max_rep_cells: int, attempt: int
+    features: DataFrame,
+    res: int,
+    max_rep_cells: int,
+    attempt: int,
+    chunked: bool = False,
 ) -> DataFrame:
     """-dissolve2 with RING GEOMETRY output from the tiled construction
     [VERDICT r3 #6 — the area form (:func:`dissolve2_tiled`) was
@@ -818,7 +832,9 @@ def _dissolve2_rings_tiled_at(
     mag = max(abs(ox), abs(oy), abs(ox + n * cw), abs(oy + n * ch), cw + ch)
     tol = mag * 1e-12
 
-    replicated = mosaic_replicate(features, n, ox, oy, cw, ch, max_rep_cells)
+    replicated = mosaic_replicate(
+        features, n, ox, oy, cw, ch, max_rep_cells, pad_salt=attempt
+    )
 
     def cell_paths(pdf: pd.DataFrame) -> pd.DataFrame:
         ix = int(pdf["ix"].iloc[0])
@@ -1014,6 +1030,84 @@ def _dissolve2_rings_tiled_at(
         F.col("piece_id").alias("src"), F.col("label").alias("plabel")
     )
     lpairs = pairs.join(lab_pairs, "src").withColumnRenamed("plabel", "label")
+
+    if chunked:
+        # CHUNKED emitter [NEXT r4 #2]: a ring's coordinates never
+        # assemble in one task. The chain order is a pure function of
+        # the (path_id → successor) metadata, so the per-ring cogroup
+        # sees only ids — O(paths-in-ring) ints, never coordinates —
+        # and the coordinate arrays stay in their path rows, joined
+        # back by path_id. Concatenating a ring's chunks in chunk_seq
+        # order reproduces the assembled form's xs/ys BITWISE (same
+        # start path: min path_id; same cycle traversal).
+        order_schema = (
+            "key string, ring_id long, path_id long,"
+            " chunk_seq int, n_chunks int"
+        )
+
+        def chain_order(meta_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(meta_pdf) == 0:
+                return pd.DataFrame(
+                    columns=["key", "ring_id", "path_id", "chunk_seq", "n_chunks"]
+                )
+            ids = set(int(v) for v in meta_pdf["path_id"])
+            nxt_of = {
+                int(r["src"]): int(r["dst"]) for _, r in pairs_pdf.iterrows()
+            }
+            first = min(ids)
+            order = []
+            cur = first
+            for _ in range(len(ids)):
+                order.append(cur)
+                cur = nxt_of.get(cur)
+                if cur is None:
+                    raise ValueError(
+                        "dissolve2_rings_tiled: broken path chain"
+                    )
+                if cur == first:
+                    break
+            else:
+                raise ValueError("dissolve2_rings_tiled: path chain not closed")
+            m = len(order)
+            return pd.DataFrame(
+                {
+                    "key": meta_pdf["key"].iloc[0],
+                    "ring_id": int(meta_pdf["label"].iloc[0]),
+                    "path_id": order,
+                    "chunk_seq": list(range(m)),
+                    "n_chunks": m,
+                }
+            )
+
+        lmeta = lpaths.select("key", "label", "path_id")
+        order = (
+            lmeta.groupBy("key", "label")
+            .cogroup(lpairs.groupBy("key", "label"))
+            .applyInPandas(
+                lambda lp, rp: chain_order(lp, rp), schema=order_schema
+            )
+        )
+        open_chunks = order.join(
+            open_paths.select("path_id", "xs", "ys"), "path_id"
+        ).select(
+            "key",
+            "ring_id",
+            "chunk_seq",
+            "n_chunks",
+            F.size("xs").alias("n_vertices"),
+            "xs",
+            "ys",
+        )
+        closed_chunks = paths_df.filter("closed").select(
+            "key",
+            F.col("path_id").alias("ring_id"),
+            F.lit(0).alias("chunk_seq"),
+            F.lit(1).alias("n_chunks"),
+            F.size("xs").alias("n_vertices"),
+            "xs",
+            "ys",
+        )
+        return open_chunks.unionByName(closed_chunks)
 
     ring_schema = (
         "key string, ring_id long, n_vertices int, area double,"

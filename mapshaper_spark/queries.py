@@ -1302,6 +1302,67 @@ def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_resolution",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, substr(text, i, 8) AS shingle
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, GREATEST(1, length(text) - 7))) AS i
+              FROM documents) g
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5(shingle || '0')) || min(md5(shingle || '1')) AS band0,
+               min(md5(shingle || '2')) || min(md5(shingle || '3')) AS band1
+        FROM sh GROUP BY doc_id
+    ),
+    b AS (SELECT doc_id, band0 AS band FROM sig
+          UNION ALL SELECT doc_id, band1 FROM sig),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.doc_id
+    )
+    SELECT doc_id, min(r) AS canonical_id,
+           min(r) <> doc_id AS is_duplicate
+    FROM reach GROUP BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution [task brief: dedup as a first-class
+    pipeline op]: LSH candidate pairs are only pairwise — a real
+    training-data pipeline must resolve them into clusters and keep one
+    canonical document per cluster (else A~B, B~C keeps both B and C).
+    Connected components over the candidate-pair graph via the same
+    size-routed machinery the face merge uses (``faces._cc_labels``:
+    driver union-find below 2M metadata rows, hash-min + pointer-jump
+    MapReduce CC above — the pair graph is doc-id METADATA, tiny
+    relative to the corpus). canonical_id = component min doc_id.
+
+    Oracle: transitive closure as a recursive CTE (UNION-dedup'd
+    min-reachability — exact at fixture scale)."""
+    from .operators import faces as faces_mod
+
+    pairs = q_lsh(spark, sf_dir)
+    docs = testdata.load(spark, sf_dir, "documents").select("doc_id")
+    labels = faces_mod._cc_labels(
+        docs.select(F.col("doc_id").alias("piece_id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    return labels.select(
+        F.col("piece_id").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        (F.col("piece_id") != F.col("label")).alias("is_duplicate"),
+    )
+
+
+@query(
     "text_quality",
     """
     SELECT doc_id,
@@ -3161,11 +3222,15 @@ _DRIVER_WINDOW = [
     "dissolve2_rings_tiled",
     "simplify_dp_counts",
     "minhash_signatures",
+    # r4-new DISTINCT operator: LSH-pair -> connected-components dedup
+    # cluster resolution (recursive-CTE oracle) takes the slot of
+    # thrice-green calc_median_quantity (calc family keeps
+    # calc_mode_collect in-window; the median row stays parity-checked).
+    "dedup_cluster_resolution",
     # twice-green rows that keep their slot (first checked in r2)
     "subdivide_hot_cells",
     "overlay_pairs_nonempty",
     "join_interpolate_area_weighted",
-    "calc_median_quantity",
     "rollup_region_nation",
     "info_summary_customer",
     "asof_last_purchase_before_click",

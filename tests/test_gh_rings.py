@@ -392,6 +392,68 @@ def test_dissolve2_rings_tiled_matches_global_union(spark):
         assert got_per == pytest.approx(want_per, rel=1e-9), key
 
 
+def test_dissolve2_rings_chunked_matches_assembled(spark):
+    """[NEXT r4 #2] The CHUNKED ring emitter (one row per stitched
+    path, coordinates never assembled in one task) must reproduce the
+    assembled emitter BITWISE: concatenating a ring's chunks in
+    chunk_seq order equals the assembled xs/ys exactly. The layer
+    includes a feature spanning the full grid so the bounded-crop
+    replication path (and its per-attempt pad) is exercised too."""
+    import pandas as pd
+
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    rows = []
+    fid = 0
+    for key_i in range(2):
+        key = f"k{key_i}"
+        for c in range(5):
+            cx0 = 7.0 * c + 0.013 * key_i
+            cy0 = 3.0 * c + 0.017 * key_i
+            for j in range(6):
+                x, y, s = cx0 + 0.3 * j, cy0 + 0.2 * j, 2.0
+                rows.append(
+                    {
+                        "feature_id": fid,
+                        "key": key,
+                        "xs": [x, x + s, x + s, x],
+                        "ys": [y, y, y + s, y + s],
+                    }
+                )
+                fid += 1
+    # full-extent feature: bbox covers every cell -> crop path
+    rows.append(
+        {
+            "feature_id": fid,
+            "key": "k0",
+            "xs": [-1.0, 32.0, 32.0, -1.0],
+            "ys": [-1.0, -1.0, 6.5, 6.5],
+        }
+    )
+    feats = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    full = {
+        (r["key"], r["ring_id"]): (list(r["xs"]), list(r["ys"]))
+        for r in overlay_op.dissolve2_rings_tiled(feats, res=4).collect()
+    }
+    chunks: dict = {}
+    for r in overlay_op.dissolve2_rings_tiled(feats, res=4, chunked=True).collect():
+        chunks.setdefault((r["key"], r["ring_id"]), []).append(
+            (r["chunk_seq"], r["n_chunks"], list(r["xs"]), list(r["ys"]))
+        )
+    assert set(chunks) == set(full)
+    for kk, parts in chunks.items():
+        parts.sort()
+        assert [p[0] for p in parts] == list(range(len(parts))), kk
+        assert all(p[1] == len(parts) for p in parts), kk
+        xs = [v for p in parts for v in p[2]]
+        ys = [v for p in parts for v in p[3]]
+        assert xs == full[kk][0], kk  # bitwise
+        assert ys == full[kk][1], kk
+
+
 def test_holed_x_holed_pair():
     """donut × shifted donut — both sides multi-ring; truth from the two
     signed decompositions' product algebra."""

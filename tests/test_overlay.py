@@ -327,3 +327,105 @@ def test_lambert_cc_roundtrip_and_conformal(spark):
     assert abs(len_e / len_n - 1.0) < 1e-4
     dot = (ex - ox) * (nx - ox) + (ey - oy) * (ny - oy)
     assert abs(dot) < 1e-4 * len_e * len_n
+
+
+def test_transverse_mercator_roundtrip_and_conformal(spark):
+    """Spherical TM (r4): forward→inverse identity; conformality at an
+    off-meridian probe (equal ground steps project to equal lengths,
+    orthogonally)."""
+    import math as m
+
+    pts = [(-110.0, 35.0), (-93.0, 0.0), (-88.0, -41.0), (-96.5, 62.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.transverse_mercator_inverse(
+        proj_fn.transverse_mercator(df)
+    ).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9
+        assert abs(r["lat2"] - r["lat"]) < 1e-9
+
+    lon, lat = -99.0, 41.0
+    h = 1e-4
+    de = h / m.cos(m.radians(lat))
+    probe = [(lon, lat), (lon + de, lat), (lon, lat + h)]
+    pdf = spark.createDataFrame(probe, schema="lon double, lat double")
+    got = {(r["lon"], r["lat"]): (r["tx"], r["ty"])
+           for r in proj_fn.transverse_mercator(pdf).collect()}
+    ox, oy = got[(lon, lat)]
+    ex, ey = got[(lon + de, lat)]
+    nx, ny = got[(lon, lat + h)]
+    len_e = m.hypot(ex - ox, ey - oy)
+    len_n = m.hypot(nx - ox, ny - oy)
+    assert abs(len_e / len_n - 1.0) < 1e-4
+    dot = (ex - ox) * (nx - ox) + (ey - oy) * (ny - oy)
+    assert abs(dot) < 1e-4 * len_e * len_n
+
+
+def test_utm_zones_and_roundtrip(spark):
+    """UTM (r4): per-row zone selection is pure column math; zone
+    goldens, hemisphere false northing, numpy twin, and roundtrip
+    through (zone, hemisphere, easting, northing)."""
+    import math as m
+
+    pts = [(-96.0, 39.0), (151.2, -33.9), (2.35, 48.86), (-0.1, 51.5)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    fwd = proj_fn.utm(df)
+    rows = {(r["lon"], r["lat"]): r for r in fwd.collect()}
+    assert rows[(-96.0, 39.0)]["utm_zone"] == 15
+    assert rows[(151.2, -33.9)]["utm_zone"] == 56
+    assert rows[(2.35, 48.86)]["utm_zone"] == 31
+    assert rows[(-0.1, 51.5)]["utm_zone"] == 30
+    assert rows[(-96.0, 39.0)]["utm_north"] is True
+    assert rows[(151.2, -33.9)]["utm_north"] is False
+    # southern-hemisphere northing carries the 10,000 km false northing
+    assert rows[(151.2, -33.9)]["utm_n"] > 6e6
+
+    # numpy twin (spherical TM with k0=0.9996, zone 15 -> lon0=-93)
+    lon, lat = -96.0, 39.0
+    b = m.cos(m.radians(lat)) * m.sin(m.radians(lon - (-93.0)))
+    tx = 0.9996 * proj_fn.R * 0.5 * m.log((1 + b) / (1 - b))
+    ty = 0.9996 * proj_fn.R * m.atan2(
+        m.tan(m.radians(lat)), m.cos(m.radians(lon - (-93.0)))
+    )
+    assert abs(rows[(lon, lat)]["utm_e"] - (tx + 500000.0)) < 0.01
+    assert abs(rows[(lon, lat)]["utm_n"] - ty) < 0.01
+
+    inv = proj_fn.utm_inverse(fwd).collect()
+    for r in inv:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9
+        assert abs(r["lat2"] - r["lat"]) < 1e-9
+
+
+def test_robinson_nodes_symmetry_roundtrip(spark):
+    """Robinson (r4): exact published-table values at the 5-degree
+    nodes, equator scaling exact, hemispheric symmetry, and the exact
+    piecewise-linear inverse."""
+    import math as m
+
+    R = proj_fn.R
+    nodes = [(30.0, float(5 * i)) for i in range(19)]
+    df = spark.createDataFrame(nodes, schema="lon double, lat double")
+    got = {r["lat"]: (r["rx"], r["ry"]) for r in proj_fn.robinson(df).collect()}
+    for i in range(19):
+        lat = float(5 * i)
+        want_x = 0.8487 * R * proj_fn.ROBINSON_X[i] * m.radians(30.0)
+        want_y = 1.3523 * R * proj_fn.ROBINSON_Y[i] * (1.0 if lat > 0 else 0.0)
+        assert abs(got[lat][0] - want_x) < 1e-6 * max(1.0, abs(want_x)), lat
+        assert abs(got[lat][1] - want_y) < 1e-6 * max(1.0, abs(want_y)), lat
+
+    pts = [(-150.0, -67.3), (-30.0, -12.5), (0.0, 0.0), (45.0, 33.33), (170.0, 88.8)]
+    pdf = spark.createDataFrame(pts, schema="lon double, lat double")
+    fwd = proj_fn.robinson(pdf)
+    sym = {(r["lon"], r["lat"]): (r["rx"], r["ry"]) for r in proj_fn.robinson(
+        spark.createDataFrame(
+            [(lo, -la) for lo, la in pts], schema="lon double, lat double"
+        )
+    ).collect()}
+    for r in fwd.collect():
+        mx, my = sym[(r["lon"], -r["lat"])]
+        assert abs(r["rx"] - mx) < 1e-9 * max(1.0, abs(mx))
+        assert abs(r["ry"] + my) < 1e-9 * max(1.0, abs(my))
+    inv = proj_fn.robinson_inverse(fwd).collect()
+    for r in inv:
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
