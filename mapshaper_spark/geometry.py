@@ -868,6 +868,24 @@ def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
     return acc
 
 
+def union_ring_sets(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """Union of MANY even-odd ring SETS (each a feature: outer rings
+    CCW, holes CW) — the holed-input generalization of
+    :func:`union_many`, which normalizes every input ring CCW and so
+    would flip a hole into a positive polygon. Every step goes through
+    :func:`gh_clip_rings_robust`; adjacent sets sharing coincident
+    boundary runs (e.g. the faces of one planar arrangement) are
+    exactly the degeneracy class the robust wrapper perturb-retries."""
+    acc: list[np.ndarray] = []
+    for rs in ring_sets:
+        rs = [np.asarray(r, dtype=float) for r in rs]
+        if not acc:
+            acc = [r.copy() for r in rs]
+            continue
+        acc = gh_clip_rings_robust(acc, rs, "union")
+    return acc
+
+
 def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:
     """Signed area of a ring (positive = CCW)."""
     return 0.5 * float(np.dot(xs, rot1(ys)) - np.dot(rot1(xs), ys))

@@ -504,3 +504,243 @@ def test_tiled_mosaic_projected_coordinates(spark):
     # The regression under test is 100%-missing features, not FP noise.
     for k in a:
         assert a[k] == pytest.approx(b[k], rel=1e-8), k
+
+
+def _global_face_fold(by_fid: dict) -> list:
+    """Driver-side twin of the mosaic face fold (the global truth for
+    the tiled ring emitters): incremental robust splits in feature_id
+    order. by_fid: {feature_id: ring (np.ndarray)}."""
+    faces: list = []
+    processed: list = []
+    for fid in sorted(by_fid):
+        ring = by_fid[fid]
+        new_faces = []
+        for fr, ids in faces:
+            inter, diff = G.gh_split_rings_robust(fr, [ring])
+            if inter:
+                new_faces.append((inter, ids | {fid}))
+            if diff:
+                new_faces.append((diff, ids))
+        rem = [ring]
+        for prev in processed:
+            _, rem = G.gh_split_rings_robust(rem, prev)
+            if not rem:
+                break
+        if rem:
+            new_faces.append((rem, frozenset({fid})))
+        faces = new_faces
+        processed.append([ring])
+    return faces
+
+
+def _ring_set_stats(rings_or_pairs) -> tuple:
+    """(n_rings, sorted signed areas, total perimeter) for a list of
+    (area, arr) pairs or raw ring arrays."""
+    areas = []
+    per = 0.0
+    n = 0
+    for item in rings_or_pairs:
+        arr = item[1] if isinstance(item, tuple) else item
+        a = (
+            item[0]
+            if isinstance(item, tuple)
+            else G.shoelace_area(arr[:, 0], arr[:, 1])
+        )
+        areas.append(a)
+        per += G.path_length(
+            np.append(arr[:, 0], arr[0, 0]), np.append(arr[:, 1], arr[0, 1])
+        )
+        n += 1
+    return n, sorted(areas), per
+
+
+def _overlap_layer_rows():
+    """Two keys of chained overlapping boxes plus one grid-spanning
+    feature per key (exercises the bounded-crop replication path)."""
+    import pandas as pd
+
+    rows = []
+    fid = 0
+    for key_i in range(2):
+        key = f"k{key_i}"
+        for c in range(3):
+            cx0 = 9.0 * c + 0.013 * key_i
+            cy0 = 4.0 * c + 0.017 * key_i
+            for j in range(6):
+                x, y, s = cx0 + 0.45 * j, cy0 + 0.3 * j, 2.0
+                rows.append(
+                    {
+                        "feature_id": fid,
+                        "key": key,
+                        "xs": [x, x + s, x + s, x],
+                        "ys": [y, y, y + s, y + s],
+                    }
+                )
+                fid += 1
+        # full-extent feature: bbox covers every cell -> crop path.
+        # Top edge off-grain (5.47 + 1.03*key_i): an exact-coincidence
+        # top (5.5 = box 11's bottom edge) manufactures measure-zero
+        # sliver faces whose SIGNATURE bookkeeping legitimately differs
+        # between the global and tiled folds' perturbations.
+        rows.append(
+            {
+                "feature_id": fid,
+                "key": key,
+                "xs": [-1.5, 30.0, 30.0, -1.5],
+                "ys": [-1.0, -1.0, 5.47 + 1.03 * key_i, 5.47 + 1.03 * key_i],
+            }
+        )
+        fid += 1
+    return pd.DataFrame(rows)
+
+
+def test_mosaic_face_rings_tiled_matches_global(spark):
+    """The tiled FACE ring-geometry emitter must reproduce the global
+    mosaic fold's ring set per (key, members_csv): same ring count,
+    same sorted signed areas, same total perimeter (extra collinear
+    vertices at cell crossings change neither)."""
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    pdf = _overlap_layer_rows()
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    got: dict = {}
+    for r in overlay_op.mosaic_face_rings_tiled(feats, res=4).collect():
+        arr = np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        got.setdefault((r["key"], r["members_csv"]), []).append((r["area"], arr))
+    want: dict = {}
+    for key in ("k0", "k1"):
+        by_fid = {
+            int(r["feature_id"]): np.column_stack(
+                [np.asarray(r["xs"]), np.asarray(r["ys"])]
+            )
+            for _, r in pdf[pdf["key"] == key].iterrows()
+        }
+        for fr, ids in _global_face_fold(by_fid):
+            want[(key, ",".join(str(i) for i in sorted(ids)))] = fr
+    assert set(got) == set(want)
+    assert len(want) >= 20  # the layer genuinely overlaps
+    for k in want:
+        ng, ga, gp = _ring_set_stats(got[k])
+        nw, wa, wp = _ring_set_stats(want[k])
+        assert ng == nw, (k, ng, nw)
+        for a, b in zip(ga, wa):
+            assert a == pytest.approx(b, rel=1e-9), k
+        assert gp == pytest.approx(wp, rel=1e-9), k
+
+
+def test_clean_rings_tiled_matches_global(spark):
+    """The tiled CLEAN ring-geometry emitter: a feature's min-id clean
+    region is f ∖ ⋃(lower-id features) — must match the same sequential
+    difference run globally, and its ring areas must sum to the
+    independent clean_assign_areas accounting."""
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    pdf = _overlap_layer_rows()
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    got: dict = {}
+    for r in overlay_op.clean_rings_tiled(feats, res=4).collect():
+        arr = np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        got.setdefault((r["key"], r["feature_id"]), []).append((r["area"], arr))
+    want: dict = {}
+    for key in ("k0", "k1"):
+        by_fid = {
+            int(r["feature_id"]): np.column_stack(
+                [np.asarray(r["xs"]), np.asarray(r["ys"])]
+            )
+            for _, r in pdf[pdf["key"] == key].iterrows()
+        }
+        processed: list = []
+        for fid in sorted(by_fid):
+            rem = [by_fid[fid]]
+            for prev in processed:
+                _, rem = G.gh_split_rings_robust(rem, prev)
+                if not rem:
+                    break
+            if rem:
+                want[(key, fid)] = rem
+            processed.append([by_fid[fid]])
+    assert set(got) == set(want)
+    for k in want:
+        ng, ga, gp = _ring_set_stats(got[k])
+        nw, wa, wp = _ring_set_stats(want[k])
+        assert ng == nw, (k, ng, nw)
+        for a, b in zip(ga, wa):
+            assert a == pytest.approx(b, rel=1e-9), k
+        assert gp == pytest.approx(wp, rel=1e-9), k
+    # cross-check against the independent area-accounting operator:
+    # stitched ring areas must sum to clean_assign_areas' per-feature
+    # areas (and the global union measure overall)
+    from_op = {
+        (r["key"], r["feature_id"]): r["clean_area"]
+        for r in overlay_op.clean_assign_areas(feats).collect()
+    }
+    assert set(from_op) == set(want)
+    for k in from_op:
+        assert sum(a for a, _ in got[k]) == pytest.approx(from_op[k], rel=1e-9), k
+
+
+def test_mosaic_face_rings_chunked_matches_assembled(spark):
+    """chunked=True face-ring emitter reproduces the assembled form
+    BITWISE per (key, members_csv, ring_id) — shared stitch machinery,
+    pinned here for the composite-key route."""
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    pdf = _overlap_layer_rows()
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    full = {
+        (r["key"], r["members_csv"], r["ring_id"]): (list(r["xs"]), list(r["ys"]))
+        for r in overlay_op.mosaic_face_rings_tiled(feats, res=4).collect()
+    }
+    chunks: dict = {}
+    for r in overlay_op.mosaic_face_rings_tiled(feats, res=4, chunked=True).collect():
+        chunks.setdefault((r["key"], r["members_csv"], r["ring_id"]), []).append(
+            (r["chunk_seq"], r["n_chunks"], list(r["xs"]), list(r["ys"]))
+        )
+    assert set(chunks) == set(full)
+    for kk, parts in chunks.items():
+        parts.sort()
+        assert [p[0] for p in parts] == list(range(len(parts))), kk
+        assert all(p[1] == len(parts) for p in parts), kk
+        xs = [v for p in parts for v in p[2]]
+        ys = [v for p in parts for v in p[3]]
+        assert xs == full[kk][0], kk  # bitwise
+        assert ys == full[kk][1], kk
+
+
+def test_union_ring_sets_holed_inputs():
+    """union_ring_sets unions even-odd ring SETS without flipping
+    holes (union_many normalizes every ring CCW, so holed inputs must
+    route here). Truth from the fixture rect decompositions via
+    inclusion-exclusion."""
+    donut = _feature(0)  # 40x40 outer, 20x20 hole
+    shifted = [r + np.array([60.0, 0.0]) for r in donut]
+    # disjoint: union = concatenation, signed sum = 2 donut areas
+    u = G.union_ring_sets([donut, shifted])
+    donut_area = 40.0 * 40.0 - 20.0 * 20.0
+    assert _signed(u) == pytest.approx(2 * donut_area, rel=1e-12)
+    assert len(u) == 4  # two outers + two holes survive
+    # overlapping holed pair: |A ∪ B| = |A| + |B| - |A ∩ B| with the
+    # intersection from the signed product algebra
+    near = [r + np.array([15.0, 15.0]) for r in donut]
+    dec_a = [
+        (x0, y0, x1, y1, s)
+        for p, x0, y0, x1, y1, s in fixtures.HOLED_RECT_DECOMP
+        if p == 0
+    ]
+    inter = 0.0
+    for ax0, ay0, ax1, ay1, sa in dec_a:
+        for bx0, by0, bx1, by1, sb in (
+            (x0 + 15, y0 + 15, x1 + 15, y1 + 15, s)
+            for x0, y0, x1, y1, s in dec_a
+        ):
+            ox = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+            oy = max(0.0, min(ay1, by1) - max(ay0, by0))
+            inter += sa * sb * ox * oy
+    u2 = G.union_ring_sets([donut, near])
+    assert _signed(u2) == pytest.approx(2 * donut_area - inter, rel=1e-12)
