@@ -97,6 +97,13 @@ BENCH_QUERIES = [
     "shape_coordinates",
     "topojson_tiled_counts",
     "topojson_tiled_import_stats",
+    # round-4 additions: distributed ring-geometry emitters + dedup
+    # cluster resolution (fixture-scale cost is multi-job orchestration,
+    # not data volume — same profile as polygons_from_lines_grid)
+    "dissolve2_rings_tiled",
+    "mosaic_rings_tiled",
+    "clean_rings_tiled",
+    "dedup_cluster_resolution",
 ]
 
 

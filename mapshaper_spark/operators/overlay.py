@@ -994,21 +994,37 @@ def _stitch_border_paths(
                 degen + " odd endpoint count on a cell "
                 "line (cell-line-aligned or corner-crossing input)"
             )
+        free = pdf["free"].to_numpy(dtype=float)
         out = []
         for i in range(0, len(pdf), 2):
             a, bb = pdf.iloc[i], pdf.iloc[i + 1]
-            if abs(float(bb["free"]) - float(a["free"])) > match_tol:
+            # A pair is accepted when its internal gap is ulp-scale
+            # (match_tol) OR dominated 1024x by the distance to the
+            # nearest endpoint OUTSIDE the pair. The second clause
+            # absorbs robust-kernel perturbation: coincident inputs
+            # (duplicate features, corner-touching chains) make the two
+            # cells' folds perturb independently, shifting a crossing
+            # by up to eps = span*1e-9*10^(k-1) per attempt — measured
+            # 5e-10 gaps vs the old fixed 64*tol ~ 2e-10 window, which
+            # failed ALL grid retries loudly. Distinct real crossings
+            # sit real-geometry distances apart, so domination keeps
+            # mispairing impossible and ambiguity loud.
+            g_in = float(free[i + 1] - free[i])
+            g_out = np.inf
+            if i > 0:
+                g_out = min(g_out, float(free[i] - free[i - 1]))
+            if i + 2 < len(free):
+                g_out = min(g_out, float(free[i + 2] - free[i + 1]))
+            if g_in > match_tol and g_in * 1024.0 > g_out:
                 raise ValueError(
                     degen + " unpartnered border endpoint "
-                    f"(gap {float(bb['free']) - float(a['free'])!r})"
+                    f"(gap {g_in!r}, neighbor {g_out!r})"
                 )
-            if i + 2 < len(pdf):
-                nxt = float(pdf.iloc[i + 2]["free"])
-                if nxt - float(bb["free"]) <= match_tol:
-                    raise ValueError(
-                        degen + " ambiguous endpoint "
-                        "pairing on a cell line"
-                    )
+            if g_in <= match_tol and g_out <= match_tol:
+                raise ValueError(
+                    degen + " ambiguous endpoint "
+                    "pairing on a cell line"
+                )
             # orientation invariant: one path ENDS here, its partner
             # BEGINS here (traversal direction is preserved per cell)
             if int(a["which"]) + int(bb["which"]) != 1:
@@ -1278,7 +1294,15 @@ def mosaic_face_rings_tiled(
     running the incremental face split instead of the union fold; the
     per-cell face signatures agree with the global arrangement (a
     point's covering set is decided by the features reaching its cell),
-    so paths stitch per (key, members_csv) composite key."""
+    so paths stitch per (key, members_csv) composite key.
+
+    Contract on COINCIDENT inputs (duplicate features, shared edge
+    runs): the per-cell folds perturb-retry and can leave eps-width
+    SLIVER faces whose cell-line crossings cluster at perturbation
+    scale — inherently ambiguous to stitch, so the emitter raises
+    LOUDLY after the grid retries (never a silent mis-stitch). Dedup /
+    snap coincident layers first; the AREA forms (mosaic_faces_tiled)
+    tolerate them because slivers cancel in sums."""
     return _face_rings_tiled(features, res, max_rep_cells, chunked, clean=False)
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import example, given, settings, strategies as st
+from hypothesis import assume, example, given, settings, strategies as st
 
 from mapshaper_spark import geometry as G
 
@@ -428,6 +428,79 @@ def test_inlay_matches_interval_algebra(boxes):
     assert len(rows) == 1
     total = max(ts * ts, 1.0)
     assert rows[0]["area"] == pytest.approx(want, rel=1e-5, abs=1e-6 * total)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_boxes)
+@example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
+@example(boxes=[(0.5, 0.5, 1.0), (0.5, 0.5, 1.0), (0.0, 0.0, 1.0)])
+def test_dissolve2_rings_tiled_measure_matches(boxes):
+    """Randomized end-to-end sweep of the tiled ring EMITTER (8
+    examples — each drives the full Spark replicate→fold→crop→pair→
+    CC→assemble pipeline): the union measure recomputed from the
+    STITCHED ring geometry equals the interval-algebra truth. res=2
+    keeps the job data small while exercising multi-cell stitching;
+    coincident inputs (duplicate boxes) route through the perturb
+    retry, so compare measure, not ring structure."""
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    rows = overlay_op.dissolve2_rings_tiled(
+        _boxes_feats_df(boxes), res=2, max_rep_cells=2
+    ).collect()
+    want = sum(_interval_algebra(boxes).values())
+    got = sum(r["area"] for r in rows)
+    assert got == pytest.approx(want, rel=1e-5, abs=1e-6 * max(want, 1.0))
+
+
+@settings(max_examples=8, deadline=None)
+@given(_boxes)
+def test_face_and_clean_rings_tiled_measure_matches(boxes):
+    """Randomized end-to-end sweep of the FACE and CLEAN ring emitters:
+    per-signature / per-assignee areas recomputed from stitched rings
+    equal the interval-algebra decomposition. max_rep_cells=2 forces
+    the bounded-crop replication path on most layers.
+
+    Edge lines are assumed pairwise distinct (1e-3): duplicate features
+    / shared edge runs make the per-cell face folds produce eps-width
+    SLIVER faces whose cell-line crossings cluster at perturbation
+    scale — inherently ambiguous to stitch, and the emitters raise
+    LOUDLY on them by contract (the area-form sweeps above keep
+    covering coincident inputs, where slivers cancel in sums)."""
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    for vals in (
+        sorted(v for x, y, s in boxes for v in (x, x + s)),
+        sorted(v for x, y, s in boxes for v in (y, y + s)),
+    ):
+        assume(all(b - a > 1e-3 for a, b in zip(vals, vals[1:])))
+    feats = _boxes_feats_df(boxes)
+    want = _interval_algebra(boxes)
+    total = max(sum(want.values()), 1.0)
+    floor = 1e-6 * total
+
+    raw: dict[frozenset, float] = {}
+    for r in overlay_op.mosaic_face_rings_tiled(
+        feats, res=2, max_rep_cells=2
+    ).collect():
+        k = frozenset(int(v) for v in r["members_csv"].split(","))
+        raw[k] = raw.get(k, 0.0) + r["area"]
+    got = {k: a for k, a in raw.items() if a > floor}
+    assert set(got) == {k for k, a in want.items() if a > floor}
+    for k, a in got.items():
+        assert a == pytest.approx(want[k], rel=1e-5, abs=floor), sorted(k)
+
+    want_clean: dict[int, float] = {}
+    for members, a in want.items():
+        fid = min(members)
+        want_clean[fid] = want_clean.get(fid, 0.0) + a
+    raw_clean: dict[int, float] = {}
+    for r in overlay_op.clean_rings_tiled(feats, res=2, max_rep_cells=2).collect():
+        fid = int(r["feature_id"])
+        raw_clean[fid] = raw_clean.get(fid, 0.0) + r["area"]
+    got_clean = {k: a for k, a in raw_clean.items() if a > floor}
+    assert set(got_clean) == {k for k, a in want_clean.items() if a > floor}
+    for k, a in got_clean.items():
+        assert a == pytest.approx(want_clean[k], rel=1e-5, abs=floor), k
 
 
 @settings(max_examples=40, deadline=None)
