@@ -1248,6 +1248,8 @@ def _crop_region_paths(
         paths, finished = _ring_border_paths(
             np.column_stack([cx, cy]), lx, ly, tol
         )
+        if seq + len(paths) + 1 >= 1 << 20:
+            raise ValueError(degen + " >2^20 paths in one cell")
         if finished is not None:
             out.append(
                 {
@@ -1270,8 +1272,6 @@ def _crop_region_paths(
                 }
             )
             seq += 1
-        if seq >= 1 << 20:
-            raise ValueError(degen + " >2^20 paths in one cell")
     return seq
 
 
@@ -1404,6 +1404,11 @@ def _face_rings_tiled_at(
                 for fr, ids in _fold_cell_faces(pdf)
             ]
         base = pdf["key"].iloc[0]
+        if _KEY_SEP in base:
+            # no degen marker: retrying the grid cannot fix an invalid key
+            raise ValueError(
+                "ring emitter: key contains the composite-key separator (0x1f)"
+            )
         out: list[dict] = []
         seq = 0
         cell_base = (ix * n + iy) << 20

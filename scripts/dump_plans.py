@@ -29,6 +29,9 @@ NAMES = (
     "topojson_tiled_counts",
     "topojson_tiled_import_stats",
     "export_svg_paths",
+    "dissolve2_rings_tiled",
+    "mosaic_rings_tiled",
+    "clean_rings_tiled",
 )
 
 
