@@ -373,32 +373,42 @@ def mosaic_faces(features: DataFrame) -> DataFrame:
     n_rings)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        faces: list[tuple[list, frozenset]] = []
-        processed: list[tuple[int, np.ndarray]] = []
+        faces: list[tuple[list, frozenset, tuple]] = []
+        processed: list[tuple[np.ndarray, tuple]] = []
         for _, r in pdf.sort_values("feature_id").iterrows():
             pid = int(r["feature_id"])
             poly = np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
-            new_faces: list[tuple[list, frozenset]] = []
-            for rings, ids in faces:
+            bb = _rings_bbox([poly])
+            new_faces: list[tuple[list, frozenset, tuple]] = []
+            for rings, ids, fbb in faces:
+                # bbox-disjoint: interaction provably impossible, the
+                # face passes through bitwise unchanged
+                if _bbox_disjoint(fbb, bb):
+                    new_faces.append((rings, ids, fbb))
+                    continue
                 # robust split [r3 hypothesis find]: the raw kernel
                 # crashes or silently corrupts on coincident layers
                 # (duplicate features, shared edge runs)
                 inter, diff = geometry.gh_split_rings_robust(rings, [poly])
                 if inter:
-                    new_faces.append((inter, ids | {pid}))
+                    new_faces.append((inter, ids | {pid}, _rings_bbox(inter)))
                 if diff:
-                    new_faces.append((diff, ids))
+                    new_faces.append((diff, ids, _rings_bbox(diff)))
             rem: list = [poly]
-            for _prev_id, prev in processed:
+            rem_bb = bb
+            for prev, pbb in processed:
+                if _bbox_disjoint(rem_bb, pbb):
+                    continue
                 _, rem = geometry.gh_split_rings_robust(rem, [prev])
                 if not rem:
                     break
+                rem_bb = _rings_bbox(rem)
             if rem:
-                new_faces.append((rem, frozenset({pid})))
+                new_faces.append((rem, frozenset({pid}), rem_bb))
             faces = new_faces
-            processed.append((pid, poly))
+            processed.append((poly, bb))
         out = []
-        for rings, ids in faces:
+        for rings, ids, _fbb in faces:
             area = sum(geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings)
             out.append(
                 {
@@ -556,37 +566,67 @@ def mosaic_replicate(
     )
 
 
+def _rings_bbox(rings: list) -> tuple:
+    return (
+        min(float(r[:, 0].min()) for r in rings),
+        min(float(r[:, 1].min()) for r in rings),
+        max(float(r[:, 0].max()) for r in rings),
+        max(float(r[:, 1].max()) for r in rings),
+    )
+
+
+def _bbox_disjoint(a: tuple, b: tuple) -> bool:
+    """STRICT disjoint (touching bboxes still route to the kernel) —
+    the short-circuit must only fire when interaction is provably
+    impossible, so the fold's output stays bitwise identical."""
+    return a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1]
+
+
 def _fold_cell_faces(pdf: pd.DataFrame) -> list:
     """The incremental face split over one cell's replicated crops:
     each feature (in feature_id order — same fold order as the global
     :func:`mosaic_faces`) splits every existing face into
     (face ∩ P, members ∪ {id}) / (face ∖ P, members) and contributes
-    its remainder as a fresh face. Returns [(rings, frozenset ids)]."""
-    faces: list[tuple[list, frozenset]] = []
-    processed: list[list] = []
+    its remainder as a fresh face. Returns [(rings, frozenset ids)].
+
+    bbox-disjoint face/feature pairs skip the kernel (intersection
+    provably empty, face unchanged) — in clustered layers most pairs
+    are disjoint, and the robust kernel's per-call verification is the
+    fold's dominant cost (measured 190 s → 51 s on the 10k-feature
+    probe; the full ring emitter 476 s → 133 s)."""
+    faces: list[tuple[list, frozenset, tuple]] = []
+    processed: list[tuple[list, tuple]] = []
     for _, r in pdf.sort_values("feature_id").iterrows():
         pid = int(r["feature_id"])
         rings = [
             np.column_stack([np.asarray(rx), np.asarray(ry)])
             for rx, ry in zip(r["rings_xs"], r["rings_ys"])
         ]
-        new_faces: list[tuple[list, frozenset]] = []
-        for fr, ids in faces:
+        bb = _rings_bbox(rings)
+        new_faces: list[tuple[list, frozenset, tuple]] = []
+        for fr, ids, fbb in faces:
+            if _bbox_disjoint(fbb, bb):
+                new_faces.append((fr, ids, fbb))
+                continue
             inter, diff = geometry.gh_split_rings_robust(fr, rings)
             if inter:
-                new_faces.append((inter, ids | {pid}))
+                new_faces.append((inter, ids | {pid}, _rings_bbox(inter)))
             if diff:
-                new_faces.append((diff, ids))
+                new_faces.append((diff, ids, _rings_bbox(diff)))
         rem = rings
-        for prev in processed:
+        rem_bb = bb
+        for prev, pbb in processed:
+            if _bbox_disjoint(rem_bb, pbb):
+                continue
             _, rem = geometry.gh_split_rings_robust(rem, prev)
             if not rem:
                 break
+            rem_bb = _rings_bbox(rem)
         if rem:
-            new_faces.append((rem, frozenset({pid})))
+            new_faces.append((rem, frozenset({pid}), rem_bb))
         faces = new_faces
-        processed.append(rings)
-    return faces
+        processed.append((rings, bb))
+    return [(fr, ids) for fr, ids, _ in faces]
 
 
 def mosaic_faces_tiled(
@@ -1054,13 +1094,13 @@ def _stitch_border_paths(
         pairs.select("src", "dst"),
     )
     lab = labels.withColumnRenamed("piece_id", "path_id")
-    lpaths = open_paths.join(lab, "path_id")
-    # fresh attribute ids for the second join (same source frame twice
-    # trips Spark's ambiguous-self-join detection in the cogroup)
-    lab_pairs = labels.select(
-        F.col("piece_id").alias("src"), F.col("label").alias("plabel")
-    )
-    lpairs = pairs.join(lab_pairs, "src").withColumnRenamed("plabel", "label")
+    # each open path carries its SUCCESSOR as a column (one join), so
+    # ring assembly is a single-input grouped stage — not the previous
+    # join + cogroup pair, whose second sorted side cost a stage per
+    # query. LEFT join: a pairing hole must surface as the walk's
+    # broken-chain raise, never as a silently dropped row.
+    nxt = pairs.select(F.col("src").alias("path_id"), F.col("dst").alias("nxt"))
+    lpaths = open_paths.join(nxt, "path_id", "left").join(lab, "path_id")
 
     if chunked:
         # CHUNKED emitter [NEXT r4 #2]: a ring's coordinates never
@@ -1076,14 +1116,16 @@ def _stitch_border_paths(
             " chunk_seq int, n_chunks int"
         )
 
-        def chain_order(meta_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
+        def chain_order(meta_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(meta_pdf) == 0:
                 return pd.DataFrame(
                     columns=["key", "ring_id", "path_id", "chunk_seq", "n_chunks"]
                 )
             ids = set(int(v) for v in meta_pdf["path_id"])
             nxt_of = {
-                int(r["src"]): int(r["dst"]) for _, r in pairs_pdf.iterrows()
+                int(p): int(x)
+                for p, x in zip(meta_pdf["path_id"], meta_pdf["nxt"])
+                if pd.notna(x)
             }
             first = min(ids)
             order = []
@@ -1108,13 +1150,10 @@ def _stitch_border_paths(
                 }
             )
 
-        lmeta = lpaths.select("key", "label", "path_id")
         order = (
-            lmeta.groupBy("key", "label")
-            .cogroup(lpairs.groupBy("key", "label"))
-            .applyInPandas(
-                lambda lp, rp: chain_order(lp, rp), schema=order_schema
-            )
+            lpaths.select("key", "label", "path_id", "nxt")
+            .groupBy("key", "label")
+            .applyInPandas(chain_order, schema=order_schema)
         )
         open_chunks = order.join(
             open_paths.select("path_id", "xs", "ys"), "path_id"
@@ -1143,7 +1182,7 @@ def _stitch_border_paths(
         " xs array<double>, ys array<double>"
     )
 
-    def assemble(paths_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(paths_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(paths_pdf) == 0:
             return pd.DataFrame(
                 columns=["key", "ring_id", "n_vertices", "area", "xs", "ys"]
@@ -1152,7 +1191,11 @@ def _stitch_border_paths(
             int(r["path_id"]): (list(r["xs"]), list(r["ys"]))
             for _, r in paths_pdf.iterrows()
         }
-        nxt_of = {int(r["src"]): int(r["dst"]) for _, r in pairs_pdf.iterrows()}
+        nxt_of = {
+            int(p): int(x)
+            for p, x in zip(paths_pdf["path_id"], paths_pdf["nxt"])
+            if pd.notna(x)
+        }
         first = min(segs)
         xs, ys = [], []
         cur = first
@@ -1182,12 +1225,8 @@ def _stitch_border_paths(
             ]
         )
 
-    stitched = (
-        lpaths.groupBy("key", "label")
-        .cogroup(lpairs.groupBy("key", "label"))
-        .applyInPandas(
-            lambda lp, rp: assemble(lp, rp), schema=ring_schema
-        )
+    stitched = lpaths.groupBy("key", "label").applyInPandas(
+        assemble, schema=ring_schema
     )
     closed = paths_df.filter("closed").select(
         "key",
@@ -1334,21 +1373,26 @@ def _fold_cell_clean(pdf: pd.DataFrame) -> list:
     """Per-cell clean regions: [(feature_id, rings)] where rings =
     feature ∖ all lower-feature_id features (even-odd ring sets)."""
     regions: list[tuple[int, list]] = []
-    processed: list[list] = []
+    processed: list[tuple[list, tuple]] = []
     for _, r in pdf.sort_values("feature_id").iterrows():
         pid = int(r["feature_id"])
         rings = [
             np.column_stack([np.asarray(rx), np.asarray(ry)])
             for rx, ry in zip(r["rings_xs"], r["rings_ys"])
         ]
+        bb = _rings_bbox(rings)
         rem = rings
-        for prev in processed:
+        rem_bb = bb
+        for prev, pbb in processed:
+            if _bbox_disjoint(rem_bb, pbb):
+                continue
             _, rem = geometry.gh_split_rings_robust(rem, prev)
             if not rem:
                 break
+            rem_bb = _rings_bbox(rem)
         if rem:
             regions.append((pid, rem))
-        processed.append(rings)
+        processed.append((rings, bb))
     return regions
 
 
