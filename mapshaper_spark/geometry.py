@@ -855,16 +855,46 @@ def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
     Returns the union's ring set; Σ signed ring areas = the union
     measure (holes subtract)."""
     acc: list[np.ndarray] = []
+    boxes: list[tuple] = []
     for ring in rings:
         ring = np.asarray(ring, dtype=float)
         # each input is a polygon boundary, not a hole — normalize CCW
         # so uncrossed-kept rings contribute positive signed area
         if shoelace_area(ring[:, 0], ring[:, 1]) < 0.0:
             ring = ring[::-1]
+        bb = (
+            float(ring[:, 0].min()),
+            float(ring[:, 1].min()),
+            float(ring[:, 0].max()),
+            float(ring[:, 1].max()),
+        )
         if not acc:
             acc = [ring.copy()]
+            boxes = [bb]
+            continue
+        # STRICTLY bbox-disjoint from EVERY accumulator ring → the ring
+        # lies outside the region (ring bboxes cover their interiors,
+        # so being inside any face would intersect that ring's bbox):
+        # the union is the disjoint concatenation, kernel skipped — the
+        # dominant win on multi-cluster layers, where the robust
+        # kernel's per-call verification is the fold's cost
+        if all(
+            bb[2] < b[0] or b[2] < bb[0] or bb[3] < b[1] or b[3] < bb[1]
+            for b in boxes
+        ):
+            acc.append(ring.copy())
+            boxes.append(bb)
             continue
         acc = gh_clip_rings_robust(acc, [ring], "union")
+        boxes = [
+            (
+                float(g[:, 0].min()),
+                float(g[:, 1].min()),
+                float(g[:, 0].max()),
+                float(g[:, 1].max()),
+            )
+            for g in acc
+        ]
     return acc
 
 
@@ -881,6 +911,23 @@ def union_ring_sets(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
         rs = [np.asarray(r, dtype=float) for r in rs]
         if not acc:
             acc = [r.copy() for r in rs]
+            continue
+        # same disjoint-concatenation short-circuit as union_many: the
+        # incoming SET's bbox strictly missing every accumulator ring's
+        # bbox makes the regions disjoint, and even-odd sets union by
+        # concatenation
+        x0 = min(float(r[:, 0].min()) for r in rs)
+        y0 = min(float(r[:, 1].min()) for r in rs)
+        x1 = max(float(r[:, 0].max()) for r in rs)
+        y1 = max(float(r[:, 1].max()) for r in rs)
+        if all(
+            x1 < float(g[:, 0].min())
+            or float(g[:, 0].max()) < x0
+            or y1 < float(g[:, 1].min())
+            or float(g[:, 1].max()) < y0
+            for g in acc
+        ):
+            acc = acc + [r.copy() for r in rs]
             continue
         acc = gh_clip_rings_robust(acc, rs, "union")
     return acc
