@@ -514,8 +514,35 @@ def mosaic_replicate(
                     mx = (bx_lo[free] + bx_hi[free]) / 2.0
                     my = (by_lo[free] + by_hi[free]) / 2.0
                     covered[free] = geometry.pip_ray(mx, my, ring)
+                # Two-level crop [NEXT r4 #5]: a boundary cell's crop of
+                # the FULL ring is O(K), so a 100k-vertex feature over
+                # B boundary cells paid O(B·K) serially in ONE map task
+                # (measured 5.5 s at B=72). Crop once per cell COLUMN
+                # into a strip widened by 2·pad (strip lines can never
+                # coincide with the ±pad box lines, so the per-cell
+                # crop sees no manufactured incidence), then crop each
+                # boundary cell from its strip piece: O(cols·K +
+                # B·K/cols). The strip's y-extent strictly contains the
+                # ring (±3·pad) — it only ever cuts in x.
+                strip_cache: dict[int, list] = {}
+                sy_lo = float(ys.min()) - 3.0 * pad
+                sy_hi = float(ys.max()) + 3.0 * pad
                 for i, (ix, iy) in enumerate(cells):
                     if crossed[i]:
+                        if ix not in strip_cache:
+                            sx_lo = ox + ix * cw - 2.0 * pad
+                            sx_hi = ox + (ix + 1) * cw + 2.0 * pad
+                            strip = np.array(
+                                [
+                                    (sx_lo, sy_lo),
+                                    (sx_hi, sy_lo),
+                                    (sx_hi, sy_hi),
+                                    (sx_lo, sy_hi),
+                                ]
+                            )
+                            strip_cache[ix] = geometry.gh_clip_rings_robust(
+                                [ring], [strip], "intersection"
+                            )
                         box = np.array(
                             [
                                 (bx_lo[i], by_lo[i]),
@@ -525,7 +552,7 @@ def mosaic_replicate(
                             ]
                         )
                         pieces = geometry.gh_clip_rings_robust(
-                            [ring], [box], "intersection"
+                            strip_cache[ix], [box], "intersection"
                         )
                     elif covered[i]:
                         pieces = [

@@ -744,3 +744,32 @@ def test_union_ring_sets_holed_inputs():
             inter += sa * sb * ox * oy
     u2 = G.union_ring_sets([donut, near])
     assert _signed(u2) == pytest.approx(2 * donut_area - inter, rel=1e-12)
+
+
+def test_tiled_mosaic_high_vertex_crop_path(spark):
+    """[NEXT r4 #5] A 20k-vertex wiggly ring spanning the full grid
+    takes the bounded-crop replication path with the two-level
+    (column-strip -> cell) GH crop; the tiled faces must rebuild the
+    ring's own measure exactly (single feature: one face signature)."""
+    import pandas as pd
+
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    t = np.linspace(0, 2 * np.pi, 20_000, endpoint=False)
+    r = 10.0 + 0.5 * np.sin(40 * t)
+    xs = 16.0 + 16.0 * np.cos(t) * r / 10.5
+    ys = 8.0 + 8.0 * np.sin(t) * r / 10.5
+    want = G.shoelace_area(xs, ys)
+    assert want > 0
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            [{"feature_id": 0, "key": "k", "xs": list(xs), "ys": list(ys)}]
+        ),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    rows = overlay_op.mosaic_faces_tiled(feats, res=4).collect()
+    assert {r2["members_csv"] for r2 in rows} == {"0"}
+    got = sum(r2["area"] for r2 in rows)
+    assert got == pytest.approx(want, rel=1e-9)
+    d = overlay_op.dissolve2_tiled(feats, res=4).collect()
+    assert len(d) == 1 and d[0]["area"] == pytest.approx(want, rel=1e-9)
