@@ -938,6 +938,18 @@ def shoelace_area(xs: np.ndarray, ys: np.ndarray) -> float:
     return 0.5 * float(np.dot(xs, rot1(ys)) - np.dot(rot1(xs), ys))
 
 
+def shoelace_area_local(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Translation-stabilized signed area: shoelace about the ring's
+    first vertex. The raw form's cross products are ~|coord|² while the
+    area is ~extent², so offset-heavy coordinates (|x| ≫ extent) cancel
+    catastrophically — a 2e6-offset 20-unit² ring loses 5 significant
+    digits [the same class the robust kernel's identity checks already
+    translate for]. Used for OUTPUT area columns whose oracles round
+    (the ring emitters); raw :func:`shoelace_area` stays the kernel for
+    exact-hash oracles whose integer fixtures keep it exact."""
+    return shoelace_area(xs - xs[0], ys - ys[0])
+
+
 def ring_centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
     cross = xs * rot1(ys) - rot1(xs) * ys
     a = cross.sum() / 2.0

@@ -1245,7 +1245,9 @@ def _stitch_border_paths(
                     "key": paths_pdf["key"].iloc[0],
                     "ring_id": int(paths_pdf["label"].iloc[0]),
                     "n_vertices": len(arr_x),
-                    "area": geometry.shoelace_area(arr_x, arr_y),
+                    # translation-stabilized: raw shoelace loses ~5
+                    # digits on offset-heavy layers (hunt find)
+                    "area": geometry.shoelace_area_local(arr_x, arr_y),
                     "xs": list(arr_x),
                     "ys": list(arr_y),
                 }
@@ -1268,7 +1270,7 @@ def _stitch_border_paths(
         for pdf in pdf_iter:
             if len(pdf):
                 pdf["area"] = [
-                    geometry.shoelace_area(np.asarray(x), np.asarray(y))
+                    geometry.shoelace_area_local(np.asarray(x), np.asarray(y))
                     for x, y in zip(pdf["xs"], pdf["ys"])
                 ]
             yield pdf

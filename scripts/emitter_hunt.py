@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Extended randomized hunt over the tiled ring emitters.
+
+The checked-in hypothesis sweeps (tests/test_properties.py) run 8
+examples per emitter as the per-commit gate; this script is the
+budget-scaled hunt the r3->r4 rounds used to surface silent-wrong
+kernel classes (multi-component mis-trace, denormal crossings,
+orientation-offset overshoot). It samples random box layers across
+regimes the fixtures never hit — mixed scales, offset-heavy
+coordinates (catastrophic-cancellation class), many-box clusters —
+and checks every emitter's stitched-geometry measure against the
+exact interval-algebra decomposition.
+
+Layers with coincident edge lines are re-dealt (the emitters raise
+LOUDLY on eps-sliver faces by contract; the area-form sweeps cover
+coincidence). Any failure prints a repro literal to pin in
+tests/test_properties.py.
+
+Usage: python scripts/emitter_hunt.py [n_layers] [seed]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from mapshaper_spark.session import get_spark  # noqa: E402
+from mapshaper_spark.operators import overlay as overlay_op  # noqa: E402
+
+
+def interval_algebra(boxes):
+    xs = sorted({v for x, y, s in boxes for v in (x, x + s)})
+    ys = sorted({v for x, y, s in boxes for v in (y, y + s)})
+    sig_area = {}
+    for x0, x1 in zip(xs, xs[1:]):
+        for y0, y1 in zip(ys, ys[1:]):
+            cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+            members = frozenset(
+                i
+                for i, (bx, by, s) in enumerate(boxes)
+                if bx < cx < bx + s and by < cy < by + s
+            )
+            if members:
+                sig_area[members] = sig_area.get(members, 0.0) + (x1 - x0) * (
+                    y1 - y0
+                )
+    return sig_area
+
+
+def sample_layer(rng: np.random.RandomState):
+    """Random box layer: varied counts, scales, and coordinate offsets;
+    distinct edge lines guaranteed by re-draw."""
+    regime = rng.randint(4)
+    n = rng.randint(2, 11)
+    scale = 10.0 ** rng.uniform(-1, 3) if regime == 1 else 1.0
+    off = rng.choice([0.0, 2.0e6, -5.0e5]) if regime == 2 else 0.0
+    for _ in range(50):
+        boxes = []
+        for _i in range(n):
+            x = rng.uniform(-8, 8) * scale + off
+            y = rng.uniform(-8, 8) * scale + off
+            s = rng.uniform(0.7, 5.0) * scale
+            boxes.append((float(x), float(y), float(s)))
+        ok = True
+        for vals in (
+            sorted(v for x, y, s in boxes for v in (x, x + s)),
+            sorted(v for x, y, s in boxes for v in (y, y + s)),
+        ):
+            span = max(vals[-1] - vals[0], 1e-12)
+            if any(b - a <= 1e-4 * span for a, b in zip(vals, vals[1:])):
+                ok = False
+                break
+        if ok:
+            return boxes
+    return boxes  # pragma: no cover — 50 re-draws never all collide
+
+
+def main() -> None:
+    n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
+    rng = np.random.RandomState(seed)
+    spark = get_spark("emitter_hunt", cpus=8, shuffle_partitions=8)
+    fails = 0
+    for li in range(n_layers):
+        boxes = sample_layer(rng)
+        want = interval_algebra(boxes)
+        total = max(sum(want.values()), 1e-12)
+        floor = 1e-6 * total
+        pdf = pd.DataFrame(
+            [
+                {
+                    "feature_id": i,
+                    "key": "h",
+                    "xs": [x, x + s, x + s, x],
+                    "ys": [y, y, y + s, y + s],
+                }
+                for i, (x, y, s) in enumerate(boxes)
+            ]
+        )
+        feats = spark.createDataFrame(
+            pdf,
+            schema="feature_id int, key string, xs array<double>, ys array<double>",
+        )
+        errs = []
+        try:
+            got_u = sum(
+                r["area"]
+                for r in overlay_op.dissolve2_rings_tiled(
+                    feats, res=2, max_rep_cells=2
+                ).collect()
+            )
+            if abs(got_u - total) > max(1e-5 * total, floor):
+                errs.append(f"dissolve2 {got_u!r} want {total!r}")
+            raw = {}
+            for r in overlay_op.mosaic_face_rings_tiled(
+                feats, res=2, max_rep_cells=2
+            ).collect():
+                k = frozenset(int(v) for v in r["members_csv"].split(","))
+                raw[k] = raw.get(k, 0.0) + r["area"]
+            gsig = {k: a for k, a in raw.items() if a > floor}
+            wsig = {k: a for k, a in want.items() if a > floor}
+            if set(gsig) != set(wsig) or any(
+                abs(gsig[k] - wsig[k]) > max(1e-5 * wsig[k], floor) for k in wsig
+            ):
+                errs.append("faces signature/area mismatch")
+            rawc = {}
+            for r in overlay_op.clean_rings_tiled(
+                feats, res=2, max_rep_cells=2
+            ).collect():
+                rawc[int(r["feature_id"])] = rawc.get(int(r["feature_id"]), 0.0) + r["area"]
+            wantc = {}
+            for m, a in want.items():
+                wantc[min(m)] = wantc.get(min(m), 0.0) + a
+            gc = {k: a for k, a in rawc.items() if a > floor}
+            wc = {k: a for k, a in wantc.items() if a > floor}
+            if set(gc) != set(wc) or any(
+                abs(gc[k] - wc[k]) > max(1e-5 * wc[k], floor) for k in wc
+            ):
+                errs.append("clean assignment/area mismatch")
+        except Exception as e:  # loud raises are findings too
+            errs.append(f"RAISED {type(e).__name__}: {e}")
+        if errs:
+            fails += 1
+            print(f"FAIL layer {li}: boxes={boxes!r}")
+            for e in errs:
+                print(f"   {e}")
+        else:
+            print(f"ok layer {li} ({len(boxes)} boxes)")
+    print(f"\n{n_layers - fails}/{n_layers} layers clean")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

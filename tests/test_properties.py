@@ -434,6 +434,16 @@ def test_inlay_matches_interval_algebra(boxes):
 @given(_boxes)
 @example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
 @example(boxes=[(0.5, 0.5, 1.0), (0.5, 0.5, 1.0), (0.0, 0.0, 1.0)])
+# r4 hunt find (scripts/emitter_hunt.py): offset-heavy layers lost ~5
+# significant digits in the emitters' raw-shoelace area columns
+# (2e6-magnitude coords, ~20-unit² rings) — fixed by the translation-
+# stabilized shoelace_area_local
+@example(
+    boxes=[
+        (1999997.9430420464, 1999993.70471332, 2.8046050440074515),
+        (2000004.1773626024, 2000005.3580586198, 4.75071844596936),
+    ]
+)
 def test_dissolve2_rings_tiled_measure_matches(boxes):
     """Randomized end-to-end sweep of the tiled ring EMITTER (8
     examples — each drives the full Spark replicate→fold→crop→pair→
@@ -454,6 +464,14 @@ def test_dissolve2_rings_tiled_measure_matches(boxes):
 
 @settings(max_examples=8, deadline=None)
 @given(_boxes)
+# r4 hunt find: same offset-heavy area-cancellation class as the
+# dissolve2 emitter pin above
+@example(
+    boxes=[
+        (1999992.8194666354, 1999997.138123497, 4.1336284906786265),
+        (1999998.167920792, 1999993.2704071887, 4.586725300790401),
+    ]
+)
 def test_face_and_clean_rings_tiled_measure_matches(boxes):
     """Randomized end-to-end sweep of the FACE and CLEAN ring emitters:
     per-signature / per-assignee areas recomputed from stitched rings
