@@ -737,6 +737,31 @@ def _attempt_shift(
     return np.array([eps * np.cos(theta), eps * np.sin(theta)])
 
 
+def _local_anchor(rings: list[np.ndarray]):
+    """Offset-heavy detection for the robust wrappers: when coordinate
+    MAGNITUDE dwarfs the ring EXTENT (|x| > 64·span), the kernel's
+    extent-scaled thresholds (near-incidence 1e-12·span, perturbation
+    eps from span·1e-9) sink below the magnitude-scaled arithmetic
+    noise (~100 ulp of |x|) and every perturbed attempt fails [r4 hunt
+    find: 5e5-offset 3-unit boxes exhausted all 5 attempts]. Returns
+    the floor of the joint bbox min to trace in a local frame, or None
+    when magnitude ≈ extent — so every small-coordinate input keeps its
+    bitwise-identical path. floor(): integer anchors keep
+    integer-coordinate fixtures exact through translate + trace +
+    translate-back."""
+    if not rings:
+        return None
+    x_lo = min(float(r[:, 0].min()) for r in rings)
+    x_hi = max(float(r[:, 0].max()) for r in rings)
+    y_lo = min(float(r[:, 1].min()) for r in rings)
+    y_hi = max(float(r[:, 1].max()) for r in rings)
+    span = max(x_hi - x_lo, y_hi - y_lo, 1e-300)
+    mag = max(abs(x_lo), abs(x_hi), abs(y_lo), abs(y_hi))
+    if mag <= 64.0 * span:
+        return None
+    return np.array([np.floor(x_lo), np.floor(y_lo)])
+
+
 def gh_clip_rings_robust(
     a_rings: list[np.ndarray],
     b_rings: list[np.ndarray],
@@ -761,6 +786,16 @@ def gh_clip_rings_robust(
     Raises only if every perturbed attempt still fails."""
     a_rings = [np.asarray(r, dtype=float) for r in a_rings]
     b_rings = [np.asarray(r, dtype=float) for r in b_rings]
+    anchor = _local_anchor(a_rings + b_rings)
+    if anchor is not None:
+        moved = gh_clip_rings_robust(
+            [r - anchor for r in a_rings],
+            [r - anchor for r in b_rings],
+            op,
+            rel_tol,
+            max_tries,
+        )
+        return [g + anchor for g in moved]
     frame = _verification_frame(a_rings + b_rings)
     area_a = _area_sum(a_rings, frame)
     area_b = _area_sum(b_rings, frame)
@@ -1336,6 +1371,16 @@ def gh_split_rings_robust(
         return (
             ([], keep, [r.copy() for r in a_rings]) if want_union else ([], keep)
         )
+    anchor = _local_anchor(a_rings + b_rings)
+    if anchor is not None:
+        moved = gh_split_rings_robust(
+            [r - anchor for r in a_rings],
+            [r - anchor for r in b_rings],
+            rel_tol,
+            max_tries,
+            want_union,
+        )
+        return tuple([g + anchor for g in part] for part in moved)
     frame = _verification_frame(a_rings + b_rings)
     area_a = _area_sum(a_rings, frame)
     area_b = _area_sum(b_rings, frame)

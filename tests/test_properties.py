@@ -580,3 +580,40 @@ def test_rasterize_ring_area_converges(n, r1, frac):
                          np.diff(np.append(ring[:, 1], ring[0, 1]))).sum())
     band = per * max((xmax - xmin) / w, (ymax - ymin) / h)
     assert abs(raster_area - true_area) <= band
+
+
+def test_split_robust_offset_heavy_frame():
+    """r4 hunt find (scripts/emitter_hunt.py seed 314159): at 5e5-
+    magnitude coordinates with ~3-unit boxes, the robust wrappers'
+    extent-scaled thresholds sank below the magnitude-scaled arithmetic
+    noise and EVERY perturbed attempt failed ('degenerate input not
+    resolved after 5 perturbed attempts'). The wrappers now trace in a
+    floor(bbox-min)-anchored local frame when magnitude > 64x extent;
+    small-coordinate inputs keep their bitwise-identical path."""
+    bx0 = (-499992.00022174855, -499994.47518901294, 2.623700249172818)
+    bx1 = (-499994.2959732347, -499994.26815660764, 2.730661378695502)
+    rects = []
+    for x, y, s in (bx0, bx1):
+        rects.append(
+            np.array([(x, y), (x + s, y), (x + s, y + s), (x, y + s)])
+        )
+    ox = max(
+        0.0,
+        min(bx0[0] + bx0[2], bx1[0] + bx1[2]) - max(bx0[0], bx1[0]),
+    )
+    oy = max(
+        0.0,
+        min(bx0[1] + bx0[2], bx1[1] + bx1[2]) - max(bx0[1], bx1[1]),
+    )
+    want_inter = ox * oy
+    want_a = bx0[2] * bx0[2]
+    inter, diff = G.gh_split_rings_robust([rects[0]], [rects[1]])
+    got_i = sum(G.shoelace_area_local(g[:, 0], g[:, 1]) for g in inter)
+    got_d = sum(G.shoelace_area_local(g[:, 0], g[:, 1]) for g in diff)
+    assert got_i == pytest.approx(want_inter, rel=1e-6)
+    assert got_d == pytest.approx(want_a - want_inter, rel=1e-6)
+    union = G.gh_clip_rings_robust([rects[0]], [rects[1]], "union")
+    got_u = sum(G.shoelace_area_local(g[:, 0], g[:, 1]) for g in union)
+    assert got_u == pytest.approx(
+        want_a + bx1[2] * bx1[2] - want_inter, rel=1e-6
+    )
