@@ -284,7 +284,7 @@ def gh_boolean_pair_areas(subject: DataFrame, clip: DataFrame) -> DataFrame:
                     ("intersection", "difference", "union"), trio
                 ):
                     areas[op] = sum(
-                        geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings
+                        geometry.shoelace_area_local(g[:, 0], g[:, 1]) for g in rings
                     )
                 out.append(
                     {
@@ -333,7 +333,7 @@ def gh_boolean_areas_rings(a_features: DataFrame, b_features: DataFrame) -> Data
         trio = geometry.gh_split_rings_robust(ra, rb, want_union=True)
         vals = {}
         for op, rings in zip(("intersection", "difference", "union"), trio):
-            vals[op] = sum(geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings)
+            vals[op] = sum(geometry.shoelace_area_local(g[:, 0], g[:, 1]) for g in rings)
         return pd.DataFrame(
             [
                 {
@@ -409,7 +409,7 @@ def mosaic_faces(features: DataFrame) -> DataFrame:
             processed.append((poly, bb))
         out = []
         for rings, ids, _fbb in faces:
-            area = sum(geometry.shoelace_area(g[:, 0], g[:, 1]) for g in rings)
+            area = sum(geometry.shoelace_area_local(g[:, 0], g[:, 1]) for g in rings)
             out.append(
                 {
                     "key": pdf["key"].iloc[0],
@@ -737,7 +737,7 @@ def mosaic_faces_tiled(
                     g[:, 0], g[:, 1], x_lo, y_lo, x_hi, y_hi
                 )
                 if len(cx) >= 3:
-                    area += geometry.shoelace_area(cx, cy)
+                    area += geometry.shoelace_area_local(cx, cy)
             if area != 0.0:
                 out.append(
                     {
@@ -1600,7 +1600,7 @@ def inlay_area(a_features: DataFrame, b_features: DataFrame) -> DataFrame:
             _, rings = geometry.gh_split_rings_robust(rings, [b_ring])
             if not rings:
                 break
-        area = sum(geometry.shoelace_area(r[:, 0], r[:, 1]) for r in rings)
+        area = sum(geometry.shoelace_area_local(r[:, 0], r[:, 1]) for r in rings)
         return pd.DataFrame(
             [
                 {

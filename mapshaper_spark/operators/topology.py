@@ -149,7 +149,7 @@ def dissolve2(features: DataFrame) -> DataFrame:
             for _, r in pdf.sort_values("feature_id").iterrows()
         ]
         merged = geometry.union_many(rings)
-        area = sum(geometry.shoelace_area(r[:, 0], r[:, 1]) for r in merged)
+        area = sum(geometry.shoelace_area_local(r[:, 0], r[:, 1]) for r in merged)
         return pd.DataFrame(
             [{"key": pdf["key"].iloc[0], "n_rings": len(merged), "area": area}]
         )
