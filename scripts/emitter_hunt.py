@@ -152,7 +152,144 @@ def main() -> None:
         else:
             print(f"ok layer {li} ({len(boxes)} boxes)")
     print(f"\n{n_layers - fails}/{n_layers} layers clean")
+    fails += star_hunt(max(n_layers // 2, 10), seed + 1)
     sys.exit(1 if fails else 0)
+
+
+
+def _star(n, r1, r2, cx, cy, rot):
+    ang = np.linspace(0.0, 2.0 * np.pi, 2 * n, endpoint=False) + rot
+    r = np.where(np.arange(2 * n) % 2 == 0, r1, r2)
+    return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+
+
+def _global_faces(by_fid):
+    from mapshaper_spark import geometry as G
+
+    faces, processed = [], []
+    for fid in sorted(by_fid):
+        ring = by_fid[fid]
+        nf = []
+        for fr, ids in faces:
+            inter, diff = G.gh_split_rings_robust(fr, [ring])
+            if inter:
+                nf.append((inter, ids | {fid}))
+            if diff:
+                nf.append((diff, ids))
+        rem = [ring]
+        for prev in processed:
+            _, rem = G.gh_split_rings_robust(rem, prev)
+            if not rem:
+                break
+        if rem:
+            nf.append((rem, frozenset({fid})))
+        faces = nf
+        processed.append([ring])
+    return faces
+
+
+def _ring_stats(rings):
+    from mapshaper_spark import geometry as G
+
+    areas = sorted(G.shoelace_area_local(r[:, 0], r[:, 1]) for r in rings)
+    per = sum(
+        G.path_length(np.append(r[:, 0], r[0, 0]), np.append(r[:, 1], r[0, 1]))
+        for r in rings
+    )
+    return len(rings), areas, per
+
+
+def star_hunt(n_layers: int, seed: int) -> int:
+    """Concave-layer mode: diagonal edges cross cell lines at arbitrary
+    angles (boxes only cross axis-parallel — a special case for the
+    sorted-adjacency pairing). Ground truth = the GLOBAL folds; the
+    tiled emitters must reproduce ring count, sorted signed areas, and
+    total perimeter per key / signature."""
+    from mapshaper_spark import geometry as G
+
+    rng = np.random.RandomState(seed)
+    spark = get_spark("emitter_hunt", cpus=8, shuffle_partitions=8)
+    fails = 0
+    for li in range(n_layers):
+        nf = rng.randint(2, 6)
+        off = float(rng.choice([0.0, 2.0e6]))
+        by_fid = {}
+        for i in range(nf):
+            by_fid[i] = _star(
+                rng.randint(3, 8),
+                rng.uniform(2.0, 6.0),
+                rng.uniform(0.8, 1.9),
+                rng.uniform(-6, 6) + off,
+                rng.uniform(-6, 6) + off,
+                rng.uniform(0.01, 3.0),
+            )
+        pdf = pd.DataFrame(
+            [
+                {
+                    "feature_id": i,
+                    "key": "h",
+                    "xs": list(r[:, 0]),
+                    "ys": list(r[:, 1]),
+                }
+                for i, r in by_fid.items()
+            ]
+        )
+        feats = spark.createDataFrame(
+            pdf,
+            schema="feature_id int, key string, xs array<double>, ys array<double>",
+        )
+        errs = []
+        try:
+            want_u = G.union_many(list(by_fid.values()))
+            got_u = []
+            for r in overlay_op.dissolve2_rings_tiled(
+                feats, res=2, max_rep_cells=2
+            ).collect():
+                got_u.append(
+                    np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+                )
+            gn, ga, gp = _ring_stats(got_u)
+            wn, wa, wp = _ring_stats(want_u)
+            tot = max(abs(sum(wa)), 1.0)
+            if gn != wn or any(
+                abs(a - b) > 1e-6 * tot for a, b in zip(ga, wa)
+            ) or abs(gp - wp) > 1e-6 * max(wp, 1.0):
+                errs.append(f"dissolve2 rings {gn} vs {wn} / areas or perimeter")
+            want_f = {
+                ",".join(str(i) for i in sorted(ids)): fr
+                for fr, ids in _global_faces(by_fid)
+            }
+            got_f = {}
+            for r in overlay_op.mosaic_face_rings_tiled(
+                feats, res=2, max_rep_cells=2
+            ).collect():
+                got_f.setdefault(r["members_csv"], []).append(
+                    np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+                )
+            if set(got_f) != set(want_f):
+                errs.append(
+                    f"faces signatures {sorted(got_f)} vs {sorted(want_f)}"
+                )
+            else:
+                for k in want_f:
+                    gn, ga, gp = _ring_stats(got_f[k])
+                    wn, wa, wp = _ring_stats(want_f[k])
+                    if gn != wn or any(
+                        abs(a - b) > 1e-6 * tot for a, b in zip(ga, wa)
+                    ) or abs(gp - wp) > 1e-6 * max(wp, 1.0):
+                        errs.append(f"face {k}: {gn} vs {wn} rings")
+        except Exception as e:
+            errs.append(f"RAISED {type(e).__name__}: {e}")
+        if errs:
+            fails += 1
+            print(f"FAIL star layer {li} (seed {seed}):")
+            print(f"   regenerate: nf={nf} off={off}")
+            for e in errs:
+                print(f"   {e[:400]}")
+        else:
+            print(f"ok star layer {li} ({nf} stars, off {off})")
+    print(f"\nstars: {n_layers - fails}/{n_layers} layers clean")
+    return fails
 
 
 if __name__ == "__main__":
