@@ -90,6 +90,35 @@ def import_geojson_features(df: DataFrame, col: str = "geojson") -> DataFrame:
     )
 
 
+def rings_table_from_emitter(rings: DataFrame) -> DataFrame:
+    """Adapter from the tiled ring emitters' output — (key, ring_id,
+    area, xs, ys) from ``dissolve2_rings_tiled`` /
+    ``mosaic_face_rings_tiled`` (use ``members_csv`` pre-aliased to
+    ``key``) / ``clean_rings_tiled`` — to the exporters' ring table
+    (key, poly_id, ring_idx, xs, ys): poly_id is a dense key index,
+    ring_idx orders outers before holes (descending signed area, the
+    engine's even-odd multi-ring convention). This is the '-dissolve2
+    … -o' path at scale: the distributed construction feeds
+    :func:`export_geojsonl` / :func:`export_topojson_tiled` without
+    the geometry ever assembling on the driver."""
+    from pyspark.sql import Window
+
+    kw = Window.orderBy("key")
+    keys = (
+        rings.select("key")
+        .distinct()
+        .select("key", (F.dense_rank().over(kw) - 1).alias("poly_id"))
+    )
+    rw = Window.partitionBy("key").orderBy(F.col("area").desc(), "ring_id")
+    return rings.join(F.broadcast(keys), "key").select(
+        "key",
+        "poly_id",
+        (F.row_number().over(rw) - 1).alias("ring_idx"),
+        "xs",
+        "ys",
+    )
+
+
 def export_geojsonl(features: DataFrame, path: str) -> None:
     """-o format=geojsonl: one Feature JSON per line (newline-delimited
     GeoJSON) — the SPLITTABLE export shape; a 100-TB layer writes and

@@ -773,3 +773,37 @@ def test_tiled_mosaic_high_vertex_crop_path(spark):
     assert got == pytest.approx(want, rel=1e-9)
     d = overlay_op.dissolve2_tiled(feats, res=4).collect()
     assert len(d) == 1 and d[0]["area"] == pytest.approx(want, rel=1e-9)
+
+
+def test_dissolve2_rings_export_roundtrip(spark, tmp_path):
+    """The '-dissolve2 … -o' path at scale: the distributed ring
+    emitter feeds the scan-scale GeoJSONL exporter through
+    rings_table_from_emitter, and the scan-scale importer reassembles
+    the exact stitched ring set (bit-lossless roundtrip, ring order
+    preserved via the exterior-first ring_idx)."""
+    from mapshaper_spark.operators import overlay as overlay_op
+    from mapshaper_spark.sources import geojson as gj
+
+    pdf = _overlap_layer_rows()
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    rings = overlay_op.dissolve2_rings_tiled(feats, res=4)
+    table = gj.rings_table_from_emitter(rings)
+    # key -> poly_id mapping + the emitted rings for comparison
+    want: dict = {}
+    for r in table.collect():
+        want.setdefault(r["poly_id"], []).append(
+            (r["ring_idx"], list(r["xs"]), list(r["ys"]))
+        )
+    assert len(want) == 2  # k0, k1
+    path = str(tmp_path / "d2rings")
+    gj.export_geojsonl(table.select("poly_id", "ring_idx", "xs", "ys"), path)
+    back: dict = {}
+    for r in gj.import_geojson_file(spark, path).collect():
+        back.setdefault(r["poly_id"], []).append(
+            (r["ring_idx"], list(r["xs"]), list(r["ys"]))
+        )
+    assert set(back) == set(want)
+    for pid in want:
+        assert sorted(back[pid]) == sorted(want[pid]), pid  # bitwise
