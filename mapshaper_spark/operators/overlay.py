@@ -1143,44 +1143,48 @@ def _stitch_border_paths(
             " chunk_seq int, n_chunks int"
         )
 
-        def chain_order(meta_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(meta_pdf) == 0:
-                return pd.DataFrame(
-                    columns=["key", "ring_id", "path_id", "chunk_seq", "n_chunks"]
-                )
-            ids = set(int(v) for v in meta_pdf["path_id"])
-            nxt_of = {
-                int(p): int(x)
-                for p, x in zip(meta_pdf["path_id"], meta_pdf["nxt"])
-                if pd.notna(x)
-            }
-            first = min(ids)
-            order = []
-            cur = first
-            for _ in range(len(ids)):
-                order.append(cur)
-                cur = nxt_of.get(cur)
-                if cur is None:
-                    raise ValueError(degen + " broken path chain")
-                if cur == first:
-                    break
-            else:
-                raise ValueError(degen + " path chain not closed")
-            m = len(order)
-            return pd.DataFrame(
-                {
-                    "key": meta_pdf["key"].iloc[0],
-                    "ring_id": int(meta_pdf["label"].iloc[0]),
-                    "path_id": order,
-                    "chunk_seq": list(range(m)),
-                    "n_chunks": m,
+        def chain_order_batch(pdf_iter):
+            # many rings per Arrow batch (see assemble_batch)
+            for pdf in pdf_iter:
+                out: dict[str, list] = {
+                    "key": [],
+                    "ring_id": [],
+                    "path_id": [],
+                    "chunk_seq": [],
+                    "n_chunks": [],
                 }
-            )
+                for _, row in pdf.iterrows():
+                    ids = set()
+                    nxt_of = {}
+                    for p in row["meta"]:
+                        pid = int(p["path_id"])
+                        ids.add(pid)
+                        if p["nxt"] is not None and not pd.isna(p["nxt"]):
+                            nxt_of[pid] = int(p["nxt"])
+                    first = min(ids)
+                    order = []
+                    cur = first
+                    for _ in range(len(ids)):
+                        order.append(cur)
+                        cur = nxt_of.get(cur)
+                        if cur is None:
+                            raise ValueError(degen + " broken path chain")
+                        if cur == first:
+                            break
+                    else:
+                        raise ValueError(degen + " path chain not closed")
+                    m = len(order)
+                    out["key"].extend([row["key"]] * m)
+                    out["ring_id"].extend([int(row["label"])] * m)
+                    out["path_id"].extend(order)
+                    out["chunk_seq"].extend(range(m))
+                    out["n_chunks"].extend([m] * m)
+                yield pd.DataFrame(out)
 
         order = (
-            lpaths.select("key", "label", "path_id", "nxt")
-            .groupBy("key", "label")
-            .applyInPandas(chain_order, schema=order_schema)
+            lpaths.groupBy("key", "label")
+            .agg(F.collect_list(F.struct("path_id", "nxt")).alias("meta"))
+            .mapInPandas(chain_order_batch, schema=order_schema)
         )
         open_chunks = order.join(
             open_paths.select("path_id", "xs", "ys"), "path_id"
@@ -1209,53 +1213,60 @@ def _stitch_border_paths(
         " xs array<double>, ys array<double>"
     )
 
-    def assemble(paths_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(paths_pdf) == 0:
-            return pd.DataFrame(
-                columns=["key", "ring_id", "n_vertices", "area", "xs", "ys"]
+    def assemble_batch(pdf_iter):
+        # many rings per Arrow batch: the per-ring work is a tiny
+        # Python chain walk, so a grouped-apply stage paid ~1-3 ms of
+        # per-group overhead per ring across tens of thousands of tiny
+        # groups — the JVM collect_list aggregate + mapInPandas batches
+        # them instead
+        for pdf in pdf_iter:
+            out = []
+            for _, row in pdf.iterrows():
+                segs = {}
+                nxt_of = {}
+                for p in row["paths"]:
+                    pid = int(p["path_id"])
+                    segs[pid] = (p["xs"], p["ys"])
+                    if p["nxt"] is not None and not pd.isna(p["nxt"]):
+                        nxt_of[pid] = int(p["nxt"])
+                first = min(segs)
+                xs, ys = [], []
+                cur = first
+                for _ in range(len(segs)):
+                    px, py = segs[cur]
+                    xs.extend(px)
+                    ys.extend(py)
+                    cur = nxt_of.get(cur)
+                    if cur is None:
+                        raise ValueError(degen + " broken path chain")
+                    if cur == first:
+                        break
+                else:
+                    raise ValueError(degen + " path chain not closed")
+                arr_x = np.asarray(xs)
+                arr_y = np.asarray(ys)
+                out.append(
+                    {
+                        "key": row["key"],
+                        "ring_id": int(row["label"]),
+                        "n_vertices": len(arr_x),
+                        # translation-stabilized: raw shoelace loses ~5
+                        # digits on offset-heavy layers (hunt find)
+                        "area": geometry.shoelace_area_local(arr_x, arr_y),
+                        "xs": list(arr_x),
+                        "ys": list(arr_y),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["key", "ring_id", "n_vertices", "area", "xs", "ys"]
             )
-        segs = {
-            int(r["path_id"]): (list(r["xs"]), list(r["ys"]))
-            for _, r in paths_pdf.iterrows()
-        }
-        nxt_of = {
-            int(p): int(x)
-            for p, x in zip(paths_pdf["path_id"], paths_pdf["nxt"])
-            if pd.notna(x)
-        }
-        first = min(segs)
-        xs, ys = [], []
-        cur = first
-        for _ in range(len(segs)):
-            px, py = segs[cur]
-            xs.extend(px)
-            ys.extend(py)
-            cur = nxt_of.get(cur)
-            if cur is None:
-                raise ValueError(degen + " broken path chain")
-            if cur == first:
-                break
-        else:
-            raise ValueError(degen + " path chain not closed")
-        arr_x = np.asarray(xs)
-        arr_y = np.asarray(ys)
-        return pd.DataFrame(
-            [
-                {
-                    "key": paths_pdf["key"].iloc[0],
-                    "ring_id": int(paths_pdf["label"].iloc[0]),
-                    "n_vertices": len(arr_x),
-                    # translation-stabilized: raw shoelace loses ~5
-                    # digits on offset-heavy layers (hunt find)
-                    "area": geometry.shoelace_area_local(arr_x, arr_y),
-                    "xs": list(arr_x),
-                    "ys": list(arr_y),
-                }
-            ]
-        )
 
-    stitched = lpaths.groupBy("key", "label").applyInPandas(
-        assemble, schema=ring_schema
+    stitched = (
+        lpaths.groupBy("key", "label")
+        .agg(
+            F.collect_list(F.struct("path_id", "nxt", "xs", "ys")).alias("paths")
+        )
+        .mapInPandas(assemble_batch, schema=ring_schema)
     )
     closed = paths_df.filter("closed").select(
         "key",
