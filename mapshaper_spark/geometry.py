@@ -995,6 +995,31 @@ def ring_centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
     return cx, cy
 
 
+def shoelace_seq_local(xs, ys) -> tuple[float, float, float]:
+    """Gated translation-stabilized :func:`shoelace_seq`: BITWISE
+    identical when |coord| <= 64·span — every oracle fixture, so the
+    SQL-sequential-sum matching contract is untouched — and computed
+    about floor(min) anchors when magnitude dwarfs extent [r4 faces
+    probe: a 12×12 unit grid shifted to 2e6 returned per-face areas of
+    1.0 ± 4.9e-4 through the raw form]. The centroid accumulators map
+    back exactly: centroid_global = centroid_local + anchor, so
+    sx = sx_local + 3·a2·ax (and likewise sy)."""
+    n = len(xs)
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    fx = [float(v) for v in xs]
+    fy = [float(v) for v in ys]
+    x_lo, x_hi = min(fx), max(fx)
+    y_lo, y_hi = min(fy), max(fy)
+    span = max(x_hi - x_lo, y_hi - y_lo, 1e-300)
+    mag = max(abs(x_lo), abs(x_hi), abs(y_lo), abs(y_hi))
+    if mag <= 64.0 * span:
+        return shoelace_seq(xs, ys)
+    ax, ay = float(np.floor(x_lo)), float(np.floor(y_lo))
+    a2, sx, sy = shoelace_seq([v - ax for v in fx], [v - ay for v in fy])
+    return a2, sx + 3.0 * a2 * ax, sy + 3.0 * a2 * ay
+
+
 def shoelace_seq(xs, ys) -> tuple[float, float, float]:
     """Sequential-order shoelace accumulators (a2, sx, sy):
     a2 = Σ cross_i, sx = Σ (x_i+x_j)·cross_i, sy = Σ (y_i+y_j)·cross_i.

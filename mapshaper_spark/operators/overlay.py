@@ -80,7 +80,7 @@ def clip_polygons(subject: DataFrame, clip: DataFrame) -> DataFrame:
                     np.column_stack([r["cxs"], r["cys"]]),
                 )
                 if len(cx) >= 3:
-                    a2, _, _ = geometry.shoelace_seq(cx, cy)
+                    a2, _, _ = geometry.shoelace_seq_local(cx, cy)
                     out.append(
                         {
                             "subject_id": r["subject_id"],
@@ -240,7 +240,7 @@ def clip_polygons_general(subject: DataFrame, clip: DataFrame) -> DataFrame:
                     np.column_stack([r["cxs"], r["cys"]]),
                 )
                 for i, ring in enumerate(pieces):
-                    a2, _, _ = geometry.shoelace_seq(ring[:, 0], ring[:, 1])
+                    a2, _, _ = geometry.shoelace_seq_local(ring[:, 0], ring[:, 1])
                     out.append(
                         {
                             "subject_id": r["subject_id"],
@@ -1680,7 +1680,7 @@ def clip_general_area(features: DataFrame, windows: DataFrame) -> DataFrame:
                     np.column_stack([r["cxs"], r["cys"]]),
                 )
                 if len(cx) >= 3:
-                    a2, _, _ = geometry.shoelace_seq(cx, cy)
+                    a2, _, _ = geometry.shoelace_seq_local(cx, cy)
                     out.append(
                         {
                             "poly_id": r["poly_id"],

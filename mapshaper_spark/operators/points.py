@@ -23,7 +23,7 @@ def centroids(polygons: DataFrame) -> DataFrame:
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, r in pdf.iterrows():
-            a2, sx, sy = geometry.shoelace_seq(r["xs"], r["ys"])
+            a2, sx, sy = geometry.shoelace_seq_local(r["xs"], r["ys"])
             if a2 == 0.0:
                 # degenerate (zero-area) ring: fail loudly rather than emit
                 # inf/NaN — NaN never equals itself, so one bad feature
@@ -47,7 +47,7 @@ def areas(polygons: DataFrame) -> DataFrame:
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, r in pdf.iterrows():
-            a2, _sx, _sy = geometry.shoelace_seq(r["xs"], r["ys"])
+            a2, _sx, _sy = geometry.shoelace_seq_local(r["xs"], r["ys"])
             out.append({"poly_id": int(r["poly_id"]), "area": a2 / 2.0})
         return pd.DataFrame(out, columns=["poly_id", "area"])
 
@@ -200,7 +200,7 @@ def geometry_properties(polygons: DataFrame) -> DataFrame:
         out = []
         for _, r in pdf.iterrows():
             xs, ys = list(r["xs"]), list(r["ys"])
-            a2, sx, sy = geometry.shoelace_seq(xs, ys)
+            a2, sx, sy = geometry.shoelace_seq_local(xs, ys)
             perim = 0.0
             n = len(xs)
             for i in range(n):

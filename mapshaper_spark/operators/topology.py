@@ -235,7 +235,7 @@ def dissolve_rings(features: DataFrame, arcs: DataFrame) -> DataFrame:
                 xs, ys = xs[:-1], ys[:-1]
             from .. import geometry
 
-            a2, _sx, _sy = geometry.shoelace_seq(xs, ys)
+            a2, _sx, _sy = geometry.shoelace_seq_local(xs, ys)
             out.append(
                 {
                     "key": pdf["key"].iloc[0],
@@ -324,7 +324,7 @@ def _walk_all_faces(arcs: list[dict]) -> list[dict]:
                     break
             from .. import geometry
 
-            a2, _, _ = geometry.shoelace_seq(cxs, cys)
+            a2, _, _ = geometry.shoelace_seq_local(cxs, cys)
             faces.append(
                 {
                     "arc_ids": refs,

@@ -162,3 +162,28 @@ def test_tiled_full_plan_distributed_route(spark, monkeypatch):
     monkeypatch.setattr(faces, "_DRIVER_LIMIT", 0)
     slow = _tiled_multiset(spark, arcs, n_cells=8)
     assert fast == slow == _global_multiset(arcs)
+
+
+def test_tiled_faces_offset_heavy_exact(spark):
+    """r4 probe find: the 12x12 unit-grid topology shifted to 2e6-
+    magnitude coordinates returned per-face areas of 1.0 +- 4.9e-4
+    through the raw sequential shoelace (cross products ~|coord|^2,
+    areas ~1). The gated shoelace_seq_local anchors at floor(bbox-min)
+    when |coord| > 64x extent — every face must come back exactly 1.0
+    at the offset too (integer-plus-offset coordinates stay exact
+    through the anchored form)."""
+    from mapshaper_spark import fixtures
+    from mapshaper_spark.operators import faces as faces_op
+    from mapshaper_spark.operators import topology
+
+    arcs, _ = fixtures._make_grid_topology(12)
+    OFF = 1999997.123
+    arcs_off = [
+        {**a, "xs": [v + OFF for v in a["xs"]], "ys": [v + OFF for v in a["ys"]]}
+        for a in arcs
+    ]
+    rows = faces_op.polygons_from_arcs_tiled(
+        topology.arcs_df(spark, arcs_off), n_cells=8
+    ).collect()
+    assert len(rows) == 144
+    assert all(round(r["area"], 9) == 1.0 for r in rows)

@@ -244,3 +244,26 @@ def test_haversine_equator_degree():
         np.array([0.0]), np.array([0.0]), np.array([1.0]), np.array([0.0])
     )
     assert d[0] == pytest.approx(111.19, abs=0.1)
+
+
+def test_shoelace_seq_local_gate_and_anchor():
+    """Below the 64x-extent gate shoelace_seq_local IS shoelace_seq
+    (bitwise — the SQL-sum oracle contract); above it the anchored form
+    recovers the exact area and centroid that raw accumulation loses."""
+    import numpy as np
+
+    from mapshaper_spark import geometry as G
+
+    xs = [0.0, 4.0, 4.0, 0.0]
+    ys = [0.0, 0.0, 2.0, 2.0]
+    assert G.shoelace_seq_local(xs, ys) == G.shoelace_seq(xs, ys)
+    OFF = 2.0e6 + 0.123
+    xo = [v + OFF for v in xs]
+    yo = [v + OFF for v in ys]
+    a2, sx, sy = G.shoelace_seq_local(xo, yo)
+    assert a2 / 2.0 == 8.0  # exact through the anchor
+    # centroid maps back to the original frame
+    assert sx / (3.0 * a2) == pytest.approx(2.0 + OFF, rel=1e-12)
+    assert sy / (3.0 * a2) == pytest.approx(1.0 + OFF, rel=1e-12)
+    # (the raw form's cancellation is shape-dependent — the end-to-end
+    # demonstration lives in test_faces.test_tiled_faces_offset_heavy_exact)
