@@ -280,6 +280,15 @@ def test_split_robust_disjoint_accumulator_bridge():
 # rejected — caught by widening the incidence trigger to near-incidence
 @example(boxes=[(-1.0, 5e-324, 1.25), (-1.175494351e-38, 0.5, 1.0), (0.0, 0.0, 1.0)])
 @example(boxes=[(1.0, 0.0, 2.0), (1.0, 0.0, 0.75), (0.0, -1.0, 2.0)])
+# r4 hunt class: offset-heavy coordinates (anchored robust wrappers +
+# stabilized output areas — raw shoelace lost ~5 digits here)
+@example(
+    boxes=[
+        (1999997.9430420464, 1999993.70471332, 2.8046050440074515),
+        (2000004.1773626024, 2000005.3580586198, 4.75071844596936),
+        (1999999.31, 1999996.07, 3.11),
+    ]
+)
 def test_mosaic_faces_matches_interval_algebra(boxes):
     """Operator-level randomized check: mosaic_faces' per-signature
     areas equal the exact elementary-cell decomposition on random box
@@ -347,6 +356,14 @@ def _boxes_feats_df(boxes):
 @given(_boxes)
 @example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
 @example(boxes=[(0.5, 0.5, 1.0), (0.5, 0.5, 1.0), (0.0, 0.0, 1.0)])
+# r4 hunt class: offset-heavy coordinates
+@example(
+    boxes=[
+        (-500005.30273913516, -500007.6979211225, 3.9928509318300778),
+        (-499994.2959732347, -499994.26815660764, 2.730661378695502),
+        (-499992.95944617654, -500006.35324174433, 2.1189843118996374),
+    ]
+)
 def test_dissolve2_matches_interval_algebra(boxes):
     """Operator-level randomized check [VERDICT r3 #2]: dissolve2's
     per-key union measure equals the exact elementary-cell covered
