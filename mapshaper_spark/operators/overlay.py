@@ -453,7 +453,12 @@ def mosaic_replicate(
       padded box — O(boundary-in-cell) vertices plus box corners.
 
     Output rows: (key, ix, iy, feature_id, rings_xs, rings_ys) — ring
-    SETS (a crop may be several pieces / carry holes)."""
+    SETS (a crop may be several disjoint pieces). Inputs are single
+    hole-free rings, and a simple region ∩ convex box is hole-free per
+    component, so crop sets never carry hole rings — consumers that
+    flatten the sets (the dissolve2 emitter's per-cell union fold)
+    assert positive signed area per piece [ADVICE r4 #2] so a traced
+    orientation flip surfaces loudly instead of silently filling."""
 
     def replicate(it):
         for pdf in it:
@@ -834,6 +839,12 @@ def _offgrain_grid(
     (a grid whose lines sit ~5e-10 from regular data coordinates would
     defeat any border-classification tolerance). Returns
     (ox, oy, cw, ch, tol)."""
+    if n < 2:
+        # no degen marker: retrying the grid cannot fix an invalid res
+        raise ValueError(
+            "ring emitters require res >= 1 (a 1-cell grid has no "
+            "interior lines; n must be >= 2)"
+        )
     b = features.select(
         F.min(F.expr("array_min(xs)")).alias("x0"),
         F.max(F.expr("array_max(xs)")).alias("x1"),
@@ -929,7 +940,21 @@ def _dissolve2_rings_tiled_at(
         rings: list[np.ndarray] = []
         for _, r in pdf.sort_values("feature_id").iterrows():
             for rx, ry in zip(r["rings_xs"], r["rings_ys"]):
-                rings.append(np.column_stack([np.asarray(rx), np.asarray(ry)]))
+                ring = np.column_stack([np.asarray(rx), np.asarray(ry)])
+                # flattening the per-feature crop SETS into one list is
+                # only sound because crops of single hole-free rings by
+                # a convex box carry no hole rings (union_many
+                # normalizes every ring CCW — a hole here would silently
+                # fill) [ADVICE r4 #2]; degen-marked so a kernel-traced
+                # orientation flip gets the grid retry before failing
+                if geometry.shoelace_area_local(ring[:, 0], ring[:, 1]) <= 0.0:
+                    raise ValueError(
+                        _RING_DEGEN + " non-positive ring orientation "
+                        "in a cell fold (CW input ring — normalize "
+                        "winding first — or a traced flip reached the "
+                        "CCW-normalizing union)"
+                    )
+                rings.append(ring)
         merged = geometry.union_many(rings)
         out: list[dict] = []
         _crop_region_paths(
@@ -983,32 +1008,30 @@ def _stitch_border_paths(
     retry loop recognizes its own failures."""
     from . import faces as faces_mod
 
-    # path_seq is only unique per (key, cell); compose a GLOBALLY unique
-    # deterministic path_id with a dense key index (keys are dissolve2's
-    # output cardinality — dim-sized relative to the layer; the no-
-    # partition window runs over the distinct-keys frame only). 2^43
-    # leaves room for res <= 11 grids with 2^20 faces per cell.
-    kw = Window.orderBy("key")
-    key_idx = (
-        raw_paths.select("key")
-        .distinct()
-        .select("key", (F.dense_rank().over(kw) - 1).alias("key_idx"))
-    )
-    paths_df = (
-        raw_paths.join(F.broadcast(key_idx), "key")
-        .where(
-            F.assert_true(
-                F.col("key_idx") < F.lit(1 << 20),
-                F.lit(degen + " >2^20 distinct keys"),
-            ).isNull()
+    # path_seq is unique per KEY (the (cell_index << 20) + seq packing
+    # with _crop_region_paths' per-cell 2^20 guard); compose a GLOBALLY
+    # unique path_id as a CONTENT-ADDRESSED xxhash64 of (key, path_seq)
+    # [VERDICT r4 #1 — the previous dense_rank key index ran every
+    # distinct output key through ONE task's global sort and capped keys
+    # at 2^20; clean embeds feature_id and mosaic the members_csv in the
+    # key, so a 100-TB layer hits both long before geometry matters].
+    # The grid origin salts the hash, so a (vanishingly unlikely, but
+    # CHECKED) 64-bit collision re-deals on the caller's grid-origin
+    # retry instead of recurring deterministically. path_seq rides along
+    # because chain assembly starts each ring at its min-path_seq path —
+    # the same start the old packed id selected — keeping assembled
+    # xs/ys bitwise stable.
+    paths_df = raw_paths.withColumn(
+        "path_id",
+        F.xxhash64("key", "path_seq", F.lit(float(ox)), F.lit(float(oy))),
+    ).localCheckpoint()
+    n_tot, n_uniq = paths_df.select(
+        F.count(F.lit(1)), F.count_distinct("path_id")
+    ).first()
+    if n_tot != n_uniq:
+        raise ValueError(
+            degen + f" path_id hash collision ({n_tot - n_uniq} dup)"
         )
-        .withColumn(
-            "path_id",
-            F.col("key_idx") * F.lit(1 << 43) + F.col("path_seq"),
-        )
-        .drop("key_idx", "path_seq")
-        .localCheckpoint()
-    )
 
     open_paths = paths_df.filter(~F.col("closed"))
     # endpoint rows classified to their cell LINE: exact cross-cell
@@ -1156,12 +1179,15 @@ def _stitch_border_paths(
                 for _, row in pdf.iterrows():
                     ids = set()
                     nxt_of = {}
+                    seq_of = {}
                     for p in row["meta"]:
                         pid = int(p["path_id"])
                         ids.add(pid)
+                        seq_of[pid] = int(p["path_seq"])
                         if p["nxt"] is not None and not pd.isna(p["nxt"]):
                             nxt_of[pid] = int(p["nxt"])
-                    first = min(ids)
+                    # min path_seq = the start the old packed ids chose
+                    first = min(ids, key=seq_of.__getitem__)
                     order = []
                     cur = first
                     for _ in range(len(ids)):
@@ -1183,7 +1209,11 @@ def _stitch_border_paths(
 
         order = (
             lpaths.groupBy("key", "label")
-            .agg(F.collect_list(F.struct("path_id", "nxt")).alias("meta"))
+            .agg(
+                F.collect_list(
+                    F.struct("path_id", "path_seq", "nxt")
+                ).alias("meta")
+            )
             .mapInPandas(chain_order_batch, schema=order_schema)
         )
         open_chunks = order.join(
@@ -1206,7 +1236,12 @@ def _stitch_border_paths(
             "xs",
             "ys",
         )
-        return open_chunks.unionByName(closed_chunks)
+        # eager [ADVICE r4 #1]: the chain-walk raises in
+        # chain_order_batch execute lazily; forcing the final frame here
+        # lands EVERY degen raise inside the caller's grid-retry loop
+        # (previously a post-return broken-chain raise surfaced as a raw
+        # executor error instead of moving to the next grid origin)
+        return open_chunks.unionByName(closed_chunks).localCheckpoint()
 
     ring_schema = (
         "key string, ring_id long, n_vertices int, area double,"
@@ -1224,12 +1259,15 @@ def _stitch_border_paths(
             for _, row in pdf.iterrows():
                 segs = {}
                 nxt_of = {}
+                seq_of = {}
                 for p in row["paths"]:
                     pid = int(p["path_id"])
                     segs[pid] = (p["xs"], p["ys"])
+                    seq_of[pid] = int(p["path_seq"])
                     if p["nxt"] is not None and not pd.isna(p["nxt"]):
                         nxt_of[pid] = int(p["nxt"])
-                first = min(segs)
+                # min path_seq = the start the old packed ids chose
+                first = min(segs, key=seq_of.__getitem__)
                 xs, ys = [], []
                 cur = first
                 for _ in range(len(segs)):
@@ -1264,7 +1302,9 @@ def _stitch_border_paths(
     stitched = (
         lpaths.groupBy("key", "label")
         .agg(
-            F.collect_list(F.struct("path_id", "nxt", "xs", "ys")).alias("paths")
+            F.collect_list(
+                F.struct("path_id", "path_seq", "nxt", "xs", "ys")
+            ).alias("paths")
         )
         .mapInPandas(assemble_batch, schema=ring_schema)
     )
@@ -1287,7 +1327,9 @@ def _stitch_border_paths(
             yield pdf
 
     closed = closed.mapInPandas(_closed_area, schema=ring_schema)
-    return stitched.unionByName(closed)
+    # eager [ADVICE r4 #1]: assemble_batch's broken-chain raises must
+    # land inside the caller's grid-retry loop, not after it returns
+    return stitched.unionByName(closed).localCheckpoint()
 
 
 _KEY_SEP = "\x1f"
