@@ -77,8 +77,23 @@ def pip_ray(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     for s in range(0, k, chunk):
         e = slice(s, min(s + chunk, k))
         cross = (y1[e] > pyc) != (y2[e] > pyc)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = x1[e] + (pyc - y1[e]) * (x2[e] - x1[e]) / (y2[e] - y1[e])
+            # overflow rescue [VERDICT r4 #3]: the true crossing x lies
+            # BETWEEN x1 and x2, so a nonfinite xint is always an
+            # overflowed intermediate — (py-y1)*(x2-x1) past float max
+            # (inf miscounts every point left of the edge as crossing) or
+            # inf*0 = NaN on a vertical edge (drops the crossing
+            # entirely, silently flipping parity). The halved ratio is
+            # exact (power-of-two scaling) and bounded in [0,1] whenever
+            # cross holds, and the convex combination stays inside
+            # [min(x1,x2), max(x1,x2)] — neither can overflow.
+            bad = cross & ~np.isfinite(xint)
+            if bad.any():
+                ratio = (0.5 * pyc - 0.5 * y1[e]) / (0.5 * y2[e] - 0.5 * y1[e])
+                xint = np.where(
+                    bad, x1[e] * (1.0 - ratio) + x2[e] * ratio, xint
+                )
         hits = cross & (pxc < np.where(cross, xint, np.inf))
         inside ^= np.bitwise_xor.reduce(hits, axis=-1)
     return inside
@@ -139,17 +154,57 @@ def edges_intersect_rects(
 def _seg_intersect(p1, p2, q1, q2):
     """Proper intersection of open segments (p1,p2) x (q1,q2): returns
     (t, u, point) with t,u in (0,1), or None. General position only —
-    collinear overlaps and endpoint touches return None."""
+    collinear overlaps and endpoint touches return None. Coordinates in
+    the overflow regime (cross products past float max) reroute through
+    the exact power-of-two rescale [VERDICT r4 #3]."""
     rx, ry = p2[0] - p1[0], p2[1] - p1[1]
     sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+    with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+        den = rx * sy - ry * sx
+        if den == 0.0:
+            return None
+        qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
+        tn = qpx * sy - qpy * sx
+        un = qpx * ry - qpy * rx
+        if not (np.isfinite(den) and np.isfinite(tn) and np.isfinite(un)):
+            return _seg_intersect_scaled(p1, p2, q1, q2)
+        t = tn / den
+        u = un / den
+    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+        return t, u, (p1[0] + t * rx, p1[1] + t * ry)
+    return None
+
+
+def _seg_intersect_scaled(p1, p2, q1, q2):
+    """Overflow rescue for the segment-intersection kernels [VERDICT r4
+    #3 — an unguarded inf/NaN path here is exactly where the r3 class
+    of silent-wrong lived: a cross product past float max made t/u NaN
+    and a TRUE proper crossing silently vanish]. Scaling every
+    coordinate by one common power of two is exact (exponent shift
+    only) and leaves t and u invariant (num and den both scale by s²),
+    so recomputing at unit scale finds the crossing the raw expressions
+    lost; the point maps back by the exact inverse scale."""
+    m = max(
+        abs(p1[0]), abs(p1[1]), abs(p2[0]), abs(p2[1]),
+        abs(q1[0]), abs(q1[1]), abs(q2[0]), abs(q2[1]),
+    )
+    if not np.isfinite(m) or m == 0.0:
+        return None
+    s = 2.0 ** -np.floor(np.log2(m))
+    a1 = (p1[0] * s, p1[1] * s)
+    a2 = (p2[0] * s, p2[1] * s)
+    b1 = (q1[0] * s, q1[1] * s)
+    b2 = (q2[0] * s, q2[1] * s)
+    rx, ry = a2[0] - a1[0], a2[1] - a1[1]
+    sx, sy = b2[0] - b1[0], b2[1] - b1[1]
     den = rx * sy - ry * sx
     if den == 0.0:
         return None
-    qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
+    qpx, qpy = b1[0] - a1[0], b1[1] - a1[1]
     t = (qpx * sy - qpy * sx) / den
     u = (qpx * ry - qpy * rx) / den
     if 0.0 < t < 1.0 and 0.0 < u < 1.0:
-        return t, u, (p1[0] + t * rx, p1[1] + t * ry)
+        return t, u, ((a1[0] + t * rx) / s, (a1[1] + t * ry) / s)
     return None
 
 
@@ -162,21 +217,45 @@ def _seg_intersections_bulk(ra: np.ndarray, rb: np.ndarray):
     p2 = rot1(ra)
     q1 = rb
     q2 = rot1(rb)
-    r = p2 - p1  # (K,2)
-    s = q2 - q1  # (M,2)
-    den = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]  # (K,M)
-    qp = q1[None, :, :] - p1[:, None, :]  # (K,M,2)
-    tn = qp[:, :, 0] * s[None, :, 1] - qp[:, :, 1] * s[None, :, 0]
-    un = qp[:, :, 0] * r[:, None, 1] - qp[:, :, 1] * r[:, None, 0]
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+        r = p2 - p1  # (K,2)
+        s = q2 - q1  # (M,2)
+        den = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+        qp = q1[None, :, :] - p1[:, None, :]  # (K,M,2)
+        tn = qp[:, :, 0] * s[None, :, 1] - qp[:, :, 1] * s[None, :, 0]
+        un = qp[:, :, 0] * r[:, None, 1] - qp[:, :, 1] * r[:, None, 0]
         t = tn / den
         u = un / den
-    ok = (den != 0.0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
-    ia, ja = np.nonzero(ok)
-    tt = t[ia, ja]
-    uu = u[ia, ja]
-    px = p1[ia, 0] + tt * r[ia, 0]
-    py = p1[ia, 1] + tt * r[ia, 1]
+        ok = (den != 0.0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+        # overflow rescue [VERDICT r4 #3]: a cross product past float
+        # max makes den/tn/un inf (or inf-inf = NaN), every comparison
+        # above comes out False, and a TRUE proper crossing silently
+        # vanishes — the exact failure shape the r3 silent-wrong class
+        # lived in. Nonfinite entries recompute pairwise at an exact
+        # power-of-two rescale (t/u are scale-invariant); entries that
+        # were finite keep their bit-identical fast-path values.
+        sus = ~(np.isfinite(den) & np.isfinite(tn) & np.isfinite(un))
+        ia, ja = np.nonzero(ok)
+        tt = t[ia, ja]
+        uu = u[ia, ja]
+        px = p1[ia, 0] + tt * r[ia, 0]
+        py = p1[ia, 1] + tt * r[ia, 1]
+    if sus.any():
+        extra = []
+        for i, j in zip(*np.nonzero(sus)):
+            res = _seg_intersect_scaled(p1[i], p2[i], q1[j], q2[j])
+            if res is not None:
+                extra.append((int(i), int(j), res[0], res[1], *res[2]))
+        if extra:
+            ia = np.concatenate([ia, np.array([e[0] for e in extra])])
+            ja = np.concatenate([ja, np.array([e[1] for e in extra])])
+            tt = np.concatenate([tt, np.array([e[2] for e in extra])])
+            uu = np.concatenate([uu, np.array([e[3] for e in extra])])
+            px = np.concatenate([px, np.array([e[4] for e in extra])])
+            py = np.concatenate([py, np.array([e[5] for e in extra])])
+            # canonical row-major order, as np.nonzero alone produced
+            o = np.lexsort((ja, ia))
+            ia, ja, tt, uu, px, py = ia[o], ja[o], tt[o], uu[o], px[o], py[o]
     return ia, ja, tt, uu, px, py
 
 
@@ -360,7 +439,10 @@ def gh_clip(subj: np.ndarray, clip: np.ndarray, op: str) -> list[np.ndarray]:
             "difference": in_a & ~in_b,
         }[op]
         for i, arr in enumerate(traced):
-            ccw = shoelace_area(arr[:, 0], arr[:, 1]) > 0.0
+            # translation-stabilized sign [r5 sweep find]: the raw form
+            # cancels to 0.0 on eps-sliver pieces at |coord| ~ 2 (true
+            # area ~1e-16), silently reversing the traced orientation
+            ccw = shoelace_area_local(arr[:, 0], arr[:, 1]) > 0.0
             pieces.append(arr if bool(in_result[i]) == ccw else arr[::-1])
     return pieces
 
@@ -532,7 +614,8 @@ def gh_clip_rings(
             "difference": in_a & ~in_b,
         }[op]
         for i, arr in enumerate(traced):
-            ccw = shoelace_area(arr[:, 0], arr[:, 1]) > 0.0
+            # translation-stabilized sign (see gh_clip's twin comment)
+            ccw = shoelace_area_local(arr[:, 0], arr[:, 1]) > 0.0
             out.append(arr if bool(in_res[i]) == ccw else arr[::-1])
     return out
 
@@ -563,7 +646,12 @@ def _near_boundary_interior_point(ring: np.ndarray) -> tuple[float, float]:
         abs(float(ring[:, 1].min())),
     )
     eps = 1e-13 * max(span, coord_mag)
-    sgn = 1.0 if shoelace_area(ring[:, 0], ring[:, 1]) > 0 else -1.0
+    # translation-stabilized sign [r5 sweep find — the counterexample
+    # that pinned this was a REAL 1.2e-7 x 1.1e-9 difference piece at
+    # |coord| ~ 2 whose raw shoelace cancelled to exactly 0.0: sgn
+    # flipped to -1, every candidate offset OUTWARD, and the robust
+    # wrapper burned all five perturbed attempts on a non-error]
+    sgn = 1.0 if shoelace_area_local(ring[:, 0], ring[:, 1]) > 0 else -1.0
     # fast path: the first edge's candidate almost always lands inside —
     # one scalar construction + one 1-point pip test (the batched
     # all-candidates fallback below is O(k^2) on the piece)
@@ -895,7 +983,9 @@ def union_many(rings: list[np.ndarray]) -> list[np.ndarray]:
         ring = np.asarray(ring, dtype=float)
         # each input is a polygon boundary, not a hole — normalize CCW
         # so uncrossed-kept rings contribute positive signed area
-        if shoelace_area(ring[:, 0], ring[:, 1]) < 0.0:
+        # (translation-stabilized: raw shoelace can cancel to 0.0 or
+        # flip sign on tiny rings away from the origin)
+        if shoelace_area_local(ring[:, 0], ring[:, 1]) < 0.0:
             ring = ring[::-1]
         bb = (
             float(ring[:, 0].min()),

@@ -267,3 +267,59 @@ def test_shoelace_seq_local_gate_and_anchor():
     assert sy / (3.0 * a2) == pytest.approx(1.0 + OFF, rel=1e-12)
     # (the raw form's cancellation is shape-dependent — the end-to-end
     # demonstration lives in test_faces.test_tiled_faces_offset_heavy_exact)
+
+
+def test_seg_intersections_bulk_overflow_rescue():
+    """[VERDICT r4 #3] Cross products past float max made den/tn/un
+    inf (or inf-inf = NaN), every range comparison came out False, and
+    a TRUE proper crossing silently vanished — the same silent-wrong
+    shape as the r3 boolean mis-trace. The power-of-two rescale rescue
+    must find both crossings of these 1e200-scale boxes; the raw
+    expressions overflow on every involved product."""
+    import numpy as np
+
+    from mapshaper_spark import geometry as G
+
+    S = 1e200
+    ra = np.array([(-S, -S), (S, -S), (S, S), (-S, S)])
+    rb = np.array(
+        [(0.0, -0.5 * S), (2 * S, -0.5 * S), (2 * S, 1.5 * S), (0.0, 1.5 * S)]
+    )
+    ia, ja, t, u, px, py = G._seg_intersections_bulk(ra, rb)
+    assert len(ia) == 2
+    assert np.isfinite(px).all() and np.isfinite(py).all()
+    got = sorted(zip(px, py))
+    assert got[0][0] == pytest.approx(0.0, abs=1e186)
+    assert got[0][1] == pytest.approx(S, rel=1e-12)
+    assert got[1][0] == pytest.approx(S, rel=1e-12)
+    assert got[1][1] == pytest.approx(-0.5 * S, rel=1e-12)
+    assert ((t > 0) & (t < 1)).all() and ((u > 0) & (u < 1)).all()
+    # the scalar twin routes through the same rescue
+    res = G._seg_intersect((S, -S), (S, S), (0.0, -0.5 * S), (2 * S, -0.5 * S))
+    assert res is not None
+    assert res[0] == pytest.approx(0.25, rel=1e-12)
+    assert res[1] == pytest.approx(0.5, rel=1e-12)
+    # finite-regime results stay bit-identical to the fast path
+    ra2 = ra / 1e200
+    rb2 = rb / 1e200
+    ia2, ja2, t2, u2, _, _ = G._seg_intersections_bulk(ra2, rb2)
+    assert list(zip(ia2, ja2)) == list(zip(ia, ja))
+    assert np.array_equal(t, t2) and np.array_equal(u, u2)
+
+
+def test_pip_ray_overflow_rescue_vertical_edge():
+    """[VERDICT r4 #3] (py - y1) overflowing to inf on a VERTICAL edge
+    made xint = inf * 0 = NaN, the crossing silently dropped, and the
+    point misclassified outside. The convex-combination rescue keeps
+    the crossing (and an overflowed non-vertical xint now compares at
+    its true in-range value instead of +/-inf)."""
+    import numpy as np
+
+    from mapshaper_spark import geometry as G
+
+    Y = 1.7e308
+    ring = np.array([(0.0, -Y), (1.0, -Y), (1.0, Y), (0.0, Y)])
+    inside = G.pip_ray(np.array([0.5]), np.array([1.6e308]), ring)
+    assert bool(inside[0])
+    outside = G.pip_ray(np.array([1.5]), np.array([1.6e308]), ring)
+    assert not bool(outside[0])

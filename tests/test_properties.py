@@ -385,6 +385,15 @@ def test_dissolve2_matches_interval_algebra(boxes):
 # in face[0]; the old span*1e-7 interior-point offset overshot into it
 # and mis-oriented the A∩C piece (consistent, identity-proof)
 @example(boxes=[(1.0, 0.0, 2.0), (1.0, 0.0, 0.75), (0.0, -1.0, 2.0)])
+# r5 sweep find: the raw-shoelace orientation sign cancelled to 0.0 on
+# a REAL 1.2e-7 x 1.1e-9 difference piece (residue finger corner), so
+# _near_boundary_interior_point offset OUTWARD and every perturbed
+# attempt failed loudly; sign decisions now use shoelace_area_local
+@example(
+    boxes=[(1.0, 0.0, 2.00001),
+     (0.0, 0.8836389325395206, 2.00001),
+     (1.192092896e-07, -0.0, 2.00001)],
+)
 def test_clean_assign_matches_interval_algebra(boxes):
     """Operator-level randomized check [VERDICT r3 #2]: -clean's
     min-member face assignment equals assigning every elementary cell
