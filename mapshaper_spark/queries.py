@@ -3254,14 +3254,24 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 _DRIVER_WINDOW = [
     # graded spatial core (kept exemplars — every family retains at
     # least one hard driver row while twice-green variants rotate out)
+    # r5 ROTATION [VERDICT r4 #2 / CLAUDE.md window invariant]:
+    # clean_rings_tiled (the last parity-only ring emitter) displaces
+    # its own plan-variant clean_overlap_assignment (same min-id
+    # elementary-cell oracle, but the rings row recomputes the areas
+    # from the STITCHED geometry — strictly harder); the holed clip /
+    # erase rows and weighted simplify re-enter displacing their
+    # longest-green simpler variants (clip_points r1-green x4,
+    # pip_attribute_rows r1-green x4, simplify_visvalingam_counts
+    # r1-green x4 — pip keeps count_by_polygon + holes_rows, simplify
+    # keeps dp, every displaced row stays in tests/test_oracle_parity).
     "pip_count_by_polygon",
-    "pip_attribute_rows",
     "pip_holes_rows",
-    "clip_points",
+    "clip_points_holes",
+    "erase_points_holes",
     "knn_nearest_target",
     "tile_assign_counts",
     "raster_tile_pixel_counts",
-    "simplify_visvalingam_counts",
+    "simplify_weighted_counts",
     "dissolve_rings_grid",
     "dissolve_sum_fields",
     # r3 ROTATION [VERDICT r2 #1 / CLAUDE.md window invariant]: the
@@ -3274,7 +3284,7 @@ _DRIVER_WINDOW = [
     # still pytest-oracle-covered)
     "mosaic_faces_overlap_layer",
     "dissolve2_overlap_groups",
-    "clean_overlap_assignment",
+    "clean_rings_tiled",
     "polygons_from_lines_grid",
     "inlay_carved_areas",
     "gh_boolean_pair_areas",
