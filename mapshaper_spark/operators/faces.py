@@ -501,27 +501,37 @@ def _polygons_tiled_at(arcs: DataFrame, n_cells: int, attempt: int) -> DataFrame
     )
 
 
-def _rank_labels(lab: DataFrame, driver_limit: int = 2_000_000) -> DataFrame:
-    """(label) → (label, face_id) with face_id = dense global rank of
-    label — WITHOUT the naive unpartitioned row_number window, which
-    moves every face to one task [r3; surfaced by PLANS.md's WindowExec
-    warning]. Size-routed like :func:`_cc_labels`: metadata-sized label
+def _rank_labels(
+    lab: DataFrame,
+    driver_limit: int = 2_000_000,
+    col: str = "label",
+    out: str = "face_id",
+    dtype: str = "long",
+) -> DataFrame:
+    """(col) → (col, out) with out = dense global rank of col —
+    WITHOUT the naive unpartitioned row_number window, which moves
+    every row to one task [r3; surfaced by PLANS.md's WindowExec
+    warning]. Size-routed like :func:`_cc_labels`: metadata-sized
     sets rank on the driver (one limited collect, broadcast back);
     larger sets use the standard distributed global rank — range-
-    partition by label (global order across partitions), rank within
-    each partition, add exclusive per-partition offsets (the offset
-    table is #partitions-sized)."""
+    partition (global order across partitions), rank within each
+    partition, add exclusive per-partition offsets (the offset table
+    is #partitions-sized). String keys rank identically on both
+    routes: Spark's UTF8 binary compare and Python's code-point sort
+    agree (UTF-8 preserves code-point order)."""
     rows = lab.limit(driver_limit + 1).collect()
     if len(rows) <= driver_limit:
-        ids = sorted(r.label for r in rows)
+        ids = sorted(r[col] for r in rows)
+        vals = [
+            (v if isinstance(v, str) else int(v), i) for i, v in enumerate(ids)
+        ]
         return F.broadcast(
             lab.sparkSession.createDataFrame(
-                [(int(l), i) for i, l in enumerate(ids)],
-                "label long, face_id long",
+                vals, f"{col} {dtype}, {out} long"
             )
         )
     rp = (
-        lab.repartitionByRange("label")
+        lab.repartitionByRange(col)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -536,7 +546,7 @@ def _rank_labels(lab: DataFrame, driver_limit: int = 2_000_000) -> DataFrame:
     od = F.broadcast(
         lab.sparkSession.createDataFrame(offs, "_pid int, _off long")
     )
-    w = Window.partitionBy("_pid").orderBy("label")
+    w = Window.partitionBy("_pid").orderBy(col)
     return rp.join(od, "_pid").select(
-        "label", (F.col("_off") + F.row_number().over(w) - 1).alias("face_id")
+        col, (F.col("_off") + F.row_number().over(w) - 1).alias(out)
     )

@@ -100,17 +100,27 @@ def rings_table_from_emitter(rings: DataFrame) -> DataFrame:
     engine's even-odd multi-ring convention). This is the '-dissolve2
     … -o' path at scale: the distributed construction feeds
     :func:`export_geojsonl` / :func:`export_topojson_tiled` without
-    the geometry ever assembling on the driver."""
+    the geometry ever assembling on the driver. poly_id stays DENSE
+    (importers cast to int; hash ids would exceed JSON-safe integers)
+    but allocates through the size-routed distributed rank — the
+    clean/mosaic emitters embed feature ids in the key, so an
+    unpartitioned dense_rank window here would single-task a 100-TB
+    export [same ceiling class as VERDICT r4 #1]."""
     from pyspark.sql import Window
 
-    kw = Window.orderBy("key")
-    keys = (
-        rings.select("key")
-        .distinct()
-        .select("key", (F.dense_rank().over(kw) - 1).alias("poly_id"))
+    from ..operators.faces import _rank_labels
+
+    keys = _rank_labels(
+        rings.select("key").distinct(),
+        col="key",
+        out="poly_id",
+        dtype="string",
     )
     rw = Window.partitionBy("key").orderBy(F.col("area").desc(), "ring_id")
-    return rings.join(F.broadcast(keys), "key").select(
+    # no broadcast hint here: the size-routed rank already hints the
+    # driver-ranked (dim-sized) frame; the distributed route's frame
+    # can exceed broadcast limits and joins by shuffle
+    return rings.join(keys, "key").select(
         "key",
         "poly_id",
         (F.row_number().over(rw) - 1).alias("ring_idx"),

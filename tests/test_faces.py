@@ -152,6 +152,28 @@ def test_rank_labels_both_routes(spark, driver_limit):
     assert got == {3: 0, 7: 1, 42: 2, 100: 3}
 
 
+@pytest.mark.parametrize("driver_limit", [2_000_000, 0])
+def test_rank_labels_string_keys_both_routes(spark, driver_limit):
+    """String-key ranking (the rings_table_from_emitter poly_id path —
+    r5: the export adapter's unpartitioned dense_rank window moved to
+    this size-routed rank): both routes produce the same dense index
+    in UTF8-binary == code-point order, including the composite-key
+    separator and non-ASCII keys."""
+    import pandas as pd
+
+    ks = ["b\x1f10", "a", "b\x1f2", "éclair", "a\x1f1"]
+    lab = spark.createDataFrame(pd.DataFrame({"key": ks}), schema="key string")
+    got = {
+        r.key: r.poly_id
+        for r in faces._rank_labels(
+            lab, driver_limit=driver_limit, col="key", out="poly_id",
+            dtype="string",
+        ).collect()
+    }
+    want = {k: i for i, k in enumerate(sorted(ks))}
+    assert got == want
+
+
 def test_tiled_full_plan_distributed_route(spark, monkeypatch):
     """The fused driver union-find route and the distributed CC +
     range-partitioned rank route must produce identical faces through

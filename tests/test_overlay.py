@@ -429,3 +429,75 @@ def test_robinson_nodes_symmetry_roundtrip(spark):
     for r in inv:
         assert abs(r["lon2"] - r["lon"]) < 1e-8, r
         assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+
+
+def test_lambert_azimuthal_roundtrip_and_equal_area(spark):
+    """Spherical LAEA (r5): forward→inverse identity (including the
+    rho=0 center), and equal-area — a small quad's projected planar
+    area matches its spherical area to first order at an off-center
+    probe."""
+    import math as m
+
+    pts = [(0.0, 52.0), (10.0, 48.0), (-15.0, 35.0), (25.0, 66.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.lambert_azimuthal_inverse(
+        proj_fn.lambert_azimuthal(df)
+    ).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-9, r
+
+    R = proj_fn.R
+    d = 0.05
+    lon_c, lat_c = 18.0, 41.0
+    quad = [(lon_c - d, lat_c - d), (lon_c + d, lat_c - d),
+            (lon_c + d, lat_c + d), (lon_c - d, lat_c + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["zx"], r["zy"])
+           for r in proj_fn.lambert_azimuthal(qdf).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * m.radians(d)) * (
+        m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
+    )
+    assert abs(planar - spherical) < 2e-5 * spherical
+
+
+def test_sinusoidal_roundtrip_equal_area_and_parallels(spark):
+    """Sinusoidal (r5): forward→inverse identity; equal-area quad
+    check; equally-spaced parallels (y is linear in latitude) and the
+    central meridian is undistorted (x = 0, y = R·f along lon0)."""
+    import math as m
+
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.sinusoidal_inverse(proj_fn.sinusoidal(df)).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-9, r
+
+    R = proj_fn.R
+    got = {(r["lon"], r["lat"]): (r["sx"], r["sy"])
+           for r in proj_fn.sinusoidal(df).collect()}
+    # equally-spaced parallels + undistorted central meridian
+    assert got[(0.0, 0.0)] == (0.0, 0.0)
+    assert abs(got[(45.0, 30.0)][1] - R * m.radians(30.0)) < 1e-6
+    assert abs(got[(-120.0, -55.0)][1] - R * m.radians(-55.0)) < 1e-6
+
+    d = 0.05
+    lon_c, lat_c = -60.0, 23.0
+    quad = [(lon_c - d, lat_c - d), (lon_c + d, lat_c - d),
+            (lon_c + d, lat_c + d), (lon_c - d, lat_c + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["sx"], r["sy"])
+           for r in proj_fn.sinusoidal(qdf).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * m.radians(d)) * (
+        m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
+    )
+    assert abs(planar - spherical) < 2e-5 * spherical
