@@ -1,8 +1,9 @@
 """-proj: the projection family the engine ships [SURVEY.md §2.2
 -proj — the full PROJ long tail stays out of scope; this module covers
 WebMercator, the two conics (Albers equal-area, Lambert conformal),
-spherical transverse Mercator with per-row UTM zones, and Robinson
-(r4) — the projections mapshaper users actually reach for].
+spherical transverse Mercator with per-row UTM zones, Robinson (r4),
+Lambert azimuthal equal-area, sinusoidal, azimuthal equidistant and
+Mollweide (r5) — the projections mapshaper users actually reach for].
 
 Pure column expressions (JVM-side, codegen). tan/log are not
 ULP-portable across libm implementations, so projection outputs are
@@ -387,3 +388,154 @@ def sinusoidal_inverse(
         "lon2",
         F.when(F.abs(cosf) < F.lit(1e-15), F.lit(lon0)).otherwise(lon_gen),
     ).withColumn("lat2", F.degrees(f))
+
+
+def azimuthal_equidistant(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 52.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spherical azimuthal equidistant (Snyder 1987 eq. 25-1..25-4):
+    every great-circle distance FROM the center is preserved exactly —
+    hypot(ax, ay) = R·c where c is the angular distance, the property
+    the tests pin. k' = c / sin c (1 at the center); x = R k' cos f
+    sin dl; y = R k' (cos f0 sin f − sin f0 cos f cos dl). The exact
+    antipode (c = π, sin c = 0) is the projection's own singularity —
+    it maps to the bounding circle in no unique direction. Pure codegen
+    column math [SURVEY §7.5's -proj subset, grown per VERDICT r4
+    'missing' #3]."""
+    f0 = math.radians(lat0)
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    f = F.radians(F.col(lat))
+    cosc = (
+        F.lit(math.sin(f0)) * F.sin(f)
+        + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
+    )
+    # rounding can push |cos c| a few ulp past 1 → NaN from acos
+    c = F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosc)))
+    kp = F.when(c == F.lit(0.0), F.lit(1.0)).otherwise(c / F.sin(c))
+    x = F.lit(R) * kp * F.cos(f) * F.sin(dl)
+    y = F.lit(R) * kp * (
+        F.lit(math.cos(f0)) * F.sin(f)
+        - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+    )
+    return df.withColumn("ax", x).withColumn("ay", y)
+
+
+def azimuthal_equidistant_inverse(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 52.0,
+    ax: str = "ax",
+    ay: str = "ay",
+) -> DataFrame:
+    """Inverse spherical azimuthal equidistant (Snyder eq. 20-14..18
+    with 25-15: c = rho / R). The rho=0 center maps back exactly."""
+    f0 = math.radians(lat0)
+    rho = F.sqrt(F.col(ax) * F.col(ax) + F.col(ay) * F.col(ay))
+    c = rho / F.lit(R)
+    lat_gen = F.degrees(
+        F.asin(
+            F.cos(c) * F.lit(math.sin(f0))
+            + F.col(ay) * F.sin(c) * F.lit(math.cos(f0)) / rho
+        )
+    )
+    lon_gen = F.lit(lon0) + F.degrees(
+        F.atan2(
+            F.col(ax) * F.sin(c),
+            rho * F.lit(math.cos(f0)) * F.cos(c)
+            - F.col(ay) * F.lit(math.sin(f0)) * F.sin(c),
+        )
+    )
+    at_center = rho == F.lit(0.0)
+    return df.withColumn(
+        "lon2", F.when(at_center, F.lit(lon0)).otherwise(lon_gen)
+    ).withColumn("lat2", F.when(at_center, F.lit(lat0)).otherwise(lat_gen))
+
+
+_MOLL_ITERS = 30  # Newton on 2θ + sin 2θ = π sin φ: quadratic away
+# from the poles, but the root flattens toward θ = ±π/2 (g' → 0, a
+# near-double root) where convergence degrades to linear — measured
+# 30 fixed steps reach ≤1e-9° everywhere incl. |φ| = 89.9999°, while
+# 10 leave 4e-2° at 89.99° (exact-pole rows take the closed form)
+
+
+def mollweide(
+    df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Mollweide (homolographic) pseudocylindrical — equal-area over
+    the 2:1 ellipse (Snyder 1987 eq. 31-1..31-3): solve
+    2θ + sin 2θ = π sin φ, then x = R (2√2/π) dl cos θ, y = R √2 sin θ.
+    The Newton solve stays codegen-side as a FIXED-count iteration,
+    each step rebound through ``withColumn`` so the auxiliary θ column
+    is an attribute reference (referenced three times per step —
+    CollapseProject keeps non-cheap multi-referenced projections as
+    separate stages, so the expression tree stays linear in the
+    iteration count, not 3^n). Pole rows (the Newton denominator
+    2 + 2cos 2θ → 0 there) take the exact closed form θ = ±π/2."""
+    f = F.radians(F.col(lat))
+    out = df.withColumn("_moll_tgt", F.lit(math.pi) * F.sin(f))
+    out = out.withColumn("_moll_th", f)
+    for _ in range(_MOLL_ITERS):
+        th = F.col("_moll_th")
+        den = F.lit(2.0) + F.lit(2.0) * F.cos(F.lit(2.0) * th)
+        # CaseWhen is lazy per row, so exact-pole rows (den == 0, ANSI
+        # divide-by-zero otherwise) never execute the division — they
+        # take the closed form below anyway
+        out = out.withColumn(
+            "_moll_th",
+            F.when(
+                den > F.lit(0.0),
+                th
+                - (
+                    F.lit(2.0) * th
+                    + F.sin(F.lit(2.0) * th)
+                    - F.col("_moll_tgt")
+                )
+                / den,
+            ).otherwise(th),
+        )
+    at_pole = F.abs(F.col(lat)) >= F.lit(90.0 - 1e-9)
+    theta = F.when(
+        at_pole, F.lit(math.pi / 2.0) * F.signum(F.col(lat))
+    ).otherwise(F.col("_moll_th"))
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    x = F.lit(R * 2.0 * math.sqrt(2.0) / math.pi) * dl * F.cos(theta)
+    y = F.lit(R * math.sqrt(2.0)) * F.sin(theta)
+    return (
+        out.withColumn("wx", x)
+        .withColumn("wy", y)
+        .drop("_moll_tgt", "_moll_th")
+    )
+
+
+def mollweide_inverse(
+    df: DataFrame, lon0: float = 0.0, wx: str = "wx", wy: str = "wy"
+) -> DataFrame:
+    """Inverse Mollweide (Snyder eq. 31-6..31-8) — closed form, no
+    iteration: θ = asin(y / (R√2)); φ = asin((2θ + sin 2θ)/π);
+    λ = λ0 + π x / (2√2 R cos θ). Poles (cos θ = 0, where every
+    meridian meets) map back to lon0."""
+    s = F.least(
+        F.lit(1.0),
+        F.greatest(F.lit(-1.0), F.col(wy) / F.lit(R * math.sqrt(2.0))),
+    )
+    theta = F.asin(s)
+    lat_out = F.degrees(
+        F.asin(
+            (F.lit(2.0) * theta + F.sin(F.lit(2.0) * theta))
+            / F.lit(math.pi)
+        )
+    )
+    cost = F.cos(theta)
+    lon_gen = F.lit(lon0) + F.degrees(
+        F.lit(math.pi)
+        * F.col(wx)
+        / (F.lit(2.0 * math.sqrt(2.0) * R) * cost)
+    )
+    return df.withColumn(
+        "lon2",
+        F.when(F.abs(cost) < F.lit(1e-12), F.lit(lon0)).otherwise(lon_gen),
+    ).withColumn("lat2", lat_out)

@@ -465,6 +465,88 @@ def test_lambert_azimuthal_roundtrip_and_equal_area(spark):
     assert abs(planar - spherical) < 2e-5 * spherical
 
 
+def test_azimuthal_equidistant_roundtrip_and_distance(spark):
+    """Azimuthal equidistant (r5): forward→inverse identity (incl. the
+    rho=0 center), and the DEFINING property — the projected radial
+    distance from the center equals R times the great-circle angular
+    distance, exactly (to float rounding), for near and far points."""
+    import math as m
+
+    lon0, lat0 = 0.0, 52.0
+    pts = [(0.0, 52.0), (10.0, 48.0), (-150.0, -35.0), (25.0, 66.0),
+           (179.0, -52.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    fwd = proj_fn.azimuthal_equidistant(df, lon0=lon0, lat0=lat0)
+    out = proj_fn.azimuthal_equidistant_inverse(
+        fwd, lon0=lon0, lat0=lat0
+    ).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+
+    R = proj_fn.R
+    f0 = m.radians(lat0)
+    got = {(r["lon"], r["lat"]): (r["ax"], r["ay"]) for r in fwd.collect()}
+    for (lo, la), (ax, ay) in got.items():
+        f = m.radians(la)
+        cosc = m.sin(f0) * m.sin(f) + m.cos(f0) * m.cos(f) * m.cos(
+            m.radians(lo - lon0)
+        )
+        c = m.acos(max(-1.0, min(1.0, cosc)))
+        assert abs(m.hypot(ax, ay) - R * c) < 1e-6 * max(R * c, 1.0), (lo, la)
+
+
+def test_mollweide_roundtrip_equal_area_and_nodes(spark):
+    """Mollweide (r5): forward→inverse identity across latitudes up to
+    89.99° plus both poles (the fixed 30-step Newton's measured
+    convergence envelope), the closed-form nodes (equator θ=0;
+    poles y = ±√2·R; the boundary ellipse's 2:1 axes), and the
+    equal-area quad check shared by the other equal-area projections."""
+    import math as m
+
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0),
+           (13.0, 89.99), (-13.0, -89.99), (60.0, 90.0), (60.0, -90.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.mollweide_inverse(proj_fn.mollweide(df)).collect()
+    R = proj_fn.R
+    for r in out:
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+        if abs(r["lat"]) < 90.0 - 1e-9:
+            assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        else:  # every meridian meets at the pole
+            assert r["lon2"] == 0.0, r
+
+    got = {(r["lon"], r["lat"]): (r["wx"], r["wy"])
+           for r in proj_fn.mollweide(df).collect()}
+    assert got[(0.0, 0.0)] == (0.0, 0.0)
+    assert abs(got[(60.0, 90.0)][1] - R * m.sqrt(2.0)) < 1e-6
+    assert abs(got[(60.0, -90.0)][1] + R * m.sqrt(2.0)) < 1e-6
+    # boundary ellipse: x(±180°, 0°) = ±2√2·R — the 2:1 homolographic
+    # frame whose area πab = 4πR² equals the sphere's
+    edge = spark.createDataFrame(
+        [(180.0, 0.0), (-180.0, 0.0)], schema="lon double, lat double"
+    )
+    ex = {r["lon"]: r["wx"] for r in proj_fn.mollweide(edge).collect()}
+    assert abs(ex[180.0] - 2.0 * m.sqrt(2.0) * R) < 1e-6
+    assert abs(ex[-180.0] + 2.0 * m.sqrt(2.0) * R) < 1e-6
+
+    d = 0.05
+    lon_c, lat_c = 33.0, -48.0
+    quad = [(lon_c - d, lat_c - d), (lon_c + d, lat_c - d),
+            (lon_c + d, lat_c + d), (lon_c - d, lat_c + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["wx"], r["wy"])
+           for r in proj_fn.mollweide(qdf).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * m.radians(d)) * (
+        m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
+    )
+    assert abs(planar - spherical) < 2e-5 * spherical
+
+
 def test_sinusoidal_roundtrip_equal_area_and_parallels(spark):
     """Sinusoidal (r5): forward→inverse identity; equal-area quad
     check; equally-spaced parallels (y is linear in latitude) and the
