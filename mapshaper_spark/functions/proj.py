@@ -2,8 +2,10 @@
 -proj — the full PROJ long tail stays out of scope; this module covers
 WebMercator, the two conics (Albers equal-area, Lambert conformal),
 spherical transverse Mercator with per-row UTM zones, Robinson (r4),
-Lambert azimuthal equal-area, sinusoidal, azimuthal equidistant and
-Mollweide (r5) — the projections mapshaper users actually reach for].
+Lambert azimuthal equal-area, sinusoidal, azimuthal equidistant,
+Mollweide, Eckert IV, Natural Earth, Equal Earth, stereographic and
+orthographic (r5) — the projections mapshaper users actually reach
+for].
 
 Pure column expressions (JVM-side, codegen). tan/log are not
 ULP-portable across libm implementations, so projection outputs are
@@ -539,3 +541,349 @@ def mollweide_inverse(
         "lon2",
         F.when(F.abs(cost) < F.lit(1e-12), F.lit(lon0)).otherwise(lon_gen),
     ).withColumn("lat2", lat_out)
+
+
+_ECK4_ITERS = 30  # Newton on t + sin t cos t + 2 sin t = (2+pi/2) sin f:
+# g' = 2 cos t (1 + cos t) has a SIMPLE zero at the pole (unlike
+# Mollweide's double), so 30 fixed steps reach machine precision
+# everywhere incl. 89.9999 deg (measured; exact-pole rows take the
+# closed form t = +-pi/2)
+_ECK4_C = 2.0 + math.pi / 2.0
+_ECK4_XM = 2.0 / math.sqrt(4.0 * math.pi + math.pi * math.pi)
+_ECK4_YM = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+
+
+def eckert4(
+    df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Eckert IV pseudocylindrical — equal-area, elliptical meridians
+    (Snyder 1987 eq. 32-1..32-4): solve t + sin t cos t + 2 sin t =
+    (2 + pi/2) sin f, then x = (2/sqrt(4pi+pi^2)) R dl (1 + cos t),
+    y = 2 sqrt(pi/(4+pi)) R sin t. The Newton solve is a FIXED-count
+    codegen-side iteration rebound through ``withColumn`` (the Mollweide
+    pattern: the auxiliary column is an attribute reference, so the
+    expression tree stays linear in the step count)."""
+    f = F.radians(F.col(lat))
+    out = df.withColumn("_ek_tgt", F.lit(_ECK4_C) * F.sin(f))
+    out = out.withColumn("_ek_t", f / F.lit(2.0))
+    for _ in range(_ECK4_ITERS):
+        t = F.col("_ek_t")
+        den = F.lit(2.0) * F.cos(t) * (F.lit(1.0) + F.cos(t))
+        out = out.withColumn(
+            "_ek_t",
+            F.when(
+                den > F.lit(0.0),
+                t
+                - (t + F.sin(t) * F.cos(t) + F.lit(2.0) * F.sin(t) - F.col("_ek_tgt"))
+                / den,
+            ).otherwise(t),
+        )
+    at_pole = F.abs(F.col(lat)) >= F.lit(90.0 - 1e-9)
+    t = F.when(
+        at_pole, F.lit(math.pi / 2.0) * F.signum(F.col(lat))
+    ).otherwise(F.col("_ek_t"))
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    x = F.lit(_ECK4_XM * R) * dl * (F.lit(1.0) + F.cos(t))
+    y = F.lit(_ECK4_YM * R) * F.sin(t)
+    return out.withColumn("ekx", x).withColumn("eky", y).drop("_ek_tgt", "_ek_t")
+
+
+def eckert4_inverse(
+    df: DataFrame, lon0: float = 0.0, ekx: str = "ekx", eky: str = "eky"
+) -> DataFrame:
+    """Inverse Eckert IV (Snyder eq. 32-5..32-7) — closed form, no
+    iteration: t = asin(y / (2 sqrt(pi/(4+pi)) R)); f = asin((t +
+    sin t cos t + 2 sin t)/(2 + pi/2)); lam = lam0 + sqrt(4pi+pi^2) x /
+    (2 R (1 + cos t)). Poles (cos t = -1 never happens; at t = +-pi/2
+    the meridians still separate — x carries (1 + cos t) = 1)."""
+    s = F.least(
+        F.lit(1.0), F.greatest(F.lit(-1.0), F.col(eky) / F.lit(_ECK4_YM * R))
+    )
+    t = F.asin(s)
+    lat_out = F.degrees(
+        F.asin(
+            (t + F.sin(t) * F.cos(t) + F.lit(2.0) * F.sin(t)) / F.lit(_ECK4_C)
+        )
+    )
+    lon_out = F.lit(lon0) + F.degrees(
+        F.col(ekx) / (F.lit(_ECK4_XM * R) * (F.lit(1.0) + F.cos(t)))
+    )
+    return df.withColumn("lon2", lon_out).withColumn("lat2", lat_out)
+
+
+# Natural Earth (Savric, Jenny, Patterson et al. 2011 — the published
+# polynomial; the same coefficients d3-geo's naturalEarth1 ships):
+# x = R lam (A0 + A1 f^2 + A2 f^4 + A3 f^10 + A4 f^12)
+# y = R f  (B0 + B1 f^2 + B2 f^6 + B3 f^8 + B4 f^10)
+_NE_A = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)
+_NE_B = (1.007226, 0.015085, -0.044475, 0.028874, -0.005916)
+_NE_ITERS = 12  # Newton on the y polynomial: strictly increasing with
+# dy/df >= 0.12 everywhere on [-pi/2, pi/2] (minimum at the pole), so
+# 12 fixed steps from f0 = y reach <1e-13 deg at every latitude
+# (measured incl. 89 and 90 deg)
+
+
+def _ne_len(f):  # A-polynomial: x / (R lam)
+    f2 = f * f
+    f4 = f2 * f2
+    return (
+        F.lit(_NE_A[0])
+        + F.lit(_NE_A[1]) * f2
+        + f4 * (F.lit(_NE_A[2]) + F.lit(_NE_A[3]) * f4 * f2 + F.lit(_NE_A[4]) * f4 * f4)
+    )
+
+
+def _ne_y(f):  # B-polynomial times f: y / R
+    f2 = f * f
+    f4 = f2 * f2
+    return f * (
+        F.lit(_NE_B[0])
+        + f2
+        * (
+            F.lit(_NE_B[1])
+            + f4 * (F.lit(_NE_B[2]) + F.lit(_NE_B[3]) * f2 + F.lit(_NE_B[4]) * f4)
+        )
+    )
+
+
+def _ne_dy(f):  # d(y/R)/df
+    f2 = f * f
+    f4 = f2 * f2
+    f6 = f4 * f2
+    return (
+        F.lit(_NE_B[0])
+        + F.lit(3.0 * _NE_B[1]) * f2
+        + F.lit(7.0 * _NE_B[2]) * f6
+        + F.lit(9.0 * _NE_B[3]) * f4 * f4
+        + F.lit(11.0 * _NE_B[4]) * f6 * f4
+    )
+
+
+def natural_earth(
+    df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Natural Earth pseudocylindrical (the published 2011 polynomial —
+    the compromise projection designed for world maps; upstream reaches
+    it as +proj=natearth). Pure codegen column math, no iteration in
+    the forward direction."""
+    f = F.radians(F.col(lat))
+    x = F.lit(R) * F.radians(F.col(lon) - F.lit(lon0)) * _ne_len(f)
+    return df.withColumn("nex", x).withColumn("ney", F.lit(R) * _ne_y(f))
+
+
+def natural_earth_inverse(
+    df: DataFrame, lon0: float = 0.0, nex: str = "nex", ney: str = "ney"
+) -> DataFrame:
+    """Inverse Natural Earth: Newton on the strictly-increasing y
+    polynomial (fixed 12 codegen-side steps, f0 = y/R), then
+    lam = lam0 + x / (R A(f)) in closed form."""
+    yn = F.col(ney) / F.lit(R)
+    out = df.withColumn("_ne_f", yn)
+    for _ in range(_NE_ITERS):
+        f = F.col("_ne_f")
+        out = out.withColumn("_ne_f", f - (_ne_y(f) - yn) / _ne_dy(f))
+    f = F.col("_ne_f")
+    lon_out = F.lit(lon0) + F.degrees(F.col(nex) / (F.lit(R) * _ne_len(f)))
+    return (
+        out.withColumn("lon2", lon_out)
+        .withColumn("lat2", F.degrees(f))
+        .drop("_ne_f")
+    )
+
+
+# Equal Earth (Savric, Patterson & Jenny 2018 — the published
+# polynomial over the auxiliary latitude sin t = (sqrt(3)/2) sin f):
+# y = R t (A1 + A2 t^2 + t^6 (A3 + A4 t^2));
+# x = R lam cos t / (M dY/dt)
+_EE_A = (1.340264, -0.081106, 0.000893, 0.003796)
+_EE_M = math.sqrt(3.0) / 2.0
+_EE_ITERS = 12  # dY/dt = A1 + 3 A2 t^2 + t^6(7 A3 + 9 A4 t^2) >= 1.08
+# on |t| <= pi/3 (t is bounded by asin(M)), so Newton from t0 = y
+# reaches <1e-12 deg in 12 fixed steps everywhere (measured)
+
+
+def _ee_y(t):
+    t2 = t * t
+    t6 = t2 * t2 * t2
+    return t * (
+        F.lit(_EE_A[0])
+        + F.lit(_EE_A[1]) * t2
+        + t6 * (F.lit(_EE_A[2]) + F.lit(_EE_A[3]) * t2)
+    )
+
+
+def _ee_dy(t):
+    t2 = t * t
+    t6 = t2 * t2 * t2
+    return (
+        F.lit(_EE_A[0])
+        + F.lit(3.0 * _EE_A[1]) * t2
+        + t6 * (F.lit(7.0 * _EE_A[2]) + F.lit(9.0 * _EE_A[3]) * t2)
+    )
+
+
+def equal_earth(
+    df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Equal Earth pseudocylindrical — EQUAL-AREA by construction (the
+    2018 Robinson-look replacement; upstream reaches it as
+    +proj=eqearth): t = asin(M sin f) with M = sqrt(3)/2, then the
+    published polynomial. Forward is closed-form codegen (the asin is
+    exact); equal-area because x carries 1/(M dY/dt) — the Jacobian
+    det is R^2 cos f exactly."""
+    f = F.radians(F.col(lat))
+    t = F.asin(F.lit(_EE_M) * F.sin(f))
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    x = F.lit(R) * dl * F.cos(t) / (F.lit(_EE_M) * _ee_dy(t))
+    return df.withColumn("eqx", x).withColumn("eqy", F.lit(R) * _ee_y(t))
+
+
+def equal_earth_inverse(
+    df: DataFrame, lon0: float = 0.0, eqx: str = "eqx", eqy: str = "eqy"
+) -> DataFrame:
+    """Inverse Equal Earth: Newton for t on the strictly-increasing y
+    polynomial (fixed 12 codegen-side steps), then f = asin(sin t / M)
+    and lam = lam0 + M x dY/dt / (R cos t) in closed form. Poles
+    (cos t = 1/2 at t = pi/3 — never zero) stay regular."""
+    yn = F.col(eqy) / F.lit(R)
+    out = df.withColumn("_ee_t", yn)
+    for _ in range(_EE_ITERS):
+        t = F.col("_ee_t")
+        out = out.withColumn("_ee_t", t - (_ee_y(t) - yn) / _ee_dy(t))
+    t = F.col("_ee_t")
+    s = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.sin(t) / F.lit(_EE_M)))
+    lat_out = F.degrees(F.asin(s))
+    lon_out = F.lit(lon0) + F.degrees(
+        F.lit(_EE_M) * F.col(eqx) * _ee_dy(t) / (F.lit(R) * F.cos(t))
+    )
+    return (
+        out.withColumn("lon2", lon_out)
+        .withColumn("lat2", lat_out)
+        .drop("_ee_t")
+    )
+
+
+def stereographic(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 52.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spherical oblique stereographic (Snyder 1987 eq. 21-2..21-4) —
+    CONFORMAL azimuthal, the property the tests pin: k = 2R / (1 +
+    sin f0 sin f + cos f0 cos f cos dl); x = k cos f sin dl; y =
+    k (cos f0 sin f - sin f0 cos f cos dl). The antipode (k -> inf) is
+    the projection's own singularity. Pure codegen column math."""
+    f0 = math.radians(lat0)
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    f = F.radians(F.col(lat))
+    cosc = (
+        F.lit(math.sin(f0)) * F.sin(f)
+        + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
+    )
+    k = F.lit(2.0 * R) / (F.lit(1.0) + cosc)
+    x = k * F.cos(f) * F.sin(dl)
+    y = k * (
+        F.lit(math.cos(f0)) * F.sin(f)
+        - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+    )
+    return df.withColumn("stx", x).withColumn("sty", y)
+
+
+def stereographic_inverse(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 52.0,
+    stx: str = "stx",
+    sty: str = "sty",
+) -> DataFrame:
+    """Inverse spherical stereographic (Snyder eq. 20-14..18 with
+    21-15: c = 2 atan(rho / (2R))). The rho=0 center maps back
+    exactly."""
+    f0 = math.radians(lat0)
+    rho = F.sqrt(F.col(stx) * F.col(stx) + F.col(sty) * F.col(sty))
+    c = F.lit(2.0) * F.atan(rho / F.lit(2.0 * R))
+    lat_gen = F.degrees(
+        F.asin(
+            F.cos(c) * F.lit(math.sin(f0))
+            + F.col(sty) * F.sin(c) * F.lit(math.cos(f0)) / rho
+        )
+    )
+    lon_gen = F.lit(lon0) + F.degrees(
+        F.atan2(
+            F.col(stx) * F.sin(c),
+            rho * F.lit(math.cos(f0)) * F.cos(c)
+            - F.col(sty) * F.lit(math.sin(f0)) * F.sin(c),
+        )
+    )
+    at_center = rho == F.lit(0.0)
+    return df.withColumn(
+        "lon2", F.when(at_center, F.lit(lon0)).otherwise(lon_gen)
+    ).withColumn("lat2", F.when(at_center, F.lit(lat0)).otherwise(lat_gen))
+
+
+def orthographic(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 52.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spherical orthographic (Snyder 1987 eq. 20-3..20-5) — the view
+    from infinity: x = R cos f sin dl; y = R (cos f0 sin f - sin f0
+    cos f cos dl); hypot(x, y) = R sin c, the defining property the
+    tests pin. Points on the BACK hemisphere (cos c < 0) project onto
+    the same disc as their mirror — rows carry ``ort_front`` so callers
+    can clip (the projection itself is only injective on one
+    hemisphere). Pure codegen column math."""
+    f0 = math.radians(lat0)
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    f = F.radians(F.col(lat))
+    cosc = (
+        F.lit(math.sin(f0)) * F.sin(f)
+        + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
+    )
+    x = F.lit(R) * F.cos(f) * F.sin(dl)
+    y = F.lit(R) * (
+        F.lit(math.cos(f0)) * F.sin(f)
+        - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+    )
+    return (
+        df.withColumn("orx", x)
+        .withColumn("ory", y)
+        .withColumn("ort_front", cosc >= F.lit(0.0))
+    )
+
+
+def orthographic_inverse(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 52.0,
+    orx: str = "orx",
+    ory: str = "ory",
+) -> DataFrame:
+    """Inverse spherical orthographic for FRONT-hemisphere points
+    (Snyder eq. 20-14..18 with 20-19: c = asin(rho / R); rounding can
+    push rho a few ulp past R at the limb — clamped). The rho=0 center
+    maps back exactly."""
+    f0 = math.radians(lat0)
+    rho = F.sqrt(F.col(orx) * F.col(orx) + F.col(ory) * F.col(ory))
+    c = F.asin(F.least(F.lit(1.0), rho / F.lit(R)))
+    lat_gen = F.degrees(
+        F.asin(
+            F.cos(c) * F.lit(math.sin(f0))
+            + F.col(ory) * F.sin(c) * F.lit(math.cos(f0)) / rho
+        )
+    )
+    lon_gen = F.lit(lon0) + F.degrees(
+        F.atan2(
+            F.col(orx) * F.sin(c),
+            rho * F.lit(math.cos(f0)) * F.cos(c)
+            - F.col(ory) * F.lit(math.sin(f0)) * F.sin(c),
+        )
+    )
+    at_center = rho == F.lit(0.0)
+    return df.withColumn(
+        "lon2", F.when(at_center, F.lit(lon0)).otherwise(lon_gen)
+    ).withColumn("lat2", F.when(at_center, F.lit(lat0)).otherwise(lat_gen))

@@ -583,3 +583,207 @@ def test_sinusoidal_roundtrip_equal_area_and_parallels(spark):
         m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
     )
     assert abs(planar - spherical) < 2e-5 * spherical
+
+
+def test_eckert4_roundtrip_nodes_and_equal_area(spark):
+    """Eckert IV (r5): forward→inverse identity up to 89.99° plus both
+    poles (the fixed 30-step Newton's measured envelope — g' has a
+    SIMPLE zero at the pole, so it converges to machine precision),
+    closed-form nodes (equator θ=0; pole y = 2√(π/(4+π))·R; the pole
+    line is exactly HALF the equator — Eckert's defining ratio), and
+    the shared equal-area quad check."""
+    import math as m
+
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0),
+           (13.0, 89.99), (-13.0, -89.99), (60.0, 90.0), (60.0, -90.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.eckert4_inverse(proj_fn.eckert4(df)).collect()
+    R = proj_fn.R
+    for r in out:
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+        # poles keep distinct meridians (x carries 1 + cos θ = 1)
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+
+    got = {(r["lon"], r["lat"]): (r["ekx"], r["eky"])
+           for r in proj_fn.eckert4(df).collect()}
+    assert got[(0.0, 0.0)] == (0.0, 0.0)
+    want_pole_y = 2.0 * m.sqrt(m.pi / (4.0 + m.pi)) * R
+    assert abs(got[(60.0, 90.0)][1] - want_pole_y) < 1e-6
+    assert abs(got[(60.0, -90.0)][1] + want_pole_y) < 1e-6
+    edge = spark.createDataFrame(
+        [(180.0, 0.0), (180.0, 90.0)], schema="lon double, lat double"
+    )
+    ex = {r["lat"]: r["ekx"] for r in proj_fn.eckert4(edge).collect()}
+    assert abs(ex[90.0] / ex[0.0] - 0.5) < 1e-12  # pole line = equator/2
+
+    d = 0.05
+    lon_c, lat_c = 33.0, -48.0
+    quad = [(lon_c - d, lat_c - d), (lon_c + d, lat_c - d),
+            (lon_c + d, lat_c + d), (lon_c - d, lat_c + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["ekx"], r["eky"])
+           for r in proj_fn.eckert4(qdf).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * m.radians(d)) * (
+        m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
+    )
+    assert abs(planar - spherical) < 2e-5 * spherical
+
+
+def test_natural_earth_roundtrip_and_polynomial_twin(spark):
+    """Natural Earth (r5): forward→inverse identity (incl. the poles —
+    the y polynomial is strictly increasing, dy/dφ ≥ 0.12, so the fixed
+    12-step Newton recovers every latitude), a numpy twin of the
+    published polynomial at probe points, hemispheric symmetry, and the
+    published frame ratios (pole line ≈ 0.562 of the equator; straight
+    equally-scaled parallels: x is exactly linear in lon at fixed
+    lat)."""
+    import math as m
+
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0),
+           (13.0, 89.0), (60.0, 90.0), (60.0, -90.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.natural_earth_inverse(proj_fn.natural_earth(df)).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+
+    R = proj_fn.R
+    A, B = proj_fn._NE_A, proj_fn._NE_B
+    got = {(r["lon"], r["lat"]): (r["nex"], r["ney"])
+           for r in proj_fn.natural_earth(df).collect()}
+    for (lo, la), (x, y) in got.items():
+        f = m.radians(la)
+        f2, f4 = f * f, f ** 4
+        ax = A[0] + A[1] * f2 + A[2] * f4 + A[3] * f4 * f4 * f2 + A[4] * f4 * f4 * f4
+        by = f * (B[0] + B[1] * f2 + B[2] * f4 * f2 + B[3] * f4 * f4 + B[4] * f4 * f4 * f2)
+        assert abs(x - R * m.radians(lo) * ax) < 1e-6 * max(1.0, abs(x)), (lo, la)
+        assert abs(y - R * by) < 1e-6 * max(1.0, abs(y)), (lo, la)
+
+    # hemispheric symmetry + pole-line ratio (the A-polynomial at ±π/2
+    # over A0) — the published compromise frame
+    assert abs(got[(60.0, 90.0)][1] + got[(60.0, -90.0)][1]) < 1e-9
+    f = m.pi / 2.0
+    f2, f4 = f * f, f ** 4
+    want_ratio = (A[0] + A[1] * f2 + A[2] * f4 + A[3] * f4 * f4 * f2
+                  + A[4] * f4 * f4 * f4) / A[0]
+    eq = spark.createDataFrame(
+        [(60.0, 90.0), (60.0, 0.0)], schema="lon double, lat double"
+    )
+    ex = {r["lat"]: r["nex"] for r in proj_fn.natural_earth(eq).collect()}
+    assert abs(ex[90.0] / ex[0.0] - want_ratio) < 1e-12
+
+
+def test_equal_earth_roundtrip_nodes_and_equal_area(spark):
+    """Equal Earth (r5): forward→inverse identity (incl. poles —
+    dY/dt ≥ 1.08 on the bounded |t| ≤ π/3, so the fixed 12-step Newton
+    recovers every latitude), the closed-form pole node y = R·Y(π/3),
+    and the shared equal-area quad check — the projection's defining
+    property (the Jacobian is R²cos φ by construction)."""
+    import math as m
+
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0),
+           (13.0, 89.99), (60.0, 90.0), (60.0, -90.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.equal_earth_inverse(proj_fn.equal_earth(df)).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+
+    R = proj_fn.R
+    A = proj_fn._EE_A
+    got = {(r["lon"], r["lat"]): (r["eqx"], r["eqy"])
+           for r in proj_fn.equal_earth(df).collect()}
+    assert got[(0.0, 0.0)] == (0.0, 0.0)
+    # at the pole t = asin(√3/2) = π/3 exactly
+    t = m.pi / 3.0
+    want_pole_y = R * t * (A[0] + A[1] * t * t
+                           + t ** 6 * (A[2] + A[3] * t * t))
+    assert abs(got[(60.0, 90.0)][1] - want_pole_y) < 1e-6
+    assert abs(got[(60.0, -90.0)][1] + want_pole_y) < 1e-6
+
+    d = 0.05
+    lon_c, lat_c = -75.0, 37.0
+    quad = [(lon_c - d, lat_c - d), (lon_c + d, lat_c - d),
+            (lon_c + d, lat_c + d), (lon_c - d, lat_c + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["eqx"], r["eqy"])
+           for r in proj_fn.equal_earth(qdf).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * m.radians(d)) * (
+        m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
+    )
+    assert abs(planar - spherical) < 2e-5 * spherical
+
+
+def test_stereographic_roundtrip_and_conformal(spark):
+    """Spherical oblique stereographic (r5): forward→inverse identity
+    (incl. the rho=0 center), and conformality at an off-center probe —
+    equal ground steps project to equal lengths, orthogonally (the TM
+    test's check at this projection)."""
+    import math as m
+
+    lon0, lat0 = 0.0, 52.0
+    pts = [(0.0, 52.0), (10.0, 48.0), (-150.0, -35.0), (25.0, 66.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    fwd = proj_fn.stereographic(df, lon0=lon0, lat0=lat0)
+    out = proj_fn.stereographic_inverse(fwd, lon0=lon0, lat0=lat0).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+
+    lon, lat = 18.0, 41.0
+    h = 1e-4
+    de = h / m.cos(m.radians(lat))
+    probe = [(lon, lat), (lon + de, lat), (lon, lat + h)]
+    pdf = spark.createDataFrame(probe, schema="lon double, lat double")
+    got = {(r["lon"], r["lat"]): (r["stx"], r["sty"])
+           for r in proj_fn.stereographic(pdf, lon0=lon0, lat0=lat0).collect()}
+    ox, oy = got[(lon, lat)]
+    ex, ey = got[(lon + de, lat)]
+    nx, ny = got[(lon, lat + h)]
+    len_e = m.hypot(ex - ox, ey - oy)
+    len_n = m.hypot(nx - ox, ny - oy)
+    assert abs(len_e / len_n - 1.0) < 1e-4
+    dot = (ex - ox) * (nx - ox) + (ey - oy) * (ny - oy)
+    assert abs(dot) < 1e-4 * len_e * len_n
+
+
+def test_orthographic_roundtrip_and_radial_property(spark):
+    """Spherical orthographic (r5): forward→inverse identity for
+    front-hemisphere points (incl. the rho=0 center), the DEFINING
+    property hypot(x, y) = R·sin c, and the back-hemisphere flag
+    (cos c < 0 rows marked ort_front = false)."""
+    import math as m
+
+    lon0, lat0 = 0.0, 52.0
+    pts = [(0.0, 52.0), (10.0, 48.0), (-15.0, 35.0), (25.0, 66.0),
+           (179.0, -52.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    fwd = proj_fn.orthographic(df, lon0=lon0, lat0=lat0)
+    flags = {(r["lon"], r["lat"]): r["ort_front"] for r in fwd.collect()}
+    assert flags[(179.0, -52.0)] is False  # the antipode's neighborhood
+    assert all(v for k, v in flags.items() if k != (179.0, -52.0))
+
+    front = fwd.filter("ort_front")
+    out = proj_fn.orthographic_inverse(front, lon0=lon0, lat0=lat0).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+
+    R = proj_fn.R
+    f0 = m.radians(lat0)
+    got = {(r["lon"], r["lat"]): (r["orx"], r["ory"]) for r in fwd.collect()}
+    for (lo, la), (x, y) in got.items():
+        f = m.radians(la)
+        cosc = m.sin(f0) * m.sin(f) + m.cos(f0) * m.cos(f) * m.cos(
+            m.radians(lo - lon0)
+        )
+        sinc = m.sqrt(max(0.0, 1.0 - cosc * cosc))
+        assert abs(m.hypot(x, y) - R * sinc) < 1e-6 * max(R * sinc, 1.0), (lo, la)
