@@ -1111,9 +1111,18 @@ def _stitch_border_paths(
                     f"(gap {g_in!r}, neighbor {g_out!r})"
                 )
             if g_in <= match_tol and g_out <= match_tol:
+                # >= 4 crossings cluster within tolerance: coincident
+                # or SUB-TOLERANCE-SEPARATED edge runs (an r5 sweep
+                # found a 1.4e-45 gap between two features' vertical
+                # edges) leave eps-sliver boundary crossings whose
+                # residue-scale in-pair gaps dominate the real edge
+                # separation — no matching is defensible, and a grid
+                # retry cannot fix an input-inherent sliver
                 raise ValueError(
                     degen + " ambiguous endpoint "
-                    "pairing on a cell line"
+                    "pairing on a cell line (edge runs coincident or "
+                    "separated below tolerance — snap/dedup input "
+                    "edges first; the area forms tolerate them)"
                 )
             # orientation invariant: one path ENDS here, its partner
             # BEGINS here (traversal direction is preserved per cell)

@@ -463,7 +463,11 @@ def test_inlay_matches_interval_algebra(boxes):
     assert rows[0]["area"] == pytest.approx(want, rel=1e-5, abs=1e-6 * total)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.filter_too_much],
+)
 @given(_boxes)
 @example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
 @example(boxes=[(0.5, 0.5, 1.0), (0.5, 0.5, 1.0), (0.0, 0.0, 1.0)])
@@ -484,15 +488,51 @@ def test_dissolve2_rings_tiled_measure_matches(boxes):
     STITCHED ring geometry equals the interval-algebra truth. res=2
     keeps the job data small while exercising multi-cell stitching;
     coincident inputs (duplicate boxes) route through the perturb
-    retry, so compare measure, not ring structure."""
+    retry, so compare measure, not ring structure.
+
+    Domain: edge lines either EXACTLY coincide (duplicate features —
+    they collapse inside the per-cell union fold, the pinned example
+    above) or sit > 1e-3 apart. An r5 sweep found the remaining class:
+    edges separated by a SUB-TOLERANCE gap (1.4e-45) form an
+    eps-sliver the union cannot collapse and the stitch cannot pair —
+    the emitter raises LOUDLY on those by contract
+    (test_dissolve2_rings_tiled_subtolerance_gap_raises pins it)."""
     from mapshaper_spark.operators import overlay as overlay_op
 
+    for vals in (
+        sorted(v for x, y, s in boxes for v in (x, x + s)),
+        sorted(v for x, y, s in boxes for v in (y, y + s)),
+    ):
+        assume(all(b == a or b - a > 1e-3 for a, b in zip(vals, vals[1:])))
     rows = overlay_op.dissolve2_rings_tiled(
         _boxes_feats_df(boxes), res=2, max_rep_cells=2
     ).collect()
     want = sum(_interval_algebra(boxes).values())
     got = sum(r["area"] for r in rows)
     assert got == pytest.approx(want, rel=1e-5, abs=1e-6 * max(want, 1.0))
+
+
+def test_dissolve2_rings_tiled_subtolerance_gap_raises():
+    """r5 sweep find, pinned as CONTRACT: two features whose vertical
+    edges sit 1.4e-45 apart (below any tolerance) leave an eps-sliver
+    the per-cell union folds keep as two regions but whose boundary
+    crossings cluster within the pairing tolerance on every grid
+    origin — residue-scale in-pair gaps dominate the real 1.4e-45
+    separation, so separation-dominated pairing refuses on all four
+    retries and the emitter raises LOUDLY (never a silent mis-stitch;
+    the area forms tolerate the same layer because slivers cancel in
+    sums). Remedy for real layers: snap/dedup edges first."""
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    boxes = [
+        (1.401298464324817e-45, -1.1, 5.0),
+        (1.5, -1.9, 0.7000000000000001),
+        (-1.9, 0.0, 1.9),
+    ]
+    with pytest.raises(Exception, match="dissolve2_rings_tiled"):
+        overlay_op.dissolve2_rings_tiled(
+            _boxes_feats_df(boxes), res=2, max_rep_cells=2
+        ).collect()
 
 
 # filter_too_much suppressed: the distinct-edge assume() below is a
