@@ -45,7 +45,13 @@ def main() -> None:
         "`python scripts/dump_plans.py`. What to check: PushedFilters +",
         "pruned ReadSchema on every parquet scan, BroadcastHashJoin for",
         "dim joins, ShuffledHashJoin on (cell_id, _salt) only in the",
-        "salted path, no Exchange between map stages.",
+        "salted path, no Exchange between map stages. The ring-emitter",
+        "queries (dissolve2/mosaic/clean_rings_tiled) return an EAGER",
+        "localCheckpoint (so degeneracy raises from every stage land",
+        "inside the grid-retry loop), so their dumped plan is the final",
+        "aggregate over the checkpointed RDD — the replicate/fold/pair/",
+        "CC stages execute eagerly before the frame is returned and are",
+        "visible in the per-stage plans of earlier rounds' dumps.",
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     for name in NAMES:
