@@ -533,6 +533,23 @@ def test_dissolve2_rings_tiled_subtolerance_gap_raises():
         overlay_op.dissolve2_rings_tiled(
             _boxes_feats_df(boxes), res=2, max_rep_cells=2
         ).collect()
+    # companion contract: the class is SPECIFIC to single-key union
+    # stitching. The clean/face emitters pair endpoints per
+    # (feature/signature) key, so the clustered crossings land in
+    # DIFFERENT groups and both return the exact decomposition on the
+    # same layer (areas tile the union measure); the dissolve2 AREA
+    # form tolerates it too (slivers cancel in sums).
+    want = sum(_interval_algebra(boxes).values())
+    clean = overlay_op.clean_rings_tiled(
+        _boxes_feats_df(boxes), res=2, max_rep_cells=2
+    ).collect()
+    assert sum(r["area"] for r in clean) == pytest.approx(want, rel=1e-9)
+    faces = overlay_op.mosaic_face_rings_tiled(
+        _boxes_feats_df(boxes), res=2, max_rep_cells=2
+    ).collect()
+    assert sum(r["area"] for r in faces) == pytest.approx(want, rel=1e-9)
+    area_form = overlay_op.dissolve2_tiled(_boxes_feats_df(boxes), res=2).collect()
+    assert sum(r["area"] for r in area_form) == pytest.approx(want, rel=1e-9)
 
 
 # filter_too_much suppressed: the distinct-edge assume() below is a
