@@ -16,6 +16,13 @@ LOUDLY on eps-sliver faces by contract; the area-form sweeps cover
 coincidence). Any failure prints a repro literal to pin in
 tests/test_properties.py.
 
+Three modes run per invocation: random BOX layers (interval-algebra
+oracle, all three emitters), concave STAR layers (global-fold oracle —
+arbitrary-angle cell-line crossings), and MIXED box+star layers (r5:
+cell-line-parallel box edges and rotated star edges share the same
+per-cell-line pairing groups; global-fold oracle, all three emitters
+incl. clean via the min-id face assignment).
+
 Usage: python scripts/emitter_hunt.py [n_layers] [seed]
 """
 
@@ -153,6 +160,7 @@ def main() -> None:
             print(f"ok layer {li} ({len(boxes)} boxes)")
     print(f"\n{n_layers - fails}/{n_layers} layers clean")
     fails += star_hunt(max(n_layers // 2, 10), seed + 1)
+    fails += mixed_hunt(max(n_layers // 2, 10), seed + 2)
     sys.exit(1 if fails else 0)
 
 
@@ -199,14 +207,99 @@ def _ring_stats(rings):
     return len(rings), areas, per
 
 
+def _check_layer_vs_global(spark, by_fid) -> list:
+    """Run all THREE tiled emitters on one layer and compare against
+    the GLOBAL folds: dissolve2 rings vs ``union_many`` (ring count,
+    sorted signed areas, perimeter), mosaic face rings vs
+    :func:`_global_faces` (signatures + per-face ring stats), and
+    clean vs the min-id face assignment derived from the same global
+    faces (per-feature area sums). Returns the error list."""
+    from mapshaper_spark import geometry as G
+
+    pdf = pd.DataFrame(
+        [
+            {
+                "feature_id": i,
+                "key": "h",
+                "xs": list(r[:, 0]),
+                "ys": list(r[:, 1]),
+            }
+            for i, r in by_fid.items()
+        ]
+    )
+    feats = spark.createDataFrame(
+        pdf,
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    errs = []
+    want_u = G.union_many(list(by_fid.values()))
+    got_u = []
+    for r in overlay_op.dissolve2_rings_tiled(
+        feats, res=2, max_rep_cells=2
+    ).collect():
+        got_u.append(
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        )
+    gn, ga, gp = _ring_stats(got_u)
+    wn, wa, wp = _ring_stats(want_u)
+    tot = max(abs(sum(wa)), 1.0)
+    if gn != wn or any(
+        abs(a - b) > 1e-6 * tot for a, b in zip(ga, wa)
+    ) or abs(gp - wp) > 1e-6 * max(wp, 1.0):
+        errs.append(f"dissolve2 rings {gn} vs {wn} / areas or perimeter")
+    global_faces = _global_faces(by_fid)
+    want_f = {
+        ",".join(str(i) for i in sorted(ids)): fr
+        for fr, ids in global_faces
+    }
+    got_f = {}
+    for r in overlay_op.mosaic_face_rings_tiled(
+        feats, res=2, max_rep_cells=2
+    ).collect():
+        got_f.setdefault(r["members_csv"], []).append(
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        )
+    if set(got_f) != set(want_f):
+        errs.append(
+            f"faces signatures {sorted(got_f)} vs {sorted(want_f)}"
+        )
+    else:
+        for k in want_f:
+            gn, ga, gp = _ring_stats(got_f[k])
+            wn, wa, wp = _ring_stats(want_f[k])
+            if gn != wn or any(
+                abs(a - b) > 1e-6 * tot for a, b in zip(ga, wa)
+            ) or abs(gp - wp) > 1e-6 * max(wp, 1.0):
+                errs.append(f"face {k}: {gn} vs {wn} rings")
+    # clean = min-id face assignment; compare per-feature area sums
+    # against the same global faces the mosaic check used
+    wantc = {}
+    for fr, ids in global_faces:
+        fa = sum(G.shoelace_area_local(r[:, 0], r[:, 1]) for r in fr)
+        k = min(ids)
+        wantc[k] = wantc.get(k, 0.0) + fa
+    gotc = {}
+    for r in overlay_op.clean_rings_tiled(
+        feats, res=2, max_rep_cells=2
+    ).collect():
+        fid = int(r["feature_id"])
+        gotc[fid] = gotc.get(fid, 0.0) + r["area"]
+    floor = 1e-6 * tot
+    gc = {k: a for k, a in gotc.items() if a > floor}
+    wc = {k: a for k, a in wantc.items() if a > floor}
+    if set(gc) != set(wc) or any(
+        abs(gc[k] - wc[k]) > max(1e-5 * wc[k], floor) for k in wc
+    ):
+        errs.append(f"clean assignment {gc} vs {wc}")
+    return errs
+
+
 def star_hunt(n_layers: int, seed: int) -> int:
     """Concave-layer mode: diagonal edges cross cell lines at arbitrary
     angles (boxes only cross axis-parallel — a special case for the
     sorted-adjacency pairing). Ground truth = the GLOBAL folds; the
     tiled emitters must reproduce ring count, sorted signed areas, and
     total perimeter per key / signature."""
-    from mapshaper_spark import geometry as G
-
     rng = np.random.RandomState(seed)
     spark = get_spark("emitter_hunt", cpus=8, shuffle_partitions=8)
     fails = 0
@@ -223,63 +316,10 @@ def star_hunt(n_layers: int, seed: int) -> int:
                 rng.uniform(-6, 6) + off,
                 rng.uniform(0.01, 3.0),
             )
-        pdf = pd.DataFrame(
-            [
-                {
-                    "feature_id": i,
-                    "key": "h",
-                    "xs": list(r[:, 0]),
-                    "ys": list(r[:, 1]),
-                }
-                for i, r in by_fid.items()
-            ]
-        )
-        feats = spark.createDataFrame(
-            pdf,
-            schema="feature_id int, key string, xs array<double>, ys array<double>",
-        )
-        errs = []
         try:
-            want_u = G.union_many(list(by_fid.values()))
-            got_u = []
-            for r in overlay_op.dissolve2_rings_tiled(
-                feats, res=2, max_rep_cells=2
-            ).collect():
-                got_u.append(
-                    np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
-                )
-            gn, ga, gp = _ring_stats(got_u)
-            wn, wa, wp = _ring_stats(want_u)
-            tot = max(abs(sum(wa)), 1.0)
-            if gn != wn or any(
-                abs(a - b) > 1e-6 * tot for a, b in zip(ga, wa)
-            ) or abs(gp - wp) > 1e-6 * max(wp, 1.0):
-                errs.append(f"dissolve2 rings {gn} vs {wn} / areas or perimeter")
-            want_f = {
-                ",".join(str(i) for i in sorted(ids)): fr
-                for fr, ids in _global_faces(by_fid)
-            }
-            got_f = {}
-            for r in overlay_op.mosaic_face_rings_tiled(
-                feats, res=2, max_rep_cells=2
-            ).collect():
-                got_f.setdefault(r["members_csv"], []).append(
-                    np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
-                )
-            if set(got_f) != set(want_f):
-                errs.append(
-                    f"faces signatures {sorted(got_f)} vs {sorted(want_f)}"
-                )
-            else:
-                for k in want_f:
-                    gn, ga, gp = _ring_stats(got_f[k])
-                    wn, wa, wp = _ring_stats(want_f[k])
-                    if gn != wn or any(
-                        abs(a - b) > 1e-6 * tot for a, b in zip(ga, wa)
-                    ) or abs(gp - wp) > 1e-6 * max(wp, 1.0):
-                        errs.append(f"face {k}: {gn} vs {wn} rings")
+            errs = _check_layer_vs_global(spark, by_fid)
         except Exception as e:
-            errs.append(f"RAISED {type(e).__name__}: {e}")
+            errs = [f"RAISED {type(e).__name__}: {e}"]
         if errs:
             fails += 1
             print(f"FAIL star layer {li} (seed {seed}):")
@@ -289,6 +329,64 @@ def star_hunt(n_layers: int, seed: int) -> int:
         else:
             print(f"ok star layer {li} ({nf} stars, off {off})")
     print(f"\nstars: {n_layers - fails}/{n_layers} layers clean")
+    return fails
+
+
+def mixed_hunt(n_layers: int, seed: int) -> int:
+    """Mixed-layer mode: axis-aligned boxes AND rotated concave stars
+    in ONE layer. Box edges run exactly cell-line-PARALLEL while star
+    edges cross the same cell lines at arbitrary angles, so a single
+    per-cell-line sorted-adjacency pairing group sees endpoints from
+    both the parallel special case and the general case — a regime
+    neither single-shape mode exercises. Ground truth = the global
+    folds via :func:`_check_layer_vs_global` (all three emitters,
+    clean included)."""
+    rng = np.random.RandomState(seed)
+    spark = get_spark("emitter_hunt", cpus=8, shuffle_partitions=8)
+    fails = 0
+    for li in range(n_layers):
+        nf = rng.randint(3, 7)
+        off = float(rng.choice([0.0, 2.0e6]))
+        by_fid = {}
+        n_box = 0
+        for i in range(nf):
+            if rng.rand() < 0.5 or (i == nf - 1 and n_box == 0):
+                # axis-aligned box (full-precision uniforms: exact
+                # edge-line coincidence has measure zero; the loud
+                # sub-tolerance sliver contract needs gaps ~1e-45)
+                x = rng.uniform(-7, 7) + off
+                y = rng.uniform(-7, 7) + off
+                w = rng.uniform(1.0, 6.0)
+                h = rng.uniform(1.0, 6.0)
+                by_fid[i] = np.array(
+                    [[x, y], [x + w, y], [x + w, y + h], [x, y + h]]
+                )
+                n_box += 1
+            else:
+                by_fid[i] = _star(
+                    rng.randint(3, 8),
+                    rng.uniform(2.0, 6.0),
+                    rng.uniform(0.8, 1.9),
+                    rng.uniform(-6, 6) + off,
+                    rng.uniform(-6, 6) + off,
+                    rng.uniform(0.01, 3.0),
+                )
+        try:
+            errs = _check_layer_vs_global(spark, by_fid)
+        except Exception as e:
+            errs = [f"RAISED {type(e).__name__}: {e}"]
+        if errs:
+            fails += 1
+            print(f"FAIL mixed layer {li} (seed {seed}):")
+            print(f"   regenerate: nf={nf} off={off} n_box={n_box}")
+            for e in errs:
+                print(f"   {e[:400]}")
+        else:
+            print(
+                f"ok mixed layer {li} ({n_box} boxes + {nf - n_box} stars,"
+                f" off {off})"
+            )
+    print(f"\nmixed: {n_layers - fails}/{n_layers} layers clean")
     return fails
 
 

@@ -619,6 +619,125 @@ def test_face_and_clean_rings_tiled_measure_matches(boxes):
         assert a == pytest.approx(want_clean[k], rel=1e-5, abs=floor), k
 
 
+def _global_faces_seq(by_fid):
+    """Sequential global face fold (the non-tiled ground truth the
+    emitter hunts use): split each accumulated face by the next ring
+    through the robust kernel, tracking member sets."""
+    faces, processed = [], []
+    for fid in sorted(by_fid):
+        ring = by_fid[fid]
+        nf = []
+        for fr, ids in faces:
+            inter, diff = G.gh_split_rings_robust(fr, [ring])
+            if inter:
+                nf.append((inter, ids | {fid}))
+            if diff:
+                nf.append((diff, ids))
+        rem = [ring]
+        for prev in processed:
+            _, rem = G.gh_split_rings_robust(rem, prev)
+            if not rem:
+                break
+        if rem:
+            nf.append((rem, frozenset({fid})))
+        faces = nf
+        processed.append([ring])
+    return faces
+
+
+def _ring_set_stats(rings):
+    areas = sorted(G.shoelace_area_local(r[:, 0], r[:, 1]) for r in rings)
+    per = sum(
+        G.path_length(np.append(r[:, 0], r[0, 0]), np.append(r[:, 1], r[0, 1]))
+        for r in rings
+    )
+    return len(rings), areas, per
+
+
+def test_mixed_box_star_emitters_match_global():
+    """Deterministic MIXED-shape layer through all three ring emitters
+    (per-commit pin of scripts/emitter_hunt.py's mixed mode): two
+    axis-aligned boxes and two rotated concave stars overlap across
+    cell lines, so one per-cell-line sorted-adjacency pairing group
+    holds endpoints from cell-line-PARALLEL box edges and
+    arbitrary-angle star edges at once — a regime the single-shape
+    sweeps never combine. Ground truth is the GLOBAL folds: union_many
+    for dissolve2 rings (count, sorted signed areas, perimeter), the
+    sequential face fold for mosaic signatures, and its min-id
+    assignment for clean."""
+    from mapshaper_spark.operators import overlay as overlay_op
+    from mapshaper_spark.session import get_spark
+    import pandas as pd
+
+    spark = get_spark("mapshaper_spark_tests", cpus=8, shuffle_partitions=8)
+    by_fid = {
+        0: np.array([[-3.0, -3.0], [1.0, -3.0], [1.0, 2.0], [-3.0, 2.0]]),
+        1: np.array([[1.2, 0.3], [4.3, 0.3], [4.3, 2.5], [1.2, 2.5]]),
+        2: _star(5, 4.0, 1.5, 0.5, 0.5, 0.3),
+        3: _star(7, 3.0, 1.2, -2.0, 2.0, 1.1),
+    }
+    pdf = pd.DataFrame(
+        [
+            {"feature_id": i, "key": "h", "xs": list(r[:, 0]), "ys": list(r[:, 1])}
+            for i, r in by_fid.items()
+        ]
+    )
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+
+    want_u = G.union_many(list(by_fid.values()))
+    got_u = [
+        np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        for r in overlay_op.dissolve2_rings_tiled(
+            feats, res=2, max_rep_cells=2
+        ).collect()
+    ]
+    gn, ga, gp = _ring_set_stats(got_u)
+    wn, wa, wp = _ring_set_stats(want_u)
+    tot = max(abs(sum(wa)), 1.0)
+    assert gn == wn
+    for a, b in zip(ga, wa):
+        assert a == pytest.approx(b, abs=1e-6 * tot)
+    assert gp == pytest.approx(wp, rel=1e-6)
+
+    global_faces = _global_faces_seq(by_fid)
+    want_f = {
+        ",".join(str(i) for i in sorted(ids)): fr for fr, ids in global_faces
+    }
+    got_f: dict[str, list] = {}
+    for r in overlay_op.mosaic_face_rings_tiled(
+        feats, res=2, max_rep_cells=2
+    ).collect():
+        got_f.setdefault(r["members_csv"], []).append(
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        )
+    assert set(got_f) == set(want_f)
+    for k in want_f:
+        gn, ga, gp = _ring_set_stats(got_f[k])
+        wn, wa, wp = _ring_set_stats(want_f[k])
+        assert gn == wn, k
+        for a, b in zip(ga, wa):
+            assert a == pytest.approx(b, abs=1e-6 * tot), k
+        assert gp == pytest.approx(wp, rel=1e-6), k
+
+    want_clean: dict[int, float] = {}
+    for fr, ids in global_faces:
+        fa = sum(G.shoelace_area_local(r[:, 0], r[:, 1]) for r in fr)
+        want_clean[min(ids)] = want_clean.get(min(ids), 0.0) + fa
+    got_clean: dict[int, float] = {}
+    for r in overlay_op.clean_rings_tiled(feats, res=2, max_rep_cells=2).collect():
+        got_clean[int(r["feature_id"])] = got_clean.get(
+            int(r["feature_id"]), 0.0
+        ) + r["area"]
+    floor = 1e-6 * tot
+    gc = {k: a for k, a in got_clean.items() if a > floor}
+    wc = {k: a for k, a in want_clean.items() if a > floor}
+    assert set(gc) == set(wc)
+    for k in wc:
+        assert gc[k] == pytest.approx(wc[k], rel=1e-5, abs=floor), k
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.integers(min_value=3, max_value=10),
