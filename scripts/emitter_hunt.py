@@ -347,17 +347,29 @@ def mixed_hunt(n_layers: int, seed: int) -> int:
     for li in range(n_layers):
         nf = rng.randint(3, 7)
         off = float(rng.choice([0.0, 2.0e6]))
+        # regime 1: per-feature SCALE SPREAD — tiny stars beside huge
+        # boxes in one layer (the grid tolerance is layer-extent-
+        # scaled; heterogeneous feature sizes probe whether a small
+        # feature's crossings stay resolvable against it).
+        # regime 2: TWO FAR-APART CLUSTERS — most grid cells empty,
+        # features replicate near cluster bboxes only.
+        regime = rng.randint(3)
         by_fid = {}
         n_box = 0
         for i in range(nf):
+            sc = 10.0 ** rng.uniform(-1.5, 1.0) if regime == 1 else 1.0
+            cx = rng.uniform(-7, 7)
+            cy = rng.uniform(-7, 7)
+            if regime == 2 and i % 2 == 1:
+                cx += 400.0
+                cy += 400.0
             if rng.rand() < 0.5 or (i == nf - 1 and n_box == 0):
                 # axis-aligned box (full-precision uniforms: exact
                 # edge-line coincidence has measure zero; the loud
                 # sub-tolerance sliver contract needs gaps ~1e-45)
-                x = rng.uniform(-7, 7) + off
-                y = rng.uniform(-7, 7) + off
-                w = rng.uniform(1.0, 6.0)
-                h = rng.uniform(1.0, 6.0)
+                w = rng.uniform(1.0, 6.0) * sc
+                h = rng.uniform(1.0, 6.0) * sc
+                x, y = cx + off, cy + off
                 by_fid[i] = np.array(
                     [[x, y], [x + w, y], [x + w, y + h], [x, y + h]]
                 )
@@ -365,10 +377,10 @@ def mixed_hunt(n_layers: int, seed: int) -> int:
             else:
                 by_fid[i] = _star(
                     rng.randint(3, 8),
-                    rng.uniform(2.0, 6.0),
-                    rng.uniform(0.8, 1.9),
-                    rng.uniform(-6, 6) + off,
-                    rng.uniform(-6, 6) + off,
+                    rng.uniform(2.0, 6.0) * sc,
+                    rng.uniform(0.8, 1.9) * sc,
+                    cx + off,
+                    cy + off,
                     rng.uniform(0.01, 3.0),
                 )
         try:
@@ -378,13 +390,14 @@ def mixed_hunt(n_layers: int, seed: int) -> int:
         if errs:
             fails += 1
             print(f"FAIL mixed layer {li} (seed {seed}):")
-            print(f"   regenerate: nf={nf} off={off} n_box={n_box}")
+            print(f"   regenerate: nf={nf} off={off} n_box={n_box}"
+                  f" regime={regime}")
             for e in errs:
                 print(f"   {e[:400]}")
         else:
             print(
                 f"ok mixed layer {li} ({n_box} boxes + {nf - n_box} stars,"
-                f" off {off})"
+                f" off {off}, regime {regime})"
             )
     print(f"\nmixed: {n_layers - fails}/{n_layers} layers clean")
     return fails
