@@ -738,6 +738,71 @@ def test_mixed_box_star_emitters_match_global():
         assert gc[k] == pytest.approx(wc[k], rel=1e-5, abs=floor), k
 
 
+def test_vertex_touching_stars_tiled_measure_matches_global():
+    """r5 touch-hunt pin (scripts/emitter_hunt.py touch mode): two
+    stars sharing an EXACT vertex — the r3 headline corner-touching
+    class — through the FULL tiled emitter pipeline. At a pinch point
+    the ring decomposition is NON-CANONICAL: one ring through the
+    touch point twice, two rings touching there, and outer+eps-hole
+    all describe the same point set, and the tiled per-cell folds
+    perturb with different content hashes than the global fold, so
+    they legitimately land on different representations (hunt repro:
+    tiled [outer 35.79, hole −5.95] vs global [one ring 29.83]). The
+    INVARIANT is the measure: total signed area and total perimeter
+    agree to ~1e-10 rel. Ring counts are deliberately NOT asserted."""
+    from mapshaper_spark.operators import overlay as overlay_op
+    from mapshaper_spark.session import get_spark
+    import pandas as pd
+
+    spark = get_spark("mapshaper_spark_tests", cpus=8, shuffle_partitions=8)
+    a = _star(5, 4.0, 1.5, 0.0, 0.0, 0.3)
+    b = _star(6, 3.0, 1.2, 0.0, 0.0, 1.1)
+    # (b - b[2]) zeroes vertex 2 exactly; + a[0] lands it bitwise on
+    # A's vertex 0 — an exact shared point, not a near-incidence
+    b = b - b[2] + a[0]
+    by_fid = {0: a, 1: b}
+    pdf = pd.DataFrame(
+        [
+            {"feature_id": i, "key": "h", "xs": list(r[:, 0]), "ys": list(r[:, 1])}
+            for i, r in by_fid.items()
+        ]
+    )
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    want_u = G.union_many([a, b])
+    got_u = [
+        np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        for r in overlay_op.dissolve2_rings_tiled(
+            feats, res=2, max_rep_cells=2
+        ).collect()
+    ]
+    _, ga, gp = _ring_set_stats(got_u)
+    _, wa, wp = _ring_set_stats(want_u)
+    tot = max(abs(sum(wa)), 1.0)
+    assert sum(ga) == pytest.approx(sum(wa), abs=1e-6 * tot)
+    assert gp == pytest.approx(wp, rel=1e-6)
+
+    global_faces = _global_faces_seq(by_fid)
+    floor = 1e-6 * tot
+    wa_f: dict[str, float] = {}
+    for fr, ids in global_faces:
+        k = ",".join(str(i) for i in sorted(ids))
+        wa_f[k] = wa_f.get(k, 0.0) + sum(
+            G.shoelace_area_local(r[:, 0], r[:, 1]) for r in fr
+        )
+    ga_f: dict[str, float] = {}
+    for r in overlay_op.mosaic_face_rings_tiled(
+        feats, res=2, max_rep_cells=2
+    ).collect():
+        ga_f[r["members_csv"]] = ga_f.get(r["members_csv"], 0.0) + r["area"]
+    gsig = {k: v for k, v in ga_f.items() if v > floor}
+    wsig = {k: v for k, v in wa_f.items() if v > floor}
+    assert set(gsig) == set(wsig)
+    for k in wsig:
+        assert gsig[k] == pytest.approx(wsig[k], rel=1e-5, abs=floor), k
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.integers(min_value=3, max_value=10),
