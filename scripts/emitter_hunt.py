@@ -171,6 +171,19 @@ def _star(n, r1, r2, cx, cy, rot):
     return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
 
 
+def _densify(ring: np.ndarray) -> np.ndarray:
+    """Insert the exact midpoint ((a+b)/2 per coordinate — within half
+    an ulp of the segment, NOT exactly on it) into every edge: the
+    collinear-vertex shape of real simplified data, and a
+    near-incidence stress at every inserted vertex."""
+    nxt = np.roll(ring, -1, axis=0)
+    mid = 0.5 * (ring + nxt)
+    out = np.empty((2 * len(ring), 2))
+    out[0::2] = ring
+    out[1::2] = mid
+    return out
+
+
 def _global_faces(by_fid):
     from mapshaper_spark import geometry as G
 
@@ -389,7 +402,11 @@ def mixed_hunt(n_layers: int, seed: int) -> int:
         # feature's crossings stay resolvable against it).
         # regime 2: TWO FAR-APART CLUSTERS — most grid cells empty,
         # features replicate near cluster bboxes only.
-        regime = rng.randint(3)
+        # regime 3: DENSIFIED edges — every edge subdivided at exact
+        # midpoints (half-ulp off the segment: near-incidence stress
+        # at every collinear vertex; the shape of real simplified
+        # data).
+        regime = rng.randint(4)
         by_fid = {}
         n_box = 0
         for i in range(nf):
@@ -419,6 +436,8 @@ def mixed_hunt(n_layers: int, seed: int) -> int:
                     cy + off,
                     rng.uniform(0.01, 3.0),
                 )
+        if regime == 3:
+            by_fid = {i: _densify(r) for i, r in by_fid.items()}
         try:
             errs = _check_layer_vs_global(spark, by_fid)
         except Exception as e:
