@@ -220,7 +220,9 @@ def _ring_stats(rings):
     return len(rings), areas, per
 
 
-def _check_layer_vs_global(spark, by_fid, measure_only: bool = False) -> list:
+def _check_layer_vs_global(
+    spark, by_fid, measure_only: bool = False, check_perimeter: bool = True
+) -> list:
     """Run all THREE tiled emitters on one layer and compare against
     the GLOBAL folds: dissolve2 rings vs ``union_many`` (ring count,
     sorted signed areas, perimeter), mosaic face rings vs
@@ -236,7 +238,15 @@ def _check_layer_vs_global(spark, by_fid, measure_only: bool = False) -> list:
     set, and the tiled vs global folds perturb with different content
     hashes so they legitimately land on different representations
     (touch-mode repro: areas/perimeters agree to ~1e-10 rel while ring
-    counts differ)."""
+    counts differ). ``check_perimeter=False`` additionally drops the
+    perimeter comparison for layers with coincident EDGE RUNS: the
+    boundary representation of a shared-run union is non-canonical —
+    the global fold may keep a zero-area slit (both sides of the
+    shared edge traced; perimeter = clean + 2×run length) while the
+    tiled emitter collapses the run to the clean joined boundary
+    (adjacency-mode repro: tiled perimeter matches the EXACT clean
+    value to 5e-9 while the global fold's slit adds 2×shared-run) —
+    AREA is the canonical invariant there."""
     from mapshaper_spark import geometry as G
 
     pdf = pd.DataFrame(
@@ -267,9 +277,8 @@ def _check_layer_vs_global(spark, by_fid, measure_only: bool = False) -> list:
     wn, wa, wp = _ring_stats(want_u)
     tot = max(abs(sum(wa)), 1.0)
     if measure_only:
-        if abs(sum(ga) - sum(wa)) > 1e-6 * tot or abs(gp - wp) > 1e-6 * max(
-            wp, 1.0
-        ):
+        perim_bad = check_perimeter and abs(gp - wp) > 1e-6 * max(wp, 1.0)
+        if abs(sum(ga) - sum(wa)) > 1e-6 * tot or perim_bad:
             errs.append(
                 f"dissolve2 measure {sum(ga)!r}/{gp!r}"
                 f" vs {sum(wa)!r}/{wp!r}"
@@ -534,6 +543,92 @@ def touch_hunt(n_layers: int, seed: int) -> int:
             )
     print(
         f"\ntouch: {n_layers - fails - raises}/{n_layers} layers clean,"
+        f" {raises} loud raises, {fails} FAILURES"
+    )
+    return fails
+
+
+def adjacency_hunt(n_layers: int, seed: int) -> int:
+    """Shared-border mode: features ADJACENT along an exact collinear
+    edge run — the admin-boundary coverage shape. Boxes share a
+    partial run of an edge LINE (B's left edge sits bitwise on A's
+    right edge line with a different y-extent — interiors disjoint,
+    union measure = exact area sum); stars share a FULL edge (B is A
+    reflected across one edge's LINE, both endpoint pairs bitwise
+    equal — a concave star usually straddles that line, so A and B
+    also overlap away from the shared edge; the oracle is the global
+    fold either way). The emitters' contract on coincident runs is
+    clean-or-LOUD: a loud raise (the unstitchable-sliver contract)
+    counts separately; the finding would be a SILENT measure
+    divergence."""
+    rng = np.random.RandomState(seed)
+    spark = get_spark("emitter_hunt", cpus=8, shuffle_partitions=8)
+    fails = raises = 0
+    for li in range(n_layers):
+        off = float(rng.choice([0.0, 2.0e6]))
+        kind = rng.randint(2)
+        if kind == 0:  # boxes sharing a partial vertical edge run
+            x0 = rng.uniform(-5, 0) + off
+            y0 = rng.uniform(-5, 0) + off
+            w, h = rng.uniform(2, 5), rng.uniform(2, 5)
+            x1 = x0 + w  # B's left edge sits EXACTLY on this line
+            yb = y0 + rng.uniform(-0.5, 0.5) * h
+            wb, hb = rng.uniform(2, 5), rng.uniform(2, 5)
+            by_fid = {
+                0: np.array(
+                    [[x0, y0], [x1, y0], [x1, y0 + h], [x0, y0 + h]]
+                ),
+                1: np.array(
+                    [[x1, yb], [x1 + wb, yb], [x1 + wb, yb + hb], [x1, yb + hb]]
+                ),
+            }
+        else:  # star + its reflection across one edge (full shared
+            # edge, both endpoint pairs bitwise equal)
+            a = _star(
+                rng.randint(3, 7),
+                rng.uniform(2.5, 5.0),
+                rng.uniform(1.2, 2.0),
+                off,
+                off,
+                rng.uniform(0.01, 3.0),
+            )
+            k = rng.randint(len(a))
+            p, q = a[k], a[(k + 1) % len(a)]
+            d = q - p
+            nrm = d / np.hypot(*d)
+            # reflect every vertex of A across the p→q line; the
+            # shared edge's endpoints reflect onto themselves only
+            # approximately, so pin them bitwise afterwards
+            rel = a - p
+            along = rel @ nrm
+            refl = p + np.outer(along, nrm) * 2 - rel
+            b = refl[::-1].copy()  # reverse to keep CCW orientation
+            # pin the shared endpoints bitwise
+            for bi in range(len(b)):
+                for src in (p, q):
+                    if np.allclose(b[bi], src, atol=1e-9):
+                        b[bi] = src
+            by_fid = {0: a, 1: b}
+        try:
+            errs = _check_layer_vs_global(
+                spark, by_fid, measure_only=True, check_perimeter=False
+            )
+        except Exception as e:
+            raises += 1
+            print(
+                f"raise adj layer {li} (kind {kind}):"
+                f" {type(e).__name__}: {str(e)[:160]}"
+            )
+            continue
+        if errs:
+            fails += 1
+            print(f"FAIL adj layer {li} (seed {seed}, kind {kind}):")
+            for e in errs:
+                print(f"   {e[:400]}")
+        else:
+            print(f"ok adj layer {li} (kind {kind}, off {off})")
+    print(
+        f"\nadjacency: {n_layers - fails - raises}/{n_layers} layers clean,"
         f" {raises} loud raises, {fails} FAILURES"
     )
     return fails

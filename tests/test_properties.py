@@ -803,6 +803,55 @@ def test_vertex_touching_stars_tiled_measure_matches_global():
         assert gsig[k] == pytest.approx(wsig[k], rel=1e-5, abs=floor), k
 
 
+def test_shared_edge_run_tiled_area_canonical():
+    """r5 adjacency-hunt pin (scripts/emitter_hunt.py adjacency mode):
+    two boxes ADJACENT along a partial shared vertical edge run — the
+    admin-boundary coverage shape. The boundary representation of a
+    shared-run union is NON-CANONICAL: the global robust fold may keep
+    a zero-area slit (both sides of the shared edge traced; perimeter
+    = clean + 2×run length, area exact), and the tiled emitter may
+    COLLAPSE the run fully (hunt layer-4 repro: perimeter == exact
+    clean value to 4.7e-9) or carry a PARTIAL zero-area slit ending at
+    a cell boundary (this fixture: +3.35 of the ≤2×run=4.4 bound —
+    verified by reading the emitted coordinates: the doubled segment
+    runs down and back up x=x1, signed area cancelling exactly). AREA
+    is the cross-representation invariant — pin it exactly, and pin
+    the perimeter to the [clean, clean + 2×run] envelope every valid
+    representation satisfies."""
+    from mapshaper_spark.operators import overlay as overlay_op
+    from mapshaper_spark.session import get_spark
+    import pandas as pd
+
+    spark = get_spark("mapshaper_spark_tests", cpus=8, shuffle_partitions=8)
+    x0, y0, w, h = -2.25, -1.5, 3.5, 4.0
+    x1 = x0 + w
+    yb, wb, hb = 0.3, 2.75, 3.25  # B's left edge sits EXACTLY on x=x1
+    a = np.array([[x0, y0], [x1, y0], [x1, y0 + h], [x0, y0 + h]])
+    b = np.array([[x1, yb], [x1 + wb, yb], [x1 + wb, yb + hb], [x1, yb + hb]])
+    pdf = pd.DataFrame(
+        [
+            {"feature_id": i, "key": "h", "xs": list(r[:, 0]), "ys": list(r[:, 1])}
+            for i, r in ((0, a), (1, b))
+        ]
+    )
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    got_u = [
+        np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        for r in overlay_op.dissolve2_rings_tiled(
+            feats, res=2, max_rep_cells=2
+        ).collect()
+    ]
+    n, areas, perim = _ring_set_stats(got_u)
+    shared = min(y0 + h, yb + hb) - max(y0, yb)  # the shared run length
+    area_true = w * h + wb * hb
+    perim_clean = 2 * (w + h) + 2 * (wb + hb) - 2 * shared
+    assert n in (1, 2)  # joined ring, possibly pinched at the slit
+    assert sum(areas) == pytest.approx(area_true, rel=1e-9)
+    assert perim_clean - 1e-6 <= perim <= perim_clean + 2 * shared + 1e-6
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.integers(min_value=3, max_value=10),
