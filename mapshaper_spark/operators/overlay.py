@@ -1432,7 +1432,14 @@ def mosaic_face_rings_tiled(
     scale — inherently ambiguous to stitch, so the emitter raises
     LOUDLY after the grid retries (never a silent mis-stitch). Dedup /
     snap coincident layers first; the AREA forms (mosaic_faces_tiled)
-    tolerate them because slivers cancel in sums."""
+    tolerate them because slivers cancel in sums. COVERAGE layers
+    whose features share borders (admin boundaries) have an exact
+    native tool instead: the arc-cancellation dissolve
+    (topology.dissolve / dissolve_rings) resolves shared arcs by
+    construction — the tiled emitters target OVERLAPPING layers. When
+    a shared-run layer does stitch, only its AREA is canonical: the
+    boundary may carry zero-area slits, fully or partially collapsed
+    (r5 adjacency hunt; test_shared_edge_run_tiled_area_canonical)."""
     return _face_rings_tiled(features, res, max_rep_cells, chunked, clean=False)
 
 
