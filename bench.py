@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "mosaic_rings_tiled",
     "clean_rings_tiled",
     "dedup_cluster_resolution",
+    # round-5 addition: -clean gap fill (union holes -> longest shared
+    # border crediting, JVM column math after the per-key fold)
+    "clean_gap_fill",
 ]
 
 

@@ -522,6 +522,94 @@ def dissolve2_rects_with_ids_sql(name: str = "r") -> str:
     return f"(VALUES {rows}) AS {name}(rid, key, x0, y0, x1, y1)"
 
 
+# -clean gap-fill fixture [upstream -clean's second half: small enclosed
+# gaps between polygons are dissolved into the neighbor with the LONGEST
+# shared border; gaps above gap-fill-area stay]. Per-key frames of
+# STRICTLY overlapping bars (dissolve2-style general position: no two
+# features share a coordinate line, no edge tangency — the union fold
+# stays on the exact unperturbed kernel path) enclosing one uncovered
+# gap each. Every gap is a SINGLE elementary cell of the rect
+# decomposition's coordinate-compressed grid (verified: no feature line
+# falls strictly inside any gap) — the SQL oracle relies on that.
+#   'a' unique winner: an L-shaped feature (id 2) borders the 1.5x5.5
+#       gap on TWO sides (blen 7.0 vs 5.5 / 1.5) -> filled into id 2.
+#   'b' preserved: the 4.25x4.25 gap (18.0625) exceeds gap_fill_area=10.
+#   'c' exact tie: all four bars border the 2x2 gap with blen 2.0
+#       (power-of-two crossing solves keep the lengths bit-exact) ->
+#       deterministic min-feature-id winner (id 7).
+#   'd' composition: overlaps (including a triple overlap with the L)
+#       resolve min-id FIRST, then the gap fills into the L (id 13).
+# Features are vertex RINGS (the L is one simple ring); GAPFILL_RECTS
+# is the oracle's rect decomposition keyed by the same global ids.
+GAP_FILL_AREA = 10.0
+
+GAPFILL_FEATURES = [
+    ("a", [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (0.0, 1.0)]),
+    ("a", [(0.25, 0.25), (1.25, 0.25), (1.25, 8.25), (0.25, 8.25)]),
+    ("a", [(2.75, 0.5), (3.75, 0.5), (3.75, 7.5), (0.75, 7.5),
+           (0.75, 6.5), (2.75, 6.5)]),
+    ("b", [(0.0, -0.5), (1.0, -0.5), (1.0, 7.5), (0.0, 7.5)]),
+    ("b", [(5.25, -0.75), (6.25, -0.75), (6.25, 7.25), (5.25, 7.25)]),
+    ("b", [(-0.5, 0.5), (7.5, 0.5), (7.5, 1.5), (-0.5, 1.5)]),
+    ("b", [(-0.25, 5.75), (7.75, 5.75), (7.75, 6.75), (-0.25, 6.75)]),
+    ("c", [(0.0, -0.5), (1.0, -0.5), (1.0, 7.5), (0.0, 7.5)]),
+    ("c", [(3.0, -0.25), (4.0, -0.25), (4.0, 7.75), (3.0, 7.75)]),
+    ("c", [(-0.5, 0.25), (4.5, 0.25), (4.5, 1.25), (-0.5, 1.25)]),
+    ("c", [(-0.75, 3.25), (4.75, 3.25), (4.75, 4.25), (-0.75, 4.25)]),
+    ("d", [(12.0, 0.0), (16.0, 0.0), (16.0, 1.0), (12.0, 1.0)]),
+    ("d", [(12.25, 0.25), (13.25, 0.25), (13.25, 8.25), (12.25, 8.25)]),
+    ("d", [(14.75, 0.5), (15.75, 0.5), (15.75, 7.5), (12.75, 7.5),
+           (12.75, 6.5), (14.75, 6.5)]),
+    ("d", [(15.0, -0.25), (16.5, -0.25), (16.5, 0.75), (15.0, 0.75)]),
+]
+
+# rect decomposition (global feature id, key, x0, y0, x1, y1); the two
+# L-features decompose into a full-height strip + a top block
+GAPFILL_RECTS = [
+    (0, "a", 0.0, 0.0, 4.0, 1.0),
+    (1, "a", 0.25, 0.25, 1.25, 8.25),
+    (2, "a", 2.75, 0.5, 3.75, 7.5),
+    (2, "a", 0.75, 6.5, 2.75, 7.5),
+    (3, "b", 0.0, -0.5, 1.0, 7.5),
+    (4, "b", 5.25, -0.75, 6.25, 7.25),
+    (5, "b", -0.5, 0.5, 7.5, 1.5),
+    (6, "b", -0.25, 5.75, 7.75, 6.75),
+    (7, "c", 0.0, -0.5, 1.0, 7.5),
+    (8, "c", 3.0, -0.25, 4.0, 7.75),
+    (9, "c", -0.5, 0.25, 4.5, 1.25),
+    (10, "c", -0.75, 3.25, 4.75, 4.25),
+    (11, "d", 12.0, 0.0, 16.0, 1.0),
+    (12, "d", 12.25, 0.25, 13.25, 8.25),
+    (13, "d", 14.75, 0.5, 15.75, 7.5),
+    (13, "d", 12.75, 6.5, 14.75, 7.5),
+    (14, "d", 15.0, -0.25, 16.5, 0.75),
+]
+
+
+def gapfill_pdf(dx: float = 0.0, dy: float = 0.0):
+    import pandas as pd
+
+    rows = []
+    for fid, (key, ring) in enumerate(GAPFILL_FEATURES):
+        rows.append(
+            {
+                "feature_id": fid,
+                "key": key,
+                "xs": [p[0] + dx for p in ring],
+                "ys": [p[1] + dy for p in ring],
+            }
+        )
+    return pd.DataFrame(rows, columns=["feature_id", "key", "xs", "ys"])
+
+
+def gapfill_rects_with_ids_sql(name: str = "r") -> str:
+    rows = ",".join(
+        f"({rid},'{k}',{x0!r},{y0!r},{x1!r},{y1!r})"
+        for rid, k, x0, y0, x1, y1 in GAPFILL_RECTS
+    )
+    return f"(VALUES {rows}) AS {name}(rid, key, x0, y0, x1, y1)"
+
+
 # -inlay layer: boxes carved out of the holed targets (coords distinct
 # from every holed-feature edge coordinate — general position)
 INLAY_BOXES = [

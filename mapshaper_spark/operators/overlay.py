@@ -1624,6 +1624,196 @@ def clean_assign_areas(features: DataFrame, tiled: bool = False, res: int = 4) -
     )
 
 
+def union_hole_rings(features: DataFrame) -> DataFrame:
+    """Hole rings of each key group's union region (negative signed
+    area) — the GAP candidates for :func:`clean_gap_fill`. Per-key
+    ``union_many`` fold (dim-sized groups, the mosaic transport);
+    the tiled twin is ``dissolve2_rings_tiled(...).where(area < 0)``.
+    hole_id is deterministic: holes sorted by (area, bbox min)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["key"].iloc[0]
+        rings = [
+            np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+            for _, r in pdf.sort_values("feature_id").iterrows()
+        ]
+        holes = []
+        for g in geometry.union_many(rings):
+            if (g[0] == g[-1]).all():  # normalize closed rings open
+                g = g[:-1]
+            a = geometry.shoelace_area_local(g[:, 0], g[:, 1])
+            if a < 0.0:
+                holes.append((a, float(g[:, 0].min()), float(g[:, 1].min()), g))
+        holes.sort(key=lambda h: (h[0], h[1], h[2]))
+        rows = [
+            {
+                "key": key,
+                "hole_id": i,
+                "xs": g[:, 0].tolist(),
+                "ys": g[:, 1].tolist(),
+                "area": a,
+            }
+            for i, (a, _x, _y, g) in enumerate(holes)
+        ]
+        return pd.DataFrame(rows, columns=["key", "hole_id", "xs", "ys", "area"])
+
+    return features.groupBy("key").applyInPandas(
+        run,
+        schema="key string, hole_id int, xs array<double>, ys array<double>, area double",
+    )
+
+
+def _ring_edges(df: DataFrame, keep: list) -> DataFrame:
+    """Explode open vertex rings into directed edges (x1,y1)->(x2,y2)
+    with the wrap-around closing edge — pure JVM column math."""
+    edge_expr = (
+        "transform(sequence(0, size(xs) - 1), i -> named_struct("
+        "'ex1', xs[i], 'ey1', ys[i], "
+        "'ex2', xs[(i + 1) % size(xs)], 'ey2', ys[(i + 1) % size(ys)], "
+        "'eseq', i))"
+    )
+    e = df.select(*keep, F.explode(F.expr(edge_expr)).alias("_e"))
+    return e.select(*keep, "_e.ex1", "_e.ey1", "_e.ex2", "_e.ey2", "_e.eseq")
+
+
+def clean_gap_fill(
+    features: DataFrame,
+    gap_fill_area: float,
+    res: int = 4,
+    tiled: bool = False,
+) -> DataFrame:
+    """-clean gap fill [upstream -clean's second half: overlap removal
+    (clean_assign_areas) PLUS filling of small enclosed gaps; the
+    ``gap-fill-area=`` option bounds which gaps fill]: every hole of
+    the layer's union with |area| <= gap_fill_area is dissolved into
+    the neighboring feature with the LONGEST SHARED BORDER (ties break
+    to the lowest feature_id — upstream's deterministic-winner analog);
+    larger holes are preserved.
+
+    Plan (everything after the hole source is JVM column math + joins):
+    gaps = union holes under the threshold (zero-area slit artifacts of
+    coincident-run layers are filtered by a ulp-scale area floor, per
+    the adjacency representation contract) → explode hole rings and
+    feature rings into edges → a key-equi join credits each gap edge's
+    LENGTH to every feature whose boundary contains the edge midpoint
+    (point-on-segment in a per-key floor-anchored LOCAL FRAME — raw
+    cross products at offset-heavy coordinates carry magnitude-scale
+    noise, the same failure the shoelace_area_local gate closes) →
+    per-(gap, feature) length sums → window argmax → the winner's
+    clean area absorbs the hole.
+
+    ``tiled=True`` sources holes from :func:`dissolve2_rings_tiled`
+    (negative stitched rings) and the clean areas from the distributed
+    mosaic — the 100-TB shape; the crediting join then wants the
+    cell-grid equi-join on midpoint cells instead of the broadcast.
+    Coincident-run coverage layers (shared admin borders) belong on the
+    arc-cancellation dissolve per the representation contract — their
+    union-hole decomposition is not canonical.
+
+    Output: (key, feature_id, clean_area_r) — overlap-resolved areas
+    plus filled gaps, rounded to 9dp (perturbed-attempt folds and
+    offset-heavy crossing solves carry ~1e-12-relative residue)."""
+    clean = clean_assign_areas(features, tiled=tiled, res=res)
+    if tiled:
+        holes = (
+            dissolve2_rings_tiled(features, res=res)
+            .where(F.col("area") < 0)
+            .select(
+                "key",
+                # content-addressed 64-bit path id — grouping key only
+                F.col("ring_id").alias("hole_id"),
+                "xs",
+                "ys",
+                "area",
+            )
+        )
+    else:
+        holes = union_hole_rings(features)
+    span2 = "((array_max(xs) - array_min(xs)) * (array_max(ys) - array_min(ys)))"
+    gaps = holes.where(
+        (-F.col("area") <= F.lit(float(gap_fill_area)))
+        & (-F.col("area") > F.expr(f"64e-16 * {span2}"))
+    )
+    # per-key local anchor + span: offset-heavy stabilization + the
+    # point-on-segment tolerance scale
+    frame = features.groupBy("key").agg(
+        F.floor(F.min(F.expr("array_min(xs)"))).alias("_ax"),
+        F.floor(F.min(F.expr("array_min(ys)"))).alias("_ay"),
+        F.greatest(
+            F.lit(1.0),
+            F.max(F.expr("array_max(xs)")) - F.min(F.expr("array_min(xs)")),
+            F.max(F.expr("array_max(ys)")) - F.min(F.expr("array_min(ys)")),
+        ).alias("_span"),
+    )
+    tol = F.greatest(
+        F.lit(1e-9) * F.col("_span"),
+        F.lit(1e-12) * F.greatest(F.abs(F.col("_ax")), F.abs(F.col("_ay"))),
+    )
+    ge = (
+        _ring_edges(gaps, ["key", "hole_id", "area"])
+        .join(F.broadcast(frame), "key")
+        .select(
+            "key",
+            "hole_id",
+            "area",
+            F.col("eseq").alias("gseq"),
+            ((F.col("ex1") + F.col("ex2")) / 2 - F.col("_ax")).alias("mx"),
+            ((F.col("ey1") + F.col("ey2")) / 2 - F.col("_ay")).alias("my"),
+            F.sqrt(
+                (F.col("ex2") - F.col("ex1")) * (F.col("ex2") - F.col("ex1"))
+                + (F.col("ey2") - F.col("ey1")) * (F.col("ey2") - F.col("ey1"))
+            ).alias("elen"),
+        )
+    )
+    fe = (
+        _ring_edges(features, ["key", "feature_id"])
+        .join(F.broadcast(frame), "key")
+        .select(
+            "key",
+            "feature_id",
+            (F.col("ex1") - F.col("_ax")).alias("fx1"),
+            (F.col("ey1") - F.col("_ay")).alias("fy1"),
+            (F.col("ex2") - F.col("_ax")).alias("fx2"),
+            (F.col("ey2") - F.col("_ay")).alias("fy2"),
+            tol.alias("_tol"),
+        )
+    )
+    dx = F.col("fx2") - F.col("fx1")
+    dy = F.col("fy2") - F.col("fy1")
+    len2 = dx * dx + dy * dy
+    cross = dx * (F.col("my") - F.col("fy1")) - dy * (F.col("mx") - F.col("fx1"))
+    dot = dx * (F.col("mx") - F.col("fx1")) + dy * (F.col("my") - F.col("fy1"))
+    on_seg = (
+        (len2 > 0)
+        & (cross * cross <= F.col("_tol") * F.col("_tol") * len2)
+        & (dot >= -F.col("_tol") * F.sqrt(len2))
+        & (dot <= len2 + F.col("_tol") * F.sqrt(len2))
+    )
+    credit = (
+        ge.join(F.broadcast(fe), "key")
+        .where(on_seg)
+        # one credit per (gap edge, feature) even when two collinear
+        # edges of the same feature meet exactly at the midpoint
+        .groupBy("key", "hole_id", "gseq", "feature_id")
+        .agg(F.first("elen").alias("elen"), F.first("area").alias("harea"))
+    )
+    lens = credit.groupBy("key", "hole_id", "feature_id").agg(
+        F.sum("elen").alias("blen"), F.first("harea").alias("harea")
+    )
+    win = Window.partitionBy("key", "hole_id").orderBy(
+        F.desc("blen"), F.asc("feature_id")
+    )
+    fills = (
+        lens.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("key", "feature_id", (-F.col("harea")).alias("clean_area"))
+    )
+    out = clean.select("key", "feature_id", "clean_area").unionByName(fills)
+    return out.groupBy("key", F.col("feature_id").cast("int").alias("feature_id")).agg(
+        F.round(F.sum("clean_area"), 9).alias("clean_area_r")
+    )
+
+
 def inlay_area(a_features: DataFrame, b_features: DataFrame) -> DataFrame:
     """-inlay slice [upstream -inlay: carve the inlay layer out of the
     target layer, keeping both; SURVEY.md §2.6]: every target feature

@@ -2824,6 +2824,90 @@ def q_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "clean_gap_fill",
+    f"""
+    WITH RECURSIVE r AS (SELECT * FROM {fixtures.gapfill_rects_with_ids_sql()}),
+    xs AS (SELECT DISTINCT key, x0 AS x FROM r UNION SELECT DISTINCT key, x1 FROM r),
+    ys AS (SELECT DISTINCT key, y0 AS y FROM r UNION SELECT DISTINCT key, y1 FROM r),
+    xi AS (SELECT key, x AS xa, lead(x) OVER (PARTITION BY key ORDER BY x) AS xb FROM xs),
+    yi AS (SELECT key, y AS ya, lead(y) OVER (PARTITION BY key ORDER BY y) AS yb FROM ys),
+    cells AS (SELECT xi.key, xa, xb, ya, yb
+              FROM xi JOIN yi ON xi.key = yi.key
+              WHERE xb IS NOT NULL AND yb IS NOT NULL),
+    cov AS (SELECT c.key, c.xa, c.xb, c.ya, c.yb,
+                   (SELECT min(r.rid) FROM r WHERE r.key = c.key
+                    AND r.x0 <= c.xa AND c.xb <= r.x1
+                    AND r.y0 <= c.ya AND c.yb <= r.y1) AS owner
+            FROM cells c),
+    hull AS (SELECT key, min(xa) AS hx0, max(xb) AS hx1,
+                    min(ya) AS hy0, max(yb) AS hy1
+             FROM cells GROUP BY key),
+    outside AS (
+      SELECT c.key, c.xa, c.xb, c.ya, c.yb
+      FROM cov c JOIN hull h ON c.key = h.key
+      WHERE c.owner IS NULL
+        AND (c.xa = h.hx0 OR c.xb = h.hx1 OR c.ya = h.hy0 OR c.yb = h.hy1)
+      UNION
+      SELECT u.key, u.xa, u.xb, u.ya, u.yb
+      FROM cov u JOIN outside o ON u.key = o.key
+      WHERE u.owner IS NULL
+        AND (((u.xa = o.xb OR u.xb = o.xa) AND u.ya < o.yb AND u.yb > o.ya)
+          OR ((u.ya = o.yb OR u.yb = o.ya) AND u.xa < o.xb AND u.xb > o.xa))
+    ),
+    gaps AS (SELECT c.key, c.xa, c.xb, c.ya, c.yb,
+                    (c.xb - c.xa) * (c.yb - c.ya) AS a
+             FROM cov c
+             WHERE c.owner IS NULL
+               AND NOT EXISTS (SELECT 1 FROM outside o
+                               WHERE o.key = c.key AND o.xa = c.xa AND o.ya = c.ya)
+               AND (c.xb - c.xa) * (c.yb - c.ya) <= {fixtures.GAP_FILL_AREA!r}),
+    border AS (
+      SELECT g.key, g.xa AS gxa, g.ya AS gya, g.a, r.rid,
+             sum(CASE WHEN (r.y1 = g.ya OR r.y0 = g.yb)
+                      THEN GREATEST(0.0, LEAST(r.x1, g.xb) - GREATEST(r.x0, g.xa))
+                      ELSE 0.0 END
+               + CASE WHEN (r.x1 = g.xa OR r.x0 = g.xb)
+                      THEN GREATEST(0.0, LEAST(r.y1, g.yb) - GREATEST(r.y0, g.ya))
+                      ELSE 0.0 END) AS blen
+      FROM gaps g JOIN r ON r.key = g.key
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    winner AS (SELECT key, a, rid,
+                      row_number() OVER (PARTITION BY key, gxa, gya
+                                         ORDER BY blen DESC, rid) AS rn
+               FROM border WHERE blen > 0),
+    fill AS (SELECT key, rid AS feature_id, a FROM winner WHERE rn = 1),
+    base AS (SELECT key, owner AS feature_id, (xb - xa) * (yb - ya) AS a
+             FROM cov WHERE owner IS NOT NULL),
+    tot AS (SELECT key, feature_id, sum(a) AS s
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM fill)
+            GROUP BY 1, 2)
+    SELECT key, CAST(feature_id AS INT) AS feature_id,
+           ROUND(CAST(s AS DOUBLE), 9) AS clean_area_r
+    FROM tot
+    """,
+)
+def q_clean_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-clean GAP FILL [upstream -clean's second half, gap-fill-area=]:
+    overlap removal (min-id face assignment) PLUS dissolving each
+    enclosed union hole under the area threshold into the neighbor with
+    the LONGEST SHARED BORDER (min-feature-id tie-break). The engine
+    credits hole-edge lengths to features by a midpoint point-on-segment
+    join in a per-key local frame (all JVM column math after the union
+    fold); the oracle re-derives gaps as UNCOVERED enclosed elementary
+    cells (recursive-CTE flood fill from the hull classifies the
+    outside) and the winner by rect-adjacency shared-edge lengths.
+    Fixture groups pin: unique winner via an L-shaped two-side neighbor,
+    a preserved over-threshold hole, an exact 4-way tie, and gap fill
+    composing with overlap resolution [tests/test_gapfill.py]."""
+    feats = spark.createDataFrame(
+        fixtures.gapfill_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    return overlay_op.clean_gap_fill(feats, fixtures.GAP_FILL_AREA)
+
+
+@query(
     "mosaic_rings_tiled",
     f"""
     WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_with_ids_sql()}),
@@ -3289,7 +3373,11 @@ _DRIVER_WINDOW = [
     "inlay_carved_areas",
     "gh_boolean_pair_areas",
     "gh_boolean_holed_pairs",
-    "union_pair_areas_boxes",
+    # late-r5: the NEW distinct operator clean_gap_fill (upstream
+    # -clean's gap-filling half) displaces union_pair_areas_boxes —
+    # a convex-pair inclusion-exclusion plan-variant of the in-window
+    # gh_boolean family (r2-green since entry; stays in parity)
+    "clean_gap_fill",
     "clip_concave_pairs_area",
     "erase_general_area_windows",
     "clip_general_area_windows",
