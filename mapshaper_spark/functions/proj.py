@@ -3,9 +3,9 @@
 WebMercator, the two conics (Albers equal-area, Lambert conformal),
 spherical transverse Mercator with per-row UTM zones, Robinson (r4),
 Lambert azimuthal equal-area, sinusoidal, azimuthal equidistant,
-Mollweide, Eckert IV, Natural Earth, Equal Earth, stereographic and
-orthographic (r5) — the projections mapshaper users actually reach
-for].
+Mollweide, Eckert IV, Natural Earth, Equal Earth, stereographic,
+orthographic, gnomonic and Cassini (r5) — the projections mapshaper
+users actually reach for].
 
 Pure column expressions (JVM-side, codegen). tan/log are not
 ULP-portable across libm implementations, so projection outputs are
@@ -887,3 +887,111 @@ def orthographic_inverse(
     return df.withColumn(
         "lon2", F.when(at_center, F.lit(lon0)).otherwise(lon_gen)
     ).withColumn("lat2", F.when(at_center, F.lit(lat0)).otherwise(lat_gen))
+
+
+def gnomonic(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 52.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spherical gnomonic (Snyder 1987 eq. 22-4, 22-5): k = 1 / cos c;
+    x = R k cos f sin dl; y = R k (cos f0 sin f - sin f0 cos f cos dl).
+    The DEFINING property the tests pin: every GREAT CIRCLE maps to a
+    straight line (the projection navigators use for great-circle
+    routes). Only the near hemisphere projects (cos c -> 0 at 90° from
+    the center; the far hemisphere mirrors through the origin) — rows
+    carry ``gno_front`` so callers can clip. Pure codegen column
+    math."""
+    f0 = math.radians(lat0)
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    f = F.radians(F.col(lat))
+    cosc = (
+        F.lit(math.sin(f0)) * F.sin(f)
+        + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
+    )
+    x = F.lit(R) * F.cos(f) * F.sin(dl) / cosc
+    y = (
+        F.lit(R)
+        * (
+            F.lit(math.cos(f0)) * F.sin(f)
+            - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+        )
+        / cosc
+    )
+    return (
+        df.withColumn("gnx", x)
+        .withColumn("gny", y)
+        .withColumn("gno_front", cosc > F.lit(0.0))
+    )
+
+
+def gnomonic_inverse(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 52.0,
+    gnx: str = "gnx",
+    gny: str = "gny",
+) -> DataFrame:
+    """Inverse spherical gnomonic for front-hemisphere points (Snyder
+    eq. 20-14..18 with 22-16: c = atan(rho / R)). The rho=0 center maps
+    back exactly."""
+    f0 = math.radians(lat0)
+    rho = F.sqrt(F.col(gnx) * F.col(gnx) + F.col(gny) * F.col(gny))
+    c = F.atan(rho / F.lit(R))
+    lat_gen = F.degrees(
+        F.asin(
+            F.cos(c) * F.lit(math.sin(f0))
+            + F.col(gny) * F.sin(c) * F.lit(math.cos(f0)) / rho
+        )
+    )
+    lon_gen = F.lit(lon0) + F.degrees(
+        F.atan2(
+            F.col(gnx) * F.sin(c),
+            rho * F.lit(math.cos(f0)) * F.cos(c)
+            - F.col(gny) * F.lit(math.sin(f0)) * F.sin(c),
+        )
+    )
+    at_center = rho == F.lit(0.0)
+    return df.withColumn(
+        "lon2", F.when(at_center, F.lit(lon0)).otherwise(lon_gen)
+    ).withColumn("lat2", F.when(at_center, F.lit(lat0)).otherwise(lat_gen))
+
+
+def cassini(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 0.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spherical Cassini(-Soldner) (Snyder 1987 eq. 13-1, 13-2):
+    x = R asin(cos f sin dl); y = R (atan2(tan f, cos dl) - f0). The
+    transverse equidistant: the DEFINING properties the tests pin are
+    x = the true great-circle distance to the central meridian, and
+    exact scale along it (x = 0, y = R (f - f0) on the meridian — the
+    historic cadastral-survey projection). Pure codegen column math."""
+    f0 = math.radians(lat0)
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    f = F.radians(F.col(lat))
+    x = F.lit(R) * F.asin(F.cos(f) * F.sin(dl))
+    y = F.lit(R) * (F.atan2(F.sin(f), F.cos(f) * F.cos(dl)) - F.lit(f0))
+    return df.withColumn("csx", x).withColumn("csy", y)
+
+
+def cassini_inverse(
+    df: DataFrame,
+    lon0: float = 0.0,
+    lat0: float = 0.0,
+    csx: str = "csx",
+    csy: str = "csy",
+) -> DataFrame:
+    """Inverse spherical Cassini (Snyder eq. 13-5, 13-6 with D = y/R +
+    f0): f = asin(sin D cos(x/R)); l = lon0 + atan2(tan(x/R), cos D)."""
+    f0 = math.radians(lat0)
+    d = F.col(csy) / F.lit(R) + F.lit(f0)
+    xr = F.col(csx) / F.lit(R)
+    lat_gen = F.degrees(F.asin(F.sin(d) * F.cos(xr)))
+    lon_gen = F.lit(lon0) + F.degrees(F.atan2(F.sin(xr), F.cos(xr) * F.cos(d)))
+    return df.withColumn("lon2", lon_gen).withColumn("lat2", lat_gen)

@@ -1702,13 +1702,16 @@ def clean_gap_fill(
     per-(gap, feature) length sums → window argmax → the winner's
     clean area absorbs the hole.
 
-    ``tiled=True`` sources holes from :func:`dissolve2_rings_tiled`
-    (negative stitched rings) and the clean areas from the distributed
-    mosaic — the 100-TB shape; the crediting join then wants the
-    cell-grid equi-join on midpoint cells instead of the broadcast.
-    Coincident-run coverage layers (shared admin borders) belong on the
-    arc-cancellation dissolve per the representation contract — their
-    union-hole decomposition is not canonical.
+    ``tiled=True`` is the 100-TB shape end to end: holes come from
+    :func:`dissolve2_rings_tiled` (negative stitched rings), the clean
+    areas from the distributed mosaic, and the crediting join switches
+    from the broadcast cross-pair to a CELL-BUCKETED equi-join —
+    midpoints hash to one per-key grid cell, feature edges replicate to
+    the (tol-padded) cell range of their bbox, and the join runs on
+    (key, cx, cy) so fan-out is bounded by per-cell edge density, never
+    layer size. Coincident-run coverage layers (shared admin borders)
+    belong on the arc-cancellation dissolve per the representation
+    contract — their union-hole decomposition is not canonical.
 
     Output: (key, feature_id, clean_area_r) — overlap-resolved areas
     plus filled gaps, rounded to 9dp (perturbed-attempt folds and
@@ -1734,8 +1737,9 @@ def clean_gap_fill(
         (-F.col("area") <= F.lit(float(gap_fill_area)))
         & (-F.col("area") > F.expr(f"64e-16 * {span2}"))
     )
-    # per-key local anchor + span: offset-heavy stabilization + the
-    # point-on-segment tolerance scale
+    # per-key local anchor + span (offset-heavy stabilization + the
+    # point-on-segment tolerance scale) + the bucketing grid
+    n_cells = 1 << res
     frame = features.groupBy("key").agg(
         F.floor(F.min(F.expr("array_min(xs)"))).alias("_ax"),
         F.floor(F.min(F.expr("array_min(ys)"))).alias("_ay"),
@@ -1744,10 +1748,31 @@ def clean_gap_fill(
             F.max(F.expr("array_max(xs)")) - F.min(F.expr("array_min(xs)")),
             F.max(F.expr("array_max(ys)")) - F.min(F.expr("array_min(ys)")),
         ).alias("_span"),
+        F.min(F.expr("array_min(xs)")).alias("_gx0"),
+        F.min(F.expr("array_min(ys)")).alias("_gy0"),
+        (
+            F.greatest(
+                F.max(F.expr("array_max(xs)")) - F.min(F.expr("array_min(xs)")),
+                F.lit(1e-12),
+            )
+            * (1.0 + 1e-9)
+            / n_cells
+        ).alias("_cw"),
+        (
+            F.greatest(
+                F.max(F.expr("array_max(ys)")) - F.min(F.expr("array_min(ys)")),
+                F.lit(1e-12),
+            )
+            * (1.0 + 1e-9)
+            / n_cells
+        ).alias("_ch"),
     )
     tol = F.greatest(
         F.lit(1e-9) * F.col("_span"),
         F.lit(1e-12) * F.greatest(F.abs(F.col("_ax")), F.abs(F.col("_ay"))),
+    )
+    _cell = lambda v, o, w: F.least(  # noqa: E731 — clamped grid index
+        F.lit(n_cells - 1), F.greatest(F.lit(0), F.floor((v - o) / w).cast("int"))
     )
     ge = (
         _ring_edges(gaps, ["key", "hole_id", "area"])
@@ -1763,6 +1788,12 @@ def clean_gap_fill(
                 (F.col("ex2") - F.col("ex1")) * (F.col("ex2") - F.col("ex1"))
                 + (F.col("ey2") - F.col("ey1")) * (F.col("ey2") - F.col("ey1"))
             ).alias("elen"),
+            _cell(
+                (F.col("ex1") + F.col("ex2")) / 2, F.col("_gx0"), F.col("_cw")
+            ).alias("cgx"),
+            _cell(
+                (F.col("ey1") + F.col("ey2")) / 2, F.col("_gy0"), F.col("_ch")
+            ).alias("cgy"),
         )
     )
     fe = (
@@ -1776,8 +1807,34 @@ def clean_gap_fill(
             (F.col("ex2") - F.col("_ax")).alias("fx2"),
             (F.col("ey2") - F.col("_ay")).alias("fy2"),
             tol.alias("_tol"),
+            _cell(
+                F.least("ex1", "ex2") - tol, F.col("_gx0"), F.col("_cw")
+            ).alias("_cx_lo"),
+            _cell(
+                F.greatest("ex1", "ex2") + tol, F.col("_gx0"), F.col("_cw")
+            ).alias("_cx_hi"),
+            _cell(
+                F.least("ey1", "ey2") - tol, F.col("_gy0"), F.col("_ch")
+            ).alias("_cy_lo"),
+            _cell(
+                F.greatest("ey1", "ey2") + tol, F.col("_gy0"), F.col("_ch")
+            ).alias("_cy_hi"),
         )
     )
+    if tiled:
+        # cell-bucketed transport: feature edges replicate to the
+        # tol-padded cell range of their bbox; a matching midpoint
+        # (within tol of the edge) always lands inside that range
+        fe = (
+            fe.select("*", F.explode(F.sequence("_cx_lo", "_cx_hi")).alias("cgx"))
+            .select("*", F.explode(F.sequence("_cy_lo", "_cy_hi")).alias("cgy"))
+            .drop("_cx_lo", "_cx_hi", "_cy_lo", "_cy_hi")
+        )
+        join_keys = ["key", "cgx", "cgy"]
+    else:
+        fe = fe.drop("_cx_lo", "_cx_hi", "_cy_lo", "_cy_hi")
+        ge = ge.drop("cgx", "cgy")
+        join_keys = ["key"]
     dx = F.col("fx2") - F.col("fx1")
     dy = F.col("fy2") - F.col("fy1")
     len2 = dx * dx + dy * dy
@@ -1790,7 +1847,7 @@ def clean_gap_fill(
         & (dot <= len2 + F.col("_tol") * F.sqrt(len2))
     )
     credit = (
-        ge.join(F.broadcast(fe), "key")
+        (ge.join(fe, join_keys) if tiled else ge.join(F.broadcast(fe), join_keys))
         .where(on_seg)
         # one credit per (gap edge, feature) even when two collinear
         # edges of the same feature meet exactly at the midpoint
@@ -1798,7 +1855,14 @@ def clean_gap_fill(
         .agg(F.first("elen").alias("elen"), F.first("area").alias("harea"))
     )
     lens = credit.groupBy("key", "hole_id", "feature_id").agg(
-        F.sum("elen").alias("blen"), F.first("harea").alias("harea")
+        # 9dp-quantized comparison key [probe-found tie flip]: the tiled
+        # hole source subdivides edges at cell lines, so a border length
+        # arrives as a float SUM of sub-edge lengths (2.0 vs
+        # 1.9999999999999998) — an exact tie must stay a tie across
+        # transports so the min-id break is deterministic, same 9dp
+        # contract as the output areas
+        F.round(F.sum("elen"), 9).alias("blen"),
+        F.first("harea").alias("harea"),
     )
     win = Window.partitionBy("key", "hole_id").orderBy(
         F.desc("blen"), F.asc("feature_id")

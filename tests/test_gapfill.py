@@ -59,10 +59,12 @@ def test_gap_fill_hole_detection(spark):
 
 
 def test_gap_fill_tiled_twin(spark):
-    """tiled=True sources holes from dissolve2_rings_tiled and areas
-    from the distributed mosaic — same output to 9dp (the stitched
-    rings carry extra collinear vertices whose shoelace terms round at
-    ~1e-15, hence the operator's 9dp contract)."""
+    """tiled=True is the 100-TB shape end to end: holes from
+    dissolve2_rings_tiled, areas from the distributed mosaic, and the
+    crediting join CELL-BUCKETED on (key, cgx, cgy) instead of the
+    broadcast cross-pair — same output to 9dp (the stitched rings carry
+    extra collinear vertices whose shoelace terms round at ~1e-15,
+    hence the operator's 9dp contract)."""
     out = overlay.clean_gap_fill(
         _feats(spark), fixtures.GAP_FILL_AREA, res=3, tiled=True
     )

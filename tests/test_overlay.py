@@ -787,3 +787,84 @@ def test_orthographic_roundtrip_and_radial_property(spark):
         )
         sinc = m.sqrt(max(0.0, 1.0 - cosc * cosc))
         assert abs(m.hypot(x, y) - R * sinc) < 1e-6 * max(R * sinc, 1.0), (lo, la)
+
+
+def test_gnomonic_roundtrip_and_great_circle_lines(spark):
+    """Spherical gnomonic (r5): forward→inverse identity for
+    front-hemisphere points (incl. the rho=0 center), the far
+    hemisphere flagged, and the DEFINING property — points of a great
+    circle project COLLINEAR (slerp samples between two arbitrary
+    endpoints land on one straight line)."""
+    import math as m
+
+    import numpy as np
+
+    lon0, lat0 = 10.0, 45.0
+    pts = [(10.0, 45.0), (20.0, 40.0), (-15.0, 60.0), (5.0, 12.0),
+           (-170.0, -45.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    fwd = proj_fn.gnomonic(df, lon0=lon0, lat0=lat0)
+    flags = {(r["lon"], r["lat"]): r["gno_front"] for r in fwd.collect()}
+    assert flags[(-170.0, -45.0)] is False  # antipodal neighborhood
+    assert all(v for k, v in flags.items() if k != (-170.0, -45.0))
+    out = proj_fn.gnomonic_inverse(
+        fwd.filter("gno_front"), lon0=lon0, lat0=lat0
+    ).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+
+    def unit(lo, la):
+        lo, la = m.radians(lo), m.radians(la)
+        return np.array(
+            [m.cos(la) * m.cos(lo), m.cos(la) * m.sin(lo), m.sin(la)]
+        )
+
+    a, b = unit(-5.0, 30.0), unit(40.0, 55.0)
+    omega = m.acos(float(a @ b))
+    samples = []
+    for t in (0.0, 0.3, 0.55, 0.8, 1.0):
+        v = (m.sin((1 - t) * omega) * a + m.sin(t * omega) * b) / m.sin(omega)
+        samples.append(
+            (m.degrees(m.atan2(v[1], v[0])), m.degrees(m.asin(v[2])))
+        )
+    sdf = spark.createDataFrame(samples, schema="lon double, lat double")
+    got = [
+        (r["gnx"], r["gny"])
+        for r in proj_fn.gnomonic(sdf, lon0=lon0, lat0=lat0)
+        .orderBy("lon")
+        .collect()
+    ]
+    (x0, y0), (xn, yn) = got[0], got[-1]
+    span = m.hypot(xn - x0, yn - y0)
+    for x, y in got[1:-1]:
+        cross = (xn - x0) * (y - y0) - (yn - y0) * (x - x0)
+        assert abs(cross) < 1e-9 * span * span, (x, y)
+
+
+def test_cassini_roundtrip_and_transverse_equidistance(spark):
+    """Spherical Cassini (r5): forward→inverse identity, exact scale
+    along the central meridian (x = 0 EXACTLY, y = R·(lat-lat0)), and
+    the DEFINING transverse property — x equals the true great-circle
+    distance R·asin(cos f sin dl) to the central meridian (numpy
+    twin)."""
+    import math as m
+
+    lon0, lat0 = 15.0, 40.0
+    pts = [(15.0, 40.0), (15.0, -35.0), (15.0, 89.0), (22.0, 47.0),
+           (-40.0, -10.0), (100.0, 65.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    fwd = proj_fn.cassini(df, lon0=lon0, lat0=lat0)
+    out = proj_fn.cassini_inverse(fwd, lon0=lon0, lat0=lat0).collect()
+    R = proj_fn.R
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-8, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+        if r["lon"] == lon0:  # central meridian: transverse exactness
+            assert r["csx"] == 0.0, r
+            want_y = R * m.radians(r["lat"] - lat0)
+            assert abs(r["csy"] - want_y) < 1e-6, r
+        want_x = R * m.asin(
+            m.cos(m.radians(r["lat"])) * m.sin(m.radians(r["lon"] - lon0))
+        )
+        assert abs(r["csx"] - want_x) < 1e-6, r
