@@ -948,3 +948,95 @@ def test_split_robust_offset_heavy_frame():
     assert got_u == pytest.approx(
         want_a + bx1[2] * bx1[2] - want_inter, rel=1e-6
     )
+
+
+# --------------------------------------------------------- gap fill sweep
+
+_gap_frame = st.tuples(
+    st.floats(min_value=1.0, max_value=6.0),   # hole width w
+    st.floats(min_value=1.0, max_value=6.0),   # hole height h
+    st.floats(min_value=0.5, max_value=1.5),   # bar thickness t
+    st.floats(min_value=0.15, max_value=0.85),  # u1: right-strip bottom
+    st.floats(min_value=0.15, max_value=0.85),  # u2: top-strip left
+    st.floats(min_value=0.35, max_value=0.9),   # u3: strip width a/t
+    st.floats(min_value=0.35, max_value=0.9),   # u4: strip height b/t
+    st.floats(min_value=0.1, max_value=0.9),    # u5/u6: bottom-bar ends
+    st.floats(min_value=0.1, max_value=0.9),
+    st.floats(min_value=0.05, max_value=0.8),   # u7: left-bar bottom inset
+    st.sampled_from([0.01, 1.0, 100.0]),        # scale
+    st.sampled_from([0.0, -1000.0, 2.0e6]),     # offset
+)
+
+
+def _gap_frame_feats(p):
+    """One randomized gap frame: bottom bar, left bar, L-shaped
+    top+right neighbor (the unique longest-border winner, margin
+    min(w, h)); returns (features_df, hole_area, scale)."""
+    import pandas as pd
+
+    from mapshaper_spark.session import get_spark
+
+    w, h, t, u1, u2, u3, u4, u5, u6, u7, s, off = p
+    a, b = t * u3, t * u4
+    yb, xl = -t * u1, -t * u2
+    rings = [
+        # bottom bar: top edge y=0 under the hole
+        [(-t - t * u5, -t), (w + t + t * u6, -t),
+         (w + t + t * u6, 0.0), (-t - t * u5, 0.0)],
+        # left bar: right edge x=0; bottom inset keeps lines distinct
+        [(-t, -t + t * u7 * 0.8), (0.0, -t + t * u7 * 0.8),
+         (0.0, h + t), (-t, h + t)],
+        # L: right strip x in [w, w+a] from yb, top strip y in [h, h+b]
+        # from xl — borders the hole on TWO sides (blen w + h)
+        [(w, yb), (w + a, yb), (w + a, h + b), (xl, h + b),
+         (xl, h), (w, h)],
+    ]
+    tx = lambda v: off + s * v  # noqa: E731
+    pdf = pd.DataFrame(
+        [
+            {
+                "feature_id": i,
+                "key": "g",
+                "xs": [tx(x) for x, _ in ring],
+                "ys": [tx(y) for _, y in ring],
+            }
+            for i, ring in enumerate(rings)
+        ]
+    )
+    spark = get_spark("mapshaper_spark_tests", cpus=8, shuffle_partitions=8)
+    feats = spark.createDataFrame(
+        pdf, schema="feature_id int, key string, xs array<double>, ys array<double>"
+    )
+    return feats, (w * h) * s * s, s
+
+
+@settings(max_examples=12, deadline=None)
+@given(_gap_frame)
+@example(p=(1.0, 6.0, 0.5, 0.15, 0.85, 0.35, 0.9, 0.1, 0.9, 0.05, 100.0, 2.0e6))
+@example(p=(6.0, 1.0, 1.5, 0.5, 0.5, 0.6, 0.6, 0.5, 0.5, 0.4, 0.01, -1000.0))
+def test_gap_fill_matches_clean_plus_hole(p):
+    """Operator-level randomized check for -clean gap fill: on a frame
+    whose L-shaped neighbor borders the hole on two sides (unique
+    longest-border winner, margin min(w,h)·s), clean_gap_fill equals
+    clean_assign_areas with EXACTLY the hole area added to the L's row
+    — across scales 0.01..100 and offsets up to 2e6 (the crediting join
+    runs in the per-key local frame; offset-heavy crossing solves carry
+    ~1e-9-relative residue, hence the rel tolerance)."""
+    from mapshaper_spark.operators import overlay as overlay_op
+
+    feats, hole_area, s = _gap_frame_feats(p)
+    base = {
+        int(r["feature_id"]): r["clean_area"]
+        for r in overlay_op.clean_assign_areas(feats).collect()
+    }
+    got = {
+        int(r["feature_id"]): r["clean_area_r"]
+        for r in overlay_op.clean_gap_fill(
+            feats, gap_fill_area=2.0 * hole_area
+        ).collect()
+    }
+    assert set(got) == set(base) == {0, 1, 2}
+    tol = 1e-8 * max(hole_area, 1.0) + 1e-7 * abs(p[11]) * s
+    assert got[0] == pytest.approx(base[0], abs=tol)
+    assert got[1] == pytest.approx(base[1], abs=tol)
+    assert got[2] == pytest.approx(base[2] + hole_area, abs=tol)
