@@ -610,6 +610,53 @@ def gapfill_rects_with_ids_sql(name: str = "r") -> str:
     return f"(VALUES {rows}) AS {name}(rid, key, x0, y0, x1, y1)"
 
 
+# -buffer fixture: point groups buffered by radius 1.25 diamonds (k=4)
+# and union-merged. Dyadic coordinates keep every GH crossing solve
+# exact; in the 45°-rotated frame (u = x+y, v = x-y) each diamond is
+# the axis-aligned square [u±r]x[v±r] with DOUBLE the xy area, so the
+# oracle is an exact elementary-cell union over the rotated rects
+# divided by 2. 'a' single, 'b' overlapping pair (one merged ring),
+# 'c' four buffers ringing an enclosed HOLE (2 rings), 'd' disjoint
+# pair (2 rings).
+BUFFER_RADIUS = 1.25
+
+BUFFER_POINTS = [
+    ("a", 10.0, 0.0),
+    ("b", 20.0, 0.0),
+    ("b", 21.5, 0.0),
+    ("c", 30.0, 0.0),
+    ("c", 32.0, 0.0),
+    ("c", 32.0, 2.0),
+    ("c", 30.0, 2.0),
+    ("d", 40.0, 0.0),
+    ("d", 45.0, 0.0),
+]
+
+BUFFER_RING_GOLDENS = [("a", 1), ("b", 1), ("c", 2), ("d", 2)]
+
+
+def buffer_points_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {"feature_id": i, "key": k, "x": px, "y": py}
+            for i, (k, px, py) in enumerate(BUFFER_POINTS)
+        ],
+        columns=["feature_id", "key", "x", "y"],
+    )
+
+
+def buffer_points_values_sql(name: str = "p") -> str:
+    rows = ",".join(f"('{k}',{px!r},{py!r})" for k, px, py in BUFFER_POINTS)
+    return f"(VALUES {rows}) AS {name}(key, px, py)"
+
+
+def buffer_ring_goldens_sql(name: str = "g") -> str:
+    rows = ",".join(f"('{k}',{n})" for k, n in BUFFER_RING_GOLDENS)
+    return f"(VALUES {rows}) AS {name}(key, n_rings)"
+
+
 # -inlay layer: boxes carved out of the holed targets (coords distinct
 # from every holed-feature edge coordinate — general position)
 INLAY_BOXES = [

@@ -2908,6 +2908,51 @@ def q_clean_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "buffer_points_dissolved",
+    f"""
+    WITH p AS (SELECT * FROM {fixtures.buffer_points_values_sql()}),
+    sq AS (SELECT key,
+                  (px + py) - {fixtures.BUFFER_RADIUS!r} AS u0,
+                  (px + py) + {fixtures.BUFFER_RADIUS!r} AS u1,
+                  (px - py) - {fixtures.BUFFER_RADIUS!r} AS v0,
+                  (px - py) + {fixtures.BUFFER_RADIUS!r} AS v1
+           FROM p),
+    us AS (SELECT DISTINCT key, u0 AS u FROM sq UNION SELECT DISTINCT key, u1 FROM sq),
+    vs AS (SELECT DISTINCT key, v0 AS v FROM sq UNION SELECT DISTINCT key, v1 FROM sq),
+    ui AS (SELECT key, u AS ua, lead(u) OVER (PARTITION BY key ORDER BY u) AS ub FROM us),
+    vi AS (SELECT key, v AS va, lead(v) OVER (PARTITION BY key ORDER BY v) AS vb FROM vs),
+    cells AS (SELECT ui.key, ua, ub, va, vb
+              FROM ui JOIN vi ON ui.key = vi.key
+              WHERE ub IS NOT NULL AND vb IS NOT NULL),
+    cov AS (SELECT c.key, (c.ub - c.ua) * (c.vb - c.va) AS a
+            FROM cells c
+            WHERE EXISTS (SELECT 1 FROM sq WHERE sq.key = c.key
+                          AND sq.u0 <= c.ua AND c.ub <= sq.u1
+                          AND sq.v0 <= c.va AND c.vb <= sq.v1)),
+    area AS (SELECT key, CAST(sum(a) / 2.0 AS DOUBLE) AS area FROM cov GROUP BY key)
+    SELECT area.key, g.n_rings, area.area
+    FROM area JOIN {fixtures.buffer_ring_goldens_sql()} ON area.key = g.key
+    """,
+)
+def q_buffer_points_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-buffer on a point layer, merged [upstream's experimental
+    -buffer composed with -dissolve2]: each point becomes an exact k=4
+    'diamond' ring via pure column math (buffer_points — no UDF), then
+    the per-key union fold merges overlaps; group 'c' rings a hole (4
+    buffers around an enclosed gap, n_rings=2). The oracle measures
+    each diamond as an axis-aligned square in the 45°-rotated frame
+    (u = x+y, v = x-y, area doubled) by exact elementary-cell
+    decomposition, halved back — dyadic coordinates keep both sides
+    bit-exact; ring counts are hand goldens."""
+    pts = spark.createDataFrame(
+        fixtures.buffer_points_pdf(),
+        schema="feature_id int, key string, x double, y double",
+    )
+    buffered = points_op.buffer_points(pts, fixtures.BUFFER_RADIUS, k=4)
+    return topology.dissolve2(buffered)
+
+
+@query(
     "mosaic_rings_tiled",
     f"""
     WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_with_ids_sql()}),

@@ -868,3 +868,32 @@ def test_cassini_roundtrip_and_transverse_equidistance(spark):
             m.cos(m.radians(r["lat"])) * m.sin(m.radians(r["lon"] - lon0))
         )
         assert abs(r["csx"] - want_x) < 1e-6, r
+
+
+def test_buffer_points_kgon(spark):
+    """-buffer point rings: k=4 vertices are EXACT axis offsets (the
+    cos(pi/2) ~ 6e-17 literal snaps to 0.0 — dyadic oracle exactness
+    depends on it), k=8 is a regular octagon with the right area
+    (2·sqrt(2)·r² = 8·(r²/2)·sin(45°)), rings come out CCW, and non-xy
+    columns pass through."""
+    import math as m
+
+    from mapshaper_spark import geometry
+    from mapshaper_spark.operators import points as points_op
+
+    import numpy as np
+
+    pts = spark.createDataFrame(
+        [(7, "k", 3.5, -2.25)], schema="feature_id int, key string, x double, y double"
+    )
+    r4 = points_op.buffer_points(pts, 1.25, k=4).collect()[0]
+    assert r4["feature_id"] == 7 and r4["key"] == "k"
+    assert list(r4["xs"]) == [4.75, 3.5, 2.25, 3.5]
+    assert list(r4["ys"]) == [-2.25, -1.0, -2.25, -3.5]
+
+    r8 = points_op.buffer_points(pts, 2.0, k=8).collect()[0]
+    xs, ys = np.array(r8["xs"]), np.array(r8["ys"])
+    a = geometry.shoelace_area_local(xs, ys)
+    want = 8 * (2.0**2 / 2.0) * m.sin(2.0 * m.pi / 8)
+    assert a == pytest.approx(want, rel=1e-12)
+    assert a > 0  # CCW
