@@ -657,6 +657,57 @@ def buffer_ring_goldens_sql(name: str = "g") -> str:
     return f"(VALUES {rows}) AS {name}(key, n_rings)"
 
 
+# -buffer polyline fixture: axis-aligned paths buffered by square-cap
+# segment quads (radius 0.5) and union-merged — on axis-aligned layers
+# the quad union IS the Minkowski sum with an oriented square, so the
+# oracle is the exact elementary-cell union of per-segment rectangles
+# [min-r, max+r] per axis. Connected segments' caps overlap in
+# coincident collinear runs, so the union takes the robust perturbed
+# path: areas carry ~1e-8 deterministic residue -> both sides round at
+# 6dp. 'a' L-path, 'b' straight segment, 'c' an almost-closed square
+# whose caps bridge the 0.75 gap -> the buffer encloses a HOLE.
+BUFFER_LINE_RADIUS = 0.5
+
+BUFFER_LINES = [
+    ("a", [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0)]),
+    ("b", [(10.0, 0.0), (15.0, 0.0)]),
+    ("c", [(20.0, 0.0), (24.0, 0.0), (24.0, 4.0), (20.0, 4.0), (20.0, 0.75)]),
+]
+
+BUFFER_LINE_RING_GOLDENS = [("a", 1), ("b", 1), ("c", 2)]
+
+
+def buffer_lines_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "feature_id": i,
+                "key": k,
+                "xs": [p[0] for p in path],
+                "ys": [p[1] for p in path],
+            }
+            for i, (k, path) in enumerate(BUFFER_LINES)
+        ],
+        columns=["feature_id", "key", "xs", "ys"],
+    )
+
+
+def buffer_line_segments_values_sql(name: str = "s") -> str:
+    rows = ",".join(
+        f"('{k}',{x1!r},{y1!r},{x2!r},{y2!r})"
+        for k, path in BUFFER_LINES
+        for (x1, y1), (x2, y2) in zip(path[:-1], path[1:])
+    )
+    return f"(VALUES {rows}) AS {name}(key, sx1, sy1, sx2, sy2)"
+
+
+def buffer_line_ring_goldens_sql(name: str = "g") -> str:
+    rows = ",".join(f"('{k}',{n})" for k, n in BUFFER_LINE_RING_GOLDENS)
+    return f"(VALUES {rows}) AS {name}(key, n_rings)"
+
+
 # -inlay layer: boxes carved out of the holed targets (coords distinct
 # from every holed-feature edge coordinate — general position)
 INLAY_BOXES = [

@@ -292,3 +292,53 @@ def buffer_points(
     ys = F.array(*[F.col(y) + F.lit(oy) for _, oy in offs])
     keep = [c for c in points.columns if c not in (x, y)]
     return points.select(*keep, xs.alias("xs"), ys.alias("ys"))
+
+
+def buffer_polylines(
+    lines: DataFrame, radius: float, cap_extension: float | None = None
+) -> DataFrame:
+    """-buffer on polyline layers [upstream's experimental -buffer]:
+    each segment becomes an oriented quad ring — half-width ``radius``
+    along the segment normal, ends extended by ``cap_extension``
+    (default = radius: square caps; the union of the quads is then the
+    exact Minkowski sum with an oriented square on axis-aligned
+    layers). PURE COLUMN MATH (explode segments, normals from the
+    per-segment length; sqrt is IEEE-exact on axis-aligned segments) —
+    feed the rings to dissolve2 / union_many to merge per key.
+
+    Square caps of CONNECTED segments overlap in coincident collinear
+    edge runs at every joint, so the union fold takes its robust
+    perturbed path: merged areas carry ~1e-8 deterministic residue
+    (the oracle rounds at 6dp; area is canonical per the adjacency
+    representation contract, perimeter is not)."""
+    ext = radius if cap_extension is None else cap_extension
+    seg_expr = (
+        "transform(sequence(0, size(xs) - 2), i -> named_struct("
+        "'sx1', xs[i], 'sy1', ys[i], 'sx2', xs[i + 1], 'sy2', ys[i + 1],"
+        "'sseq', i))"
+    )
+    keep = [c for c in lines.columns if c not in ("xs", "ys")]
+    s = lines.select(*keep, F.explode(F.expr(seg_expr)).alias("_s")).select(
+        *keep, "_s.sx1", "_s.sy1", "_s.sx2", "_s.sy2", "_s.sseq"
+    )
+    dx = F.col("sx2") - F.col("sx1")
+    dy = F.col("sy2") - F.col("sy1")
+    ln = F.sqrt(dx * dx + dy * dy)
+    exn, eyn = dx / ln * ext, dy / ln * ext
+    nxn, nyn = -dy / ln * radius, dx / ln * radius
+    return s.where(ln > 0).select(
+        *keep,
+        "sseq",
+        F.array(
+            F.col("sx1") - exn + nxn,
+            F.col("sx1") - exn - nxn,
+            F.col("sx2") + exn - nxn,
+            F.col("sx2") + exn + nxn,
+        ).alias("xs"),
+        F.array(
+            F.col("sy1") - eyn + nyn,
+            F.col("sy1") - eyn - nyn,
+            F.col("sy2") + eyn - nyn,
+            F.col("sy2") + eyn + nyn,
+        ).alias("ys"),
+    )

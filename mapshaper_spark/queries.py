@@ -2953,6 +2953,61 @@ def q_buffer_points_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "buffer_polylines_dissolved",
+    f"""
+    WITH s AS (SELECT * FROM {fixtures.buffer_line_segments_values_sql()}),
+    r AS (SELECT key,
+                 LEAST(sx1, sx2) - {fixtures.BUFFER_LINE_RADIUS!r} AS x0,
+                 GREATEST(sx1, sx2) + {fixtures.BUFFER_LINE_RADIUS!r} AS x1,
+                 LEAST(sy1, sy2) - {fixtures.BUFFER_LINE_RADIUS!r} AS y0,
+                 GREATEST(sy1, sy2) + {fixtures.BUFFER_LINE_RADIUS!r} AS y1
+          FROM s),
+    xs AS (SELECT DISTINCT key, x0 AS x FROM r UNION SELECT DISTINCT key, x1 FROM r),
+    ys AS (SELECT DISTINCT key, y0 AS y FROM r UNION SELECT DISTINCT key, y1 FROM r),
+    xi AS (SELECT key, x AS xa, lead(x) OVER (PARTITION BY key ORDER BY x) AS xb FROM xs),
+    yi AS (SELECT key, y AS ya, lead(y) OVER (PARTITION BY key ORDER BY y) AS yb FROM ys),
+    cells AS (SELECT xi.key, xa, xb, ya, yb
+              FROM xi JOIN yi ON xi.key = yi.key
+              WHERE xb IS NOT NULL AND yb IS NOT NULL),
+    cov AS (SELECT c.key, (c.xb - c.xa) * (c.yb - c.ya) AS a
+            FROM cells c
+            WHERE EXISTS (SELECT 1 FROM r WHERE r.key = c.key
+                          AND r.x0 <= c.xa AND c.xb <= r.x1
+                          AND r.y0 <= c.ya AND c.yb <= r.y1)),
+    area AS (SELECT key, ROUND(CAST(sum(a) AS DOUBLE), 6) AS area_r FROM cov GROUP BY key)
+    SELECT area.key, g.n_rings, area.area_r
+    FROM area JOIN {fixtures.buffer_line_ring_goldens_sql()} ON area.key = g.key
+    """,
+)
+def q_buffer_polylines_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-buffer on polyline layers, merged [upstream's experimental
+    -buffer]: per-segment square-cap quads (pure column math) through
+    the per-key union fold; group 'c' is an almost-closed square whose
+    caps bridge the gap — the buffer rings a HOLE (n_rings=2). On
+    axis-aligned layers the quad union equals the Minkowski sum with an
+    oriented square, so the oracle is the exact rectangle-union
+    elementary-cell decomposition; connected caps overlap in coincident
+    collinear runs (the union's robust perturbed path, ~1e-8
+    deterministic residue) so both sides round at 6dp [area is
+    canonical on coincident-run layers, CLAUDE.md adjacency
+    contract]."""
+    lines = spark.createDataFrame(
+        fixtures.buffer_lines_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    quads = points_op.buffer_polylines(lines, fixtures.BUFFER_LINE_RADIUS)
+    # distinct per-quad ids keep the union fold order deterministic
+    quads = quads.select(
+        (F.col("feature_id") * 100 + F.col("sseq")).alias("feature_id"),
+        "key",
+        "xs",
+        "ys",
+    )
+    merged = topology.dissolve2(quads)
+    return merged.select("key", "n_rings", F.round("area", 6).alias("area_r"))
+
+
+@query(
     "mosaic_rings_tiled",
     f"""
     WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_with_ids_sql()}),

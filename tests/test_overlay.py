@@ -897,3 +897,44 @@ def test_buffer_points_kgon(spark):
     want = 8 * (2.0**2 / 2.0) * m.sin(2.0 * m.pi / 8)
     assert a == pytest.approx(want, rel=1e-12)
     assert a > 0  # CCW
+
+
+def test_buffer_polylines_quads(spark):
+    """-buffer polyline segment quads: an axis-aligned segment's quad
+    is the EXACT square-cap rectangle (IEEE sqrt of a perfect square is
+    exact), rings come out CCW, zero-length segments drop, non-geometry
+    columns + sseq pass through, and a diagonal segment's quad area is
+    (len + 2·ext)·2r to float precision."""
+    import math as m
+
+    import numpy as np
+
+    from mapshaper_spark import geometry
+    from mapshaper_spark.operators import points as points_op
+
+    lines = spark.createDataFrame(
+        [
+            (3, "k", [1.0, 5.0, 5.0], [2.0, 2.0, 2.0]),  # middle seg zero-length
+            (4, "d", [0.0, 3.0], [0.0, 4.0]),  # 3-4-5 diagonal
+        ],
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    out = points_op.buffer_polylines(lines, 0.5).collect()
+    by = {(r["feature_id"], r["sseq"]): r for r in out}
+    assert set(by) == {(3, 0), (4, 0)}  # (3,1) zero-length dropped
+
+    r = by[(3, 0)]
+    assert r["key"] == "k"
+    assert list(r["xs"]) == [0.5, 0.5, 5.5, 5.5]
+    assert list(r["ys"]) == [2.5, 1.5, 1.5, 2.5]
+
+    d = by[(4, 0)]
+    xs, ys = np.array(d["xs"]), np.array(d["ys"])
+    a = geometry.shoelace_area_local(xs, ys)
+    assert a == pytest.approx((5.0 + 1.0) * 1.0, rel=1e-12)
+    assert a > 0  # CCW
+    # cap extension override: no extension -> exact len*2r rectangle area
+    d0 = points_op.buffer_polylines(lines, 0.5, cap_extension=0.0).collect()
+    d0 = {(r["feature_id"], r["sseq"]): r for r in d0}[(4, 0)]
+    a0 = geometry.shoelace_area_local(np.array(d0["xs"]), np.array(d0["ys"]))
+    assert a0 == pytest.approx(5.0 * 1.0, rel=1e-12)
