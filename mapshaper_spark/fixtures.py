@@ -708,6 +708,88 @@ def buffer_line_ring_goldens_sql(name: str = "g") -> str:
     return f"(VALUES {rows}) AS {name}(key, n_rings)"
 
 
+# -buffer polygon fixture: rectilinear polygons buffered by radius 0.5
+# with square joins/caps. Spark side = union(ring, per-edge square-cap
+# quads) which on axis-aligned layers IS the Minkowski sum with an
+# oriented square; each polygon also carries a DISJOINT rectangle
+# decomposition, and Minkowski distributes over union, so the oracle is
+# the exact elementary-cell union of the EXPANDED rectangles. 'a'
+# rectangle, 'b' L-shape, 'c' two rectangles 0.75 apart (buffers merge
+# to one ring), 'd' a frame whose cavity connects to the outside
+# through a 0.75-wide channel — the buffer seals the channel and the
+# cavity becomes an enclosed HOLE (2 rings).
+BUFFER_POLY_RADIUS = 0.5
+
+BUFFER_POLYS = [
+    ("a", [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0)]),
+    ("b", [(10.0, 0.0), (14.0, 0.0), (14.0, 1.0), (11.0, 1.0), (11.0, 4.0), (10.0, 4.0)]),
+    ("c", [(20.0, 0.0), (22.0, 0.0), (22.0, 3.0), (20.0, 3.0)]),
+    ("c", [(22.75, 0.0), (24.75, 0.0), (24.75, 3.0), (22.75, 3.0)]),
+    (
+        "d",
+        [
+            (30.0, 0.0),
+            (34.0, 0.0),
+            (34.0, 4.0),
+            (30.0, 4.0),
+            (30.0, 2.375),
+            (31.0, 2.375),
+            (31.0, 3.0),
+            (33.0, 3.0),
+            (33.0, 1.0),
+            (31.0, 1.0),
+            (31.0, 1.625),
+            (30.0, 1.625),
+        ],
+    ),
+]
+
+# disjoint per-key rectangle decompositions (union == the polygons)
+BUFFER_POLY_RECTS = [
+    ("a", 0.0, 0.0, 4.0, 3.0),
+    ("b", 10.0, 0.0, 14.0, 1.0),
+    ("b", 10.0, 1.0, 11.0, 4.0),
+    ("c", 20.0, 0.0, 22.0, 3.0),
+    ("c", 22.75, 0.0, 24.75, 3.0),
+    ("d", 30.0, 0.0, 34.0, 1.0),
+    ("d", 33.0, 1.0, 34.0, 3.0),
+    ("d", 30.0, 3.0, 34.0, 4.0),
+    ("d", 30.0, 2.375, 31.0, 3.0),
+    ("d", 30.0, 1.0, 31.0, 1.625),
+]
+
+BUFFER_POLY_RING_GOLDENS = [("a", 1), ("b", 1), ("c", 1), ("d", 2)]
+
+
+def buffer_polys_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "feature_id": i,
+                "key": k,
+                "xs": [p[0] for p in ring],
+                "ys": [p[1] for p in ring],
+            }
+            for i, (k, ring) in enumerate(BUFFER_POLYS)
+        ],
+        columns=["feature_id", "key", "xs", "ys"],
+    )
+
+
+def buffer_poly_rects_values_sql(name: str = "r") -> str:
+    rows = ",".join(
+        f"('{k}',{x0!r},{y0!r},{x1!r},{y1!r})" for k, x0, y0, x1, y1 in BUFFER_POLY_RECTS
+    )
+    return f"(VALUES {rows}) AS {name}(key, rx0, ry0, rx1, ry1)"
+
+
+def buffer_poly_ring_goldens_sql(name: str = "g") -> str:
+    rows = ",".join(f"('{k}',{n})" for k, n in BUFFER_POLY_RING_GOLDENS)
+    return f"(VALUES {rows}) AS {name}(key, n_rings)"
+
+
 # -inlay layer: boxes carved out of the holed targets (coords distinct
 # from every holed-feature edge coordinate — general position)
 INLAY_BOXES = [

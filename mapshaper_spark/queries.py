@@ -3008,6 +3008,64 @@ def q_buffer_polylines_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "buffer_polygons_dissolved",
+    f"""
+    WITH r AS (SELECT key,
+                 rx0 - {fixtures.BUFFER_POLY_RADIUS!r} AS x0,
+                 rx1 + {fixtures.BUFFER_POLY_RADIUS!r} AS x1,
+                 ry0 - {fixtures.BUFFER_POLY_RADIUS!r} AS y0,
+                 ry1 + {fixtures.BUFFER_POLY_RADIUS!r} AS y1
+          FROM {fixtures.buffer_poly_rects_values_sql()}),
+    xs AS (SELECT DISTINCT key, x0 AS x FROM r UNION SELECT DISTINCT key, x1 FROM r),
+    ys AS (SELECT DISTINCT key, y0 AS y FROM r UNION SELECT DISTINCT key, y1 FROM r),
+    xi AS (SELECT key, x AS xa, lead(x) OVER (PARTITION BY key ORDER BY x) AS xb FROM xs),
+    yi AS (SELECT key, y AS ya, lead(y) OVER (PARTITION BY key ORDER BY y) AS yb FROM ys),
+    cells AS (SELECT xi.key, xa, xb, ya, yb
+              FROM xi JOIN yi ON xi.key = yi.key
+              WHERE xb IS NOT NULL AND yb IS NOT NULL),
+    cov AS (SELECT c.key, (c.xb - c.xa) * (c.yb - c.ya) AS a
+            FROM cells c
+            WHERE EXISTS (SELECT 1 FROM r WHERE r.key = c.key
+                          AND r.x0 <= c.xa AND c.xb <= r.x1
+                          AND r.y0 <= c.ya AND c.yb <= r.y1)),
+    area AS (SELECT key, ROUND(CAST(sum(a) AS DOUBLE), 6) AS area_r FROM cov GROUP BY key)
+    SELECT area.key, g.n_rings, area.area_r
+    FROM area JOIN {fixtures.buffer_poly_ring_goldens_sql()} ON area.key = g.key
+    """,
+)
+def q_buffer_polygons_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-buffer on polygon layers, merged [upstream's experimental
+    -buffer — completes the point/polyline/polygon triple]: the
+    original ring plus square-cap quads over the closed edge sequence
+    (pure column math) through the per-key union fold. Group 'c' is two
+    rectangles 0.75 apart whose buffers merge to ONE ring; group 'd' is
+    a frame whose cavity vents through a 0.75-wide channel — the buffer
+    seals the channel and the cavity becomes an enclosed HOLE
+    (n_rings=2). On axis-aligned layers union(ring, edge quads) is the
+    exact Minkowski sum with an oriented square, and Minkowski
+    distributes over the fixture's disjoint rectangle decomposition, so
+    the oracle is the exact rectangle-union elementary-cell
+    decomposition of the EXPANDED rectangles; coincident quad/ring
+    edges take the fold's robust perturbed path (~1e-8 deterministic
+    residue) so both sides round at 6dp [area is canonical on
+    coincident-run layers, CLAUDE.md adjacency contract]."""
+    polys = spark.createDataFrame(
+        fixtures.buffer_polys_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    rings = points_op.buffer_polygons(polys, fixtures.BUFFER_POLY_RADIUS)
+    # distinct per-ring ids keep the union fold order deterministic
+    rings = rings.select(
+        (F.col("feature_id") * 100 + F.col("sseq") + 1).alias("feature_id"),
+        "key",
+        "xs",
+        "ys",
+    )
+    merged = topology.dissolve2(rings)
+    return merged.select("key", "n_rings", F.round("area", 6).alias("area_r"))
+
+
+@query(
     "mosaic_rings_tiled",
     f"""
     WITH r AS (SELECT * FROM {fixtures.dissolve2_rects_with_ids_sql()}),

@@ -938,3 +938,52 @@ def test_buffer_polylines_quads(spark):
     d0 = {(r["feature_id"], r["sseq"]): r for r in d0}[(4, 0)]
     a0 = geometry.shoelace_area_local(np.array(d0["xs"]), np.array(d0["ys"]))
     assert a0 == pytest.approx(5.0 * 1.0, rel=1e-12)
+
+
+def test_buffer_polygons_rings(spark):
+    """-buffer polygon rings: the original ring passes through with
+    sseq = -1, the closed edge sequence yields one quad per vertex
+    (last edge wraps), and the FIXTURE's disjoint rectangle
+    decomposition measures exactly the ring shoelace area per key —
+    the oracle's Minkowski-distributes-over-union argument depends on
+    that identity."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from mapshaper_spark import fixtures, geometry
+    from mapshaper_spark.operators import points as points_op
+
+    ring_area = defaultdict(float)
+    for k, ring in fixtures.BUFFER_POLYS:
+        xs = np.array([p[0] for p in ring])
+        ys = np.array([p[1] for p in ring])
+        a = geometry.shoelace_area_local(xs, ys)
+        assert a > 0, f"{k}: fixture ring not CCW"
+        ring_area[k] += a
+    rect_area = defaultdict(float)
+    for k, x0, y0, x1, y1 in fixtures.BUFFER_POLY_RECTS:
+        rect_area[k] += (x1 - x0) * (y1 - y0)
+    assert ring_area == rect_area
+
+    polys = spark.createDataFrame(
+        fixtures.buffer_polys_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    out = points_op.buffer_polygons(polys, 0.5).collect()
+    by_fid = defaultdict(list)
+    for r in out:
+        by_fid[r["feature_id"]].append(r)
+    for i, (k, ring) in enumerate(fixtures.BUFFER_POLYS):
+        rows = by_fid[i]
+        assert {r["key"] for r in rows} == {k}
+        assert sorted(r["sseq"] for r in rows) == list(range(-1, len(ring)))
+        orig = next(r for r in rows if r["sseq"] == -1)
+        assert list(orig["xs"]) == [p[0] for p in ring]
+        assert list(orig["ys"]) == [p[1] for p in ring]
+        for r in rows:
+            if r["sseq"] >= 0:
+                a = geometry.shoelace_area_local(
+                    np.array(r["xs"]), np.array(r["ys"])
+                )
+                assert a > 0  # CCW quads
