@@ -987,3 +987,47 @@ def test_buffer_polygons_rings(spark):
                     np.array(r["xs"]), np.array(r["ys"])
                 )
                 assert a > 0  # CCW quads
+
+
+def test_buffer_feeds_tiled_dissolve(spark):
+    """The 100-TB buffer path: quads are map-side column math, the
+    merge is the TILED dissolve2 (distributed area form), not the
+    per-key driver-group fold. The buffer fixtures' coincident cap
+    runs are exactly the adjacency contract's domain — AREA is the
+    canonical measure — so tiled areas must match the global fold's
+    to the ~1e-8 perturbation residue on every key."""
+    from mapshaper_spark import fixtures
+    from mapshaper_spark.operators import overlay, points as points_op
+    from mapshaper_spark.operators import topology
+
+    lines = spark.createDataFrame(
+        fixtures.buffer_lines_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    quads = points_op.buffer_polylines(lines, fixtures.BUFFER_LINE_RADIUS).select(
+        (F.col("feature_id") * 100 + F.col("sseq")).alias("feature_id"),
+        "key",
+        "xs",
+        "ys",
+    )
+    got = {r["key"]: r["area"] for r in overlay.dissolve2_tiled(quads, res=3).collect()}
+    want = {r["key"]: r["area"] for r in topology.dissolve2(quads).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=5e-7), k
+
+    polys = spark.createDataFrame(
+        fixtures.buffer_polys_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    rings = points_op.buffer_polygons(polys, fixtures.BUFFER_POLY_RADIUS).select(
+        (F.col("feature_id") * 100 + F.col("sseq") + 1).alias("feature_id"),
+        "key",
+        "xs",
+        "ys",
+    )
+    got = {r["key"]: r["area"] for r in overlay.dissolve2_tiled(rings, res=3).collect()}
+    want = {r["key"]: r["area"] for r in topology.dissolve2(rings).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=5e-7), k
