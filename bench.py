@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     # round-5 addition: -clean gap fill (union holes -> longest shared
     # border crediting, JVM column math after the per-key fold)
     "clean_gap_fill",
+    # late-r5 addition: -buffer (polygon variant — the whole triple's
+    # shared quad builder + robust union fold + sealed cavity hole)
+    "buffer_polygons_dissolved",
 ]
 
 

@@ -825,6 +825,31 @@ def _attempt_shift(
     return np.array([eps * np.cos(theta), eps * np.sin(theta)])
 
 
+def _spread_shifts(
+    a_rings: list[np.ndarray], k: int, span: float, eps_rel: float = 1e-10
+) -> list[np.ndarray]:
+    """Per-ring perturbation vectors for the A-SPREAD last-resort tier
+    of the robust wrappers [r5 sweep find: a subject SET whose own
+    rings carry a SUB-TOLERANCE edge gap (boxes 1e-308 apart entered
+    the union fold's accumulator via the strictly-disjoint concat, a
+    third box then bridged the gap) mis-traces on EVERY b-shift
+    attempt — shifting the clip side uniformly can never separate a
+    coincidence internal to the subject set]. Each A ring gets its own
+    content-hash + golden-angle direction (ring INDEX mixed into the
+    seed so exact-duplicate rings still separate), at a FIXED
+    eps_rel·span magnitude: far above the 1e-12·span near-incidence
+    window, far below the 1e-9 identity-tolerance budget — growth is
+    pointless because the class this tier resolves is by definition
+    below the near-incidence window."""
+    eps = max(span, 1e-300) * eps_rel
+    shifts = []
+    for i, r in enumerate(a_rings):
+        seed = zlib.crc32(r.tobytes(), (i * 2654435761) & 0xFFFFFFFF)
+        theta = 2.0 * np.pi * (seed / 4294967296.0) + k * _GOLDEN_ANGLE
+        shifts.append(np.array([eps * np.cos(theta), eps * np.sin(theta)]))
+    return shifts
+
+
 def _local_anchor(rings: list[np.ndarray]):
     """Offset-heavy detection for the robust wrappers: when coordinate
     MAGNITUDE dwarfs the ring EXTENT (|x| > 64·span), the kernel's
@@ -905,10 +930,20 @@ def gh_clip_rings_robust(
     # clean disjoint/crossing geometry keeps its exact unperturbed
     # result.
     start = 1 if _exact_incidence(a_rings, b_rings) else 0
-    for k in range(start, max_tries):
+    # A-SPREAD last-resort tier [r5 sweep find — see _spread_shifts]:
+    # after the b-shift attempts exhaust, perturb each SUBJECT ring by
+    # its own direction (a coincidence INTERNAL to the subject set —
+    # sub-tolerance gaps between accumulator rings — is invariant under
+    # any uniform clip-side shift, so without this tier every attempt
+    # is doomed). Only multi-ring subjects can carry the class.
+    spread_tries = 3 if len(a_rings) > 1 else 0
+    for k in range(start, max_tries + spread_tries):
         if k == 0:
-            b_try = b_rings
-        else:
+            a_try, b_try = a_rings, b_rings
+            area_ref = area_a
+        elif k < max_tries:
+            a_try = a_rings
+            area_ref = area_a
             shift = _attempt_shift(k, span, a_rings, b_rings)
             b_try = [r + shift for r in b_rings]
             if _exact_incidence(a_rings, b_try):
@@ -917,14 +952,25 @@ def gh_clip_rings_robust(
                 # the raw kernel; the next attempt's direction differs
                 last_err = ValueError("perturbed attempt still incident")
                 continue
+        else:
+            a_try = [
+                r + s for r, s in zip(a_rings, _spread_shifts(a_rings, k, span))
+            ]
+            b_try = b_rings
+            # per-ring translation keeps each signed ring area; the
+            # identity must still compare against the SPREAD subject
+            area_ref = _area_sum(a_try, frame)
+            if _exact_incidence(a_try, b_try):
+                last_err = ValueError("spread attempt still incident")
+                continue
         try:
-            inter = gh_clip_rings(a_rings, b_try, "intersection")
-            diff = gh_clip_rings(a_rings, b_try, "difference")
+            inter = gh_clip_rings(a_try, b_try, "intersection")
+            diff = gh_clip_rings(a_try, b_try, "difference")
             got = _area_sum(inter + diff, frame)
-            scale = max(abs(area_a), 1.0)
-            if abs(got - area_a) > rel_tol * scale:
+            scale = max(abs(area_ref), 1.0)
+            if abs(got - area_ref) > rel_tol * scale:
                 raise ValueError(
-                    f"boolean identity violated (|got-area|={abs(got - area_a)!r})"
+                    f"boolean identity violated (|got-area|={abs(got - area_ref)!r})"
                 )
             # measure-monotonicity net [found by the hypothesis sweep]:
             # FULLY COINCIDENT boundaries (duplicate features) mis-trace
@@ -936,20 +982,20 @@ def gh_clip_rings_robust(
             # geometry are untouched (bounds hold there unperturbed).
             i_got = _area_sum(inter, frame)
             d_got = got - i_got
-            tol = rel_tol * max(abs(area_a) + abs(area_b), 1.0)
-            if not (-tol <= i_got <= min(area_a, area_b) + tol):
+            tol = rel_tol * max(abs(area_ref) + abs(area_b), 1.0)
+            if not (-tol <= i_got <= min(area_ref, area_b) + tol):
                 raise ValueError("intersection measure out of bounds")
-            if not (-tol <= d_got <= area_a + tol):
+            if not (-tol <= d_got <= area_ref + tol):
                 raise ValueError("difference measure out of bounds")
             if op == "intersection":
                 return inter
             if op == "difference":
                 return diff
-            union = gh_clip_rings(a_rings, b_try, "union")
+            union = gh_clip_rings(a_try, b_try, "union")
             u_got = _area_sum(union, frame)
-            if abs(u_got - (area_a + area_b - i_got)) > tol:
+            if abs(u_got - (area_ref + area_b - i_got)) > tol:
                 raise ValueError("union identity violated")
-            if u_got < max(area_a, area_b) - tol:
+            if u_got < max(area_ref, area_b) - tol:
                 raise ValueError("union measure out of bounds")
             return union
         except ValueError as e:
@@ -1508,37 +1554,51 @@ def gh_split_rings_robust(
     )
     last_err: Exception | None = None
     start = 1 if _exact_incidence(a_rings, b_rings) else 0
-    for k in range(start, max_tries):
+    # A-SPREAD last-resort tier — see gh_clip_rings_robust / _spread_shifts
+    spread_tries = 3 if len(a_rings) > 1 else 0
+    for k in range(start, max_tries + spread_tries):
         if k == 0:
-            b_try = b_rings
-        else:
+            a_try, b_try = a_rings, b_rings
+            area_ref = area_a
+        elif k < max_tries:
+            a_try = a_rings
+            area_ref = area_a
             shift = _attempt_shift(k, span, a_rings, b_rings)
             b_try = [r + shift for r in b_rings]
             if _exact_incidence(a_rings, b_try):
                 # see gh_clip_rings_robust: residue re-coincidence guard
                 last_err = ValueError("perturbed attempt still incident")
                 continue
+        else:
+            a_try = [
+                r + s for r, s in zip(a_rings, _spread_shifts(a_rings, k, span))
+            ]
+            b_try = b_rings
+            area_ref = _area_sum(a_try, frame)
+            if _exact_incidence(a_try, b_try):
+                last_err = ValueError("spread attempt still incident")
+                continue
         try:
-            inter = gh_clip_rings(a_rings, b_try, "intersection")
-            diff = gh_clip_rings(a_rings, b_try, "difference")
+            inter = gh_clip_rings(a_try, b_try, "intersection")
+            diff = gh_clip_rings(a_try, b_try, "difference")
             got = _area_sum(inter + diff, frame)
-            scale = max(abs(area_a), 1.0)
-            if abs(got - area_a) > rel_tol * scale:
+            scale = max(abs(area_ref), 1.0)
+            if abs(got - area_ref) > rel_tol * scale:
                 raise ValueError("boolean identity violated")
             i_got = _area_sum(inter, frame)
             d_got = got - i_got
-            tol = rel_tol * max(abs(area_a) + abs(area_b), 1.0)
-            if not (-tol <= i_got <= min(area_a, area_b) + tol):
+            tol = rel_tol * max(abs(area_ref) + abs(area_b), 1.0)
+            if not (-tol <= i_got <= min(area_ref, area_b) + tol):
                 raise ValueError("intersection measure out of bounds")
-            if not (-tol <= d_got <= area_a + tol):
+            if not (-tol <= d_got <= area_ref + tol):
                 raise ValueError("difference measure out of bounds")
             if not want_union:
                 return inter, diff
-            union = gh_clip_rings(a_rings, b_try, "union")
+            union = gh_clip_rings(a_try, b_try, "union")
             u_got = _area_sum(union, frame)
-            if abs(u_got - (area_a + area_b - i_got)) > tol:
+            if abs(u_got - (area_ref + area_b - i_got)) > tol:
                 raise ValueError("union identity violated")
-            if u_got < max(area_a, area_b) - tol:
+            if u_got < max(area_ref, area_b) - tol:
                 raise ValueError("union measure out of bounds")
             return inter, diff, union
         except ValueError as e:

@@ -3529,7 +3529,13 @@ _DRIVER_WINDOW = [
     "clean_rings_tiled",
     "polygons_from_lines_grid",
     "inlay_carved_areas",
-    "gh_boolean_pair_areas",
+    # late-r5: the NEW distinct operator -buffer (upstream's
+    # experimental buffer; the polygon variant exercises the whole
+    # triple's shared quad builder + the robust union fold + a sealed
+    # cavity hole) displaces gh_boolean_pair_areas — the single-ring
+    # plan-variant of the in-window multi-ring gh_boolean_holed_pairs
+    # (same GH kernels, r2-green x3; stays in parity)
+    "buffer_polygons_dissolved",
     "gh_boolean_holed_pairs",
     # late-r5: the NEW distinct operator clean_gap_fill (upstream
     # -clean's gap-filling half) displaces union_pair_areas_boxes —

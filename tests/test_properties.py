@@ -237,6 +237,21 @@ _boxes = st.lists(
 @example(boxes=[(0.0, 0.0, 1.0), (0.0, 1.0, 2.0), (1.0, 1.0, 2.0)])
 @example(boxes=[(0.0, 1.0, 2.0), (0.0, 0.0, 1.0), (1.0, 1.0, 2.0)])
 @example(boxes=[(1.0, 1.0, 2.0), (0.0, 1.0, 2.0), (0.0, 0.0, 1.0)])
+# r5 sweep find [A-SPREAD tier, geometry._spread_shifts]: box1's top
+# (y=0.0 exactly: -1.6625 + 1.6625) and box2's bottom (y subnormal
+# 1.1e-308) enter the fold's accumulator 1e-308 apart via the strictly-
+# disjoint concat; box3 then BRIDGES the gap — a coincidence INTERNAL
+# to the subject set that no uniform clip-side shift can separate, so
+# every b-shift attempt mis-traced and the fold raised after 5. The
+# spread tier perturbs each subject ring by its own content-hash
+# direction and resolves it to ~3e-11 rel.
+@example(
+    boxes=[
+        (1.0, -1.6625, 1.6625),
+        (0.0, 1.1125369292536007e-308, 3.0),
+        (2.0, -0.5, 1.0),
+    ]
+)
 def test_union_many_matches_interval_algebra(boxes):
     """union_many's measure equals the exact elementary-cell covered
     area for random box layers — an independent reference, not a
