@@ -265,6 +265,112 @@ def test_union_many_matches_interval_algebra(boxes):
     assert got == pytest.approx(want, rel=1e-6)
 
 
+def _rect_polyline_segments(pls):
+    """Materialize rectilinear polylines from (x0, y0, steps) walk
+    specs into axis-aligned segments. Consecutive same-axis steps give
+    exact collinear runs, and back-and-forth steps revisit a segment in
+    the opposite direction — the connected-cap coincidence shapes."""
+    segs = []
+    for x0, y0, steps in pls:
+        x, y = float(x0), float(y0)
+        for horiz, d in steps:
+            nx, ny = (x + d, y) if horiz else (x, y + d)
+            segs.append((x, y, nx, ny))
+            x, y = nx, ny
+    return segs
+
+
+def _quad_rings_exact(segs, radius, ext):
+    """Numpy replication of points._segment_quads, bit-identical for
+    AXIS-ALIGNED segments: ln is |dx| or |dy| exactly, dx/ln is +-1.0
+    or +-0.0 exactly, so every vertex offset is the exact dyadic
+    radius/ext — the sweep drives the same coordinates the Spark
+    column math produces."""
+    rings = []
+    for sx1, sy1, sx2, sy2 in segs:
+        dx, dy = sx2 - sx1, sy2 - sy1
+        ln = np.sqrt(dx * dx + dy * dy)
+        exn, eyn = dx / ln * ext, dy / ln * ext
+        nxn, nyn = -dy / ln * radius, dx / ln * radius
+        rings.append(
+            np.array(
+                [
+                    (sx1 - exn + nxn, sy1 - eyn + nyn),
+                    (sx1 - exn - nxn, sy1 - eyn - nyn),
+                    (sx2 + exn - nxn, sy2 + eyn - nyn),
+                    (sx2 + exn + nxn, sy2 + eyn + nyn),
+                ]
+            )
+        )
+    return rings
+
+
+_rect_walks = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+        st.lists(
+            st.tuples(
+                st.booleans(),
+                st.integers(min_value=-3, max_value=3).filter(lambda d: d != 0),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(pls=_rect_walks, radius=st.sampled_from([0.25, 0.5]))
+def test_buffer_quad_union_matches_minkowski_rectangles(pls, radius):
+    """-buffer scale-path stress [late r5]: square-cap segment quads of
+    rectilinear polylines are exact Minkowski rectangles, so their
+    union_many measure must equal the exact rectangle-union elementary-
+    cell area. Connected, duplicated, and reverse-revisited segments
+    make the layer coincidence-HEAVY (shared cap runs, exact duplicate
+    quads, collinear overlaps on a 0.25-dyadic lattice — separations
+    are 0 or >= 0.25, inside the sweeps' documented domain), driving
+    the robust fold's perturbed paths including the A-SPREAD tier."""
+    segs = _rect_polyline_segments(pls)
+    rings = _quad_rings_exact(segs, radius, radius)
+    rects = []
+    for sx1, sy1, sx2, sy2 in segs:
+        if sy1 == sy2:
+            rects.append(
+                (
+                    min(sx1, sx2) - radius,
+                    max(sx1, sx2) + radius,
+                    sy1 - radius,
+                    sy1 + radius,
+                )
+            )
+        else:
+            rects.append(
+                (
+                    sx1 - radius,
+                    sx1 + radius,
+                    min(sy1, sy2) - radius,
+                    max(sy1, sy2) + radius,
+                )
+            )
+    exs = sorted({v for x0, x1, _, _ in rects for v in (x0, x1)})
+    eys = sorted({v for _, _, y0, y1 in rects for v in (y0, y1)})
+    want = 0.0
+    for x0, x1 in zip(exs, exs[1:]):
+        for y0, y1 in zip(eys, eys[1:]):
+            cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+            if any(
+                rx0 < cx < rx1 and ry0 < cy < ry1
+                for rx0, rx1, ry0, ry1 in rects
+            ):
+                want += (x1 - x0) * (y1 - y0)
+    got = _area(G.union_many(rings))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
 def test_split_robust_disjoint_accumulator_bridge():
     """Deterministic regression for the r3 verdict repro: the subject
     set carries a prior fold's perturbation residue (A exact, B shifted
