@@ -32,6 +32,8 @@ NAMES = (
     "dissolve2_rings_tiled",
     "mosaic_rings_tiled",
     "clean_rings_tiled",
+    "clean_gap_fill",
+    "buffer_polygons_dissolved",
 )
 
 
