@@ -161,7 +161,103 @@ def main() -> None:
     print(f"\n{n_layers - fails}/{n_layers} layers clean")
     fails += star_hunt(max(n_layers // 2, 10), seed + 1)
     fails += mixed_hunt(max(n_layers // 2, 10), seed + 2)
+    fails += buffer_hunt(max(n_layers // 2, 10), seed + 3)
     sys.exit(1 if fails else 0)
+
+
+def buffer_hunt(n_layers: int, seed: int) -> int:
+    """Buffer-merge mode [late r5]: random rectilinear polylines run
+    the REAL scale-path composition — buffer_polylines (codegen quad
+    math) → dissolve2_tiled (distributed area form) — and the per-key
+    union areas are checked against the exact Minkowski
+    rectangle-union elementary-cell oracle (square caps on
+    axis-aligned segments make every quad an exact rectangle).
+    Connected caps, duplicate revisits, and collinear runs on a
+    0.25-dyadic lattice make every layer coincidence-HEAVY: the tiled
+    folds take their robust perturbed paths (including the A-SPREAD
+    tier) in the area-canonical domain the adjacency contract pins."""
+    from pyspark.sql import functions as F
+
+    from mapshaper_spark.operators import overlay as ov
+    from mapshaper_spark.operators import points as points_op
+
+    spark = get_spark("emitter_hunt", cpus=8, shuffle_partitions=8)
+    fails = 0
+    for li in range(n_layers):
+        rng = np.random.RandomState(seed + li)
+        radius = float(rng.choice([0.25, 0.5]))
+        rows = []
+        rects: dict[str, list] = {}
+        for fid in range(rng.randint(1, 5)):
+            key = "ab"[rng.randint(0, 2)]
+            x, y = float(rng.randint(0, 9)), float(rng.randint(0, 9))
+            xs, ys = [x], [y]
+            for _ in range(rng.randint(1, 6)):
+                d = float(rng.choice([-3, -2, -1, 1, 2, 3]))
+                if rng.randint(0, 2):
+                    x += d
+                else:
+                    y += d
+                xs.append(x)
+                ys.append(y)
+            rows.append(
+                {"feature_id": fid, "key": key, "xs": xs, "ys": ys}
+            )
+            for (x1, y1, x2, y2) in zip(xs, ys, xs[1:], ys[1:]):
+                rects.setdefault(key, []).append(
+                    (
+                        min(x1, x2) - radius,
+                        max(x1, x2) + radius,
+                        min(y1, y2) - radius,
+                        max(y1, y2) + radius,
+                    )
+                )
+        want = {}
+        for key, rs in rects.items():
+            ex = sorted({v for r in rs for v in (r[0], r[1])})
+            ey = sorted({v for r in rs for v in (r[2], r[3])})
+            tot = 0.0
+            for x0, x1 in zip(ex, ex[1:]):
+                for y0, y1 in zip(ey, ey[1:]):
+                    cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+                    if any(
+                        r[0] < cx < r[1] and r[2] < cy < r[3] for r in rs
+                    ):
+                        tot += (x1 - x0) * (y1 - y0)
+            want[key] = tot
+        lines = spark.createDataFrame(
+            pd.DataFrame(rows),
+            schema="feature_id int, key string, xs array<double>, ys array<double>",
+        )
+        quads = points_op.buffer_polylines(lines, radius).select(
+            (F.col("feature_id") * 100 + F.col("sseq")).alias("feature_id"),
+            "key",
+            "xs",
+            "ys",
+        )
+        errs = []
+        try:
+            got = {
+                r["key"]: r["area"]
+                for r in ov.dissolve2_tiled(quads, res=2).collect()
+            }
+            for key, w in want.items():
+                g = got.get(key, 0.0)
+                if abs(g - w) > max(1e-5 * w, 1e-9):
+                    errs.append(f"key {key}: got {g!r} want {w!r}")
+        except Exception as e:  # loud raises are findings too
+            errs.append(f"RAISED {type(e).__name__}: {str(e)[:200]}")
+        if errs:
+            fails += 1
+            print(f"FAIL buffer layer {li} (seed {seed + li}): rows={rows!r}")
+            for e in errs:
+                print(f"   {e}")
+        else:
+            print(
+                f"ok buffer layer {li} ({len(rows)} lines, r={radius})"
+            )
+    print(f"\nbuffer: {n_layers - fails}/{n_layers} layers clean")
+    return fails
 
 
 
