@@ -386,7 +386,11 @@ def _polygons_tiled_at(arcs: DataFrame, n_cells: int, attempt: int) -> DataFrame
             out, columns=["piece_id", "area", "refs", "sigs", "ext"]
         )
 
-    piece_faces = cells.groupBy("ix", "iy").applyInPandas(
+    from .overlay import _fold_parallel
+
+    piece_faces = _fold_parallel(cells, "ix", "iy").groupBy(
+        "ix", "iy"
+    ).applyInPandas(
         cell_walk,
         schema=(
             "piece_id long, area double, refs array<long>,"

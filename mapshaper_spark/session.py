@@ -28,6 +28,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE on AQE coalescing vs grouped-Arrow geometry folds: AQE
+        # coalesces by BYTES, but the per-cell/per-feature folds are
+        # compute-bound with KB-sized inputs — the 1 MiB default
+        # minPartitionSize collapsed a 32-way per-feature union stage
+        # to ONE task (measured 23.9 s -> 2.7 s at 1000 features). A
+        # session-wide 1-byte floor fixes those but costs the JVM-side
+        # fixture queries ~1.3x in task overhead (interleaved A/B), so
+        # the fix is TARGETED instead: the compute-bound fold operators
+        # repartition(P, group keys) right before groupBy.applyInPandas
+        # (overlay._fold_parallel) — the explicit repartition satisfies
+        # the grouping distribution (exchange elided) and AQE never
+        # coalesces user-specified repartitions.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

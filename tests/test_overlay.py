@@ -1031,3 +1031,46 @@ def test_buffer_feeds_tiled_dissolve(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=5e-7), k
+
+
+def test_union_premerge_buffer_path(spark):
+    """union_premerge is a semantic no-op ahead of the tiled merge
+    [late r5, probe-driven: 1.6x on overlap-dense layers]: hole-free
+    features collapse to their per-feature union (a: 2 L-path quads →
+    1 ring; b: 1 quad passthrough), and a feature whose union rings a
+    HOLE (c: the almost-closed square — the tiled machinery's feature
+    contract is single hole-free CCW rings) falls back to its ORIGINAL
+    quad rows, so per-key dissolve2_tiled areas match the un-premerged
+    plan to the fold residue."""
+    from mapshaper_spark import fixtures
+    from mapshaper_spark.operators import overlay, points as points_op
+
+    lines = spark.createDataFrame(
+        fixtures.buffer_lines_pdf(),
+        schema="feature_id int, key string, xs array<double>, ys array<double>",
+    )
+    quads = points_op.buffer_polylines(lines, fixtures.BUFFER_LINE_RADIUS)
+    merged = overlay.union_premerge(quads)
+    by_key: dict = {}
+    for r in merged.collect():
+        by_key.setdefault(r["key"], []).append(r)
+    assert len(by_key["a"]) == 1  # 2 quads merged to one ring
+    assert len(by_key["b"]) == 1  # single quad passthrough
+    assert len(by_key["c"]) == 4  # hole detected -> raw quad fallback
+    raw = quads.select(
+        (F.col("feature_id") * 100 + F.col("sseq")).alias("feature_id"),
+        "key",
+        "xs",
+        "ys",
+    )
+    got = {
+        r["key"]: r["area"]
+        for r in overlay.dissolve2_tiled(merged, res=3).collect()
+    }
+    want = {
+        r["key"]: r["area"]
+        for r in overlay.dissolve2_tiled(raw, res=3).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=5e-7), k
