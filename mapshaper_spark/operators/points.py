@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 
 from .. import geometry
 
+# AQE-exempt repartition for compute-bound grouped-Arrow folds
+from .overlay import _fold_parallel  # noqa: E402
+
 
 def centroids(polygons: DataFrame) -> DataFrame:
     """-points centroid: (poly_id, cx, cy) via ring-order shoelace."""
@@ -36,7 +39,7 @@ def centroids(polygons: DataFrame) -> DataFrame:
             )
         return pd.DataFrame(out, columns=["poly_id", "cx", "cy"])
 
-    return polygons.groupBy("poly_id").applyInPandas(
+    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
         run, schema="poly_id int, cx double, cy double"
     )
 
@@ -51,7 +54,7 @@ def areas(polygons: DataFrame) -> DataFrame:
             out.append({"poly_id": int(r["poly_id"]), "area": a2 / 2.0})
         return pd.DataFrame(out, columns=["poly_id", "area"])
 
-    return polygons.groupBy("poly_id").applyInPandas(
+    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
         run, schema="poly_id int, area double"
     )
 
@@ -133,7 +136,7 @@ def inner_points(features: DataFrame) -> DataFrame:
             [{"poly_id": int(pdf["poly_id"].iloc[0]), "ix": x, "iy": y, "clearance": d}]
         )
 
-    return features.groupBy("poly_id").applyInPandas(
+    return _fold_parallel(features, "poly_id").groupBy("poly_id").applyInPandas(
         run, schema="poly_id int, ix double, iy double, clearance double"
     )
 
@@ -176,7 +179,7 @@ def dots_fill(features: DataFrame, dots_per_feature: int, seed: int = 42) -> Dat
             }
         )
 
-    return features.groupBy("poly_id").applyInPandas(
+    return _fold_parallel(features, "poly_id").groupBy("poly_id").applyInPandas(
         run, schema="poly_id int, dot_idx int, x double, y double"
     )
 
@@ -229,7 +232,7 @@ def geometry_properties(polygons: DataFrame) -> DataFrame:
             ],
         )
 
-    return polygons.groupBy("poly_id").applyInPandas(
+    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
         run,
         schema=(
             "poly_id int, area double, perimeter double, cx double, cy double, "

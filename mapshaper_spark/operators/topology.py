@@ -33,6 +33,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# AQE-exempt repartition for compute-bound grouped-Arrow folds
+from .overlay import _fold_parallel  # noqa: E402
+
 QUANT = 1e7  # 1e-7 degree quantization before hashing
 
 
@@ -154,7 +157,7 @@ def dissolve2(features: DataFrame) -> DataFrame:
             [{"key": pdf["key"].iloc[0], "n_rings": len(merged), "area": area}]
         )
 
-    return features.groupBy("key").applyInPandas(
+    return _fold_parallel(features, "key").groupBy("key").applyInPandas(
         run, schema="key string, n_rings int, area double"
     )
 
@@ -250,7 +253,7 @@ def dissolve_rings(features: DataFrame, arcs: DataFrame) -> DataFrame:
             out, columns=["key", "ring_idx", "n_vertices", "area", "xs", "ys"]
         )
 
-    return boundary.groupBy("key").applyInPandas(
+    return _fold_parallel(boundary, "key").groupBy("key").applyInPandas(
         stitch,
         schema=(
             "key string, ring_idx int, n_vertices int, area double, "
