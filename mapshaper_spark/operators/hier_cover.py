@@ -35,9 +35,6 @@ from pyspark.sql import functions as F
 from .. import cells, geometry
 from .spatial_join import FULL, PARTIAL, _pip_udf, fixture_rings
 
-# AQE-exempt repartition for compute-bound grouped-Arrow folds
-from .overlay import _fold_parallel  # noqa: E402
-
 DEFAULT_MIN_RES = 3
 DEFAULT_MAX_RES = 6
 
@@ -163,7 +160,7 @@ def build_cell_index_hier_general(
         ]
         return pd.DataFrame(rows, columns=["cell_id", "poly_id", "coverage"])
 
-    return _fold_parallel(features, "poly_id").groupBy("poly_id").applyInPandas(
+    return features.groupBy("poly_id").applyInPandas(
         cover, schema="cell_id long, poly_id int, coverage string"
     )
 
@@ -207,7 +204,7 @@ def build_cell_index_hier(
                 rows.append({"cell_id": cid, "poly_id": row["poly_id"], "coverage": cov})
         return pd.DataFrame(rows, columns=["cell_id", "poly_id", "coverage"])
 
-    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
+    return polygons.groupBy("poly_id").applyInPandas(
         cover, schema="cell_id long, poly_id int, coverage string"
     )
 

@@ -16,9 +16,6 @@ from pyspark.sql import functions as F
 
 from .. import geometry
 
-# AQE-exempt repartition for compute-bound grouped-Arrow folds
-from .overlay import _fold_parallel  # noqa: E402
-
 
 def centroids(polygons: DataFrame) -> DataFrame:
     """-points centroid: (poly_id, cx, cy) via ring-order shoelace."""
@@ -39,7 +36,7 @@ def centroids(polygons: DataFrame) -> DataFrame:
             )
         return pd.DataFrame(out, columns=["poly_id", "cx", "cy"])
 
-    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
+    return polygons.groupBy("poly_id").applyInPandas(
         run, schema="poly_id int, cx double, cy double"
     )
 
@@ -54,7 +51,7 @@ def areas(polygons: DataFrame) -> DataFrame:
             out.append({"poly_id": int(r["poly_id"]), "area": a2 / 2.0})
         return pd.DataFrame(out, columns=["poly_id", "area"])
 
-    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
+    return polygons.groupBy("poly_id").applyInPandas(
         run, schema="poly_id int, area double"
     )
 
@@ -136,7 +133,7 @@ def inner_points(features: DataFrame) -> DataFrame:
             [{"poly_id": int(pdf["poly_id"].iloc[0]), "ix": x, "iy": y, "clearance": d}]
         )
 
-    return _fold_parallel(features, "poly_id").groupBy("poly_id").applyInPandas(
+    return features.groupBy("poly_id").applyInPandas(
         run, schema="poly_id int, ix double, iy double, clearance double"
     )
 
@@ -179,7 +176,7 @@ def dots_fill(features: DataFrame, dots_per_feature: int, seed: int = 42) -> Dat
             }
         )
 
-    return _fold_parallel(features, "poly_id").groupBy("poly_id").applyInPandas(
+    return features.groupBy("poly_id").applyInPandas(
         run, schema="poly_id int, dot_idx int, x double, y double"
     )
 
@@ -232,7 +229,7 @@ def geometry_properties(polygons: DataFrame) -> DataFrame:
             ],
         )
 
-    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
+    return polygons.groupBy("poly_id").applyInPandas(
         run,
         schema=(
             "poly_id int, area double, perimeter double, cx double, cy double, "

@@ -32,9 +32,6 @@ from pyspark.sql import functions as F
 
 from .. import cells, geometry
 
-# AQE-exempt repartition for compute-bound grouped-Arrow folds
-from .overlay import _fold_parallel  # noqa: E402
-
 TILE_W = 16  # pixels per tile edge (fixture default; production: 256)
 TILE_H = 16
 
@@ -79,7 +76,7 @@ def rasterize_polygons(
             columns=["poly_id", "tile_x", "tile_y", "n_pixels", "mask"],
         )
 
-    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
+    return polygons.groupBy("poly_id").applyInPandas(
         fill, schema="poly_id int, tile_x long, tile_y long, n_pixels long, mask binary"
     )
 

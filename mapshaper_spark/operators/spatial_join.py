@@ -28,9 +28,6 @@ from pyspark.sql import functions as F
 
 from .. import cells, fixtures, geometry
 
-# AQE-exempt repartition for compute-bound grouped-Arrow folds
-from .overlay import _fold_parallel  # noqa: E402
-
 # Working resolution for the fixture polygon layer: cells of ~5.6 x 2.8
 # degrees against polygons of radius 10-22 degrees → a few hundred index
 # rows per polygon, plenty of FULL cells to short-circuit.
@@ -88,7 +85,7 @@ def build_cell_index(spark: SparkSession, polygons: DataFrame, res: int = DEFAUL
              "coverage": pd.Series(dtype="object")}
         )
 
-    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
+    return polygons.groupBy("poly_id").applyInPandas(
         cover, schema="cell_id long, poly_id int, coverage string"
     )
 
@@ -215,7 +212,7 @@ def build_cell_index_general(
             }
         )
 
-    return _fold_parallel(polygons, "poly_id").groupBy("poly_id").applyInPandas(
+    return polygons.groupBy("poly_id").applyInPandas(
         cover, schema="cell_id long, poly_id int, coverage string"
     )
 

@@ -33,9 +33,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# AQE-exempt repartition for compute-bound grouped-Arrow folds
-from .overlay import _fold_parallel  # noqa: E402
-
 QUANT = 1e7  # 1e-7 degree quantization before hashing
 
 
@@ -157,7 +154,7 @@ def dissolve2(features: DataFrame) -> DataFrame:
             [{"key": pdf["key"].iloc[0], "n_rings": len(merged), "area": area}]
         )
 
-    return _fold_parallel(features, "key").groupBy("key").applyInPandas(
+    return features.groupBy("key").applyInPandas(
         run, schema="key string, n_rings int, area double"
     )
 
@@ -253,7 +250,7 @@ def dissolve_rings(features: DataFrame, arcs: DataFrame) -> DataFrame:
             out, columns=["key", "ring_idx", "n_vertices", "area", "xs", "ys"]
         )
 
-    return _fold_parallel(boundary, "key").groupBy("key").applyInPandas(
+    return boundary.groupBy("key").applyInPandas(
         stitch,
         schema=(
             "key string, ring_idx int, n_vertices int, area double, "
