@@ -1211,40 +1211,52 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents) g
     )
     SELECT doc_id,
-           min(md5(shingle || '0')) AS mh0,
-           min(md5(shingle || '1')) AS mh1,
-           min(md5(shingle || '2')) AS mh2,
-           min(md5(shingle || '3')) AS mh3
+           min(substr(md5(shingle), 1, 8)) AS mh0,
+           min(substr(md5(shingle), 9, 8)) AS mh1,
+           min(substr(md5(shingle), 17, 8)) AS mh2,
+           min(substr(md5(shingle), 25, 8)) AS mh3
     FROM sh GROUP BY doc_id
     """,
 )
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures over character 8-shingles (4 salted hash
-    functions as md5 strings — portable across engines). Banding these
-    gives LSH near-dup buckets.
+    """MinHash signatures over character 8-shingles (4 hash functions =
+    the four 8-hex-char quarters of ONE md5 per shingle — portable
+    across engines, and 4x less hashing than salting the shingle four
+    times: md5 dominates the signature cost, substr over the hex is
+    noise). Banding these gives LSH near-dup buckets.
 
     Computed entirely map-side: a shared shingle array (one substr pass)
-    feeds 4 ``array_min(transform(... md5 ...))`` folds inside one
+    feeds one ``transform(... md5 ...)`` pass, whose output array feeds
+    4 cheap ``array_min(transform(... substr ...))`` folds inside one
     projection — zero explode, zero row blow-up before any shuffle (the
     r1 explode+groupBy plan materialized ~len(text) shingle rows per doc
-    [VERDICT r1 #5]). The doc table is small enough to arrive as a single
-    file-partition, so the CPU-bound hash work is fanned out with an
-    explicit repartition first; at real scale the scan has natural
-    partitions and the repartition is a cheap no-op rebalance."""
+    [VERDICT r1 #5]). Both `sh` and `hs` stay single-evaluation: they
+    are non-cheap and multiply-referenced, so CollapseProject keeps
+    them in their own Project (verified in the executed plan). The doc
+    table is small enough to arrive as a single file-partition, so the
+    CPU-bound hash work is fanned out with an explicit repartition
+    first; at real scale the scan has natural partitions and the
+    repartition is a cheap no-op rebalance."""
     d = testdata.load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return d.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, GREATEST(1, length(text) - 7)), i -> substr(text, i, 8))"
-        ).alias("sh"),
-    ).select(
-        "doc_id",
-        *[
-            F.expr(f"array_min(transform(sh, s -> md5(concat(s, '{k}'))))").alias(f"mh{k}")
-            for k in range(4)
-        ],
+    return (
+        d.select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, GREATEST(1, length(text) - 7)), i -> substr(text, i, 8))"
+            ).alias("sh"),
+        )
+        .select("doc_id", F.expr("transform(sh, s -> md5(s))").alias("hs"))
+        .select(
+            "doc_id",
+            *[
+                F.expr(f"array_min(transform(hs, h -> substr(h, {1 + 8 * k}, 8)))").alias(
+                    f"mh{k}"
+                )
+                for k in range(4)
+            ],
+        )
     )
 
 
@@ -1259,8 +1271,8 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
         SELECT doc_id,
-               min(md5(shingle || '0')) || min(md5(shingle || '1')) AS band0,
-               min(md5(shingle || '2')) || min(md5(shingle || '3')) AS band1
+               min(substr(md5(shingle), 1, 8)) || min(substr(md5(shingle), 9, 8)) AS band0,
+               min(substr(md5(shingle), 17, 8)) || min(substr(md5(shingle), 25, 8)) AS band1
         FROM sh GROUP BY doc_id
     ),
     b AS (SELECT doc_id, band0 AS band FROM sig
@@ -1312,8 +1324,8 @@ def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
         SELECT doc_id,
-               min(md5(shingle || '0')) || min(md5(shingle || '1')) AS band0,
-               min(md5(shingle || '2')) || min(md5(shingle || '3')) AS band1
+               min(substr(md5(shingle), 1, 8)) || min(substr(md5(shingle), 9, 8)) AS band0,
+               min(substr(md5(shingle), 17, 8)) || min(substr(md5(shingle), 25, 8)) AS band1
         FROM sh GROUP BY doc_id
     ),
     b AS (SELECT doc_id, band0 AS band FROM sig
