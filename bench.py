@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     # late-r5 addition: -buffer (polygon variant — the whole triple's
     # shared quad builder + robust union fold + sealed cavity hole)
     "buffer_polygons_dissolved",
+    # final-r5 addition: -cluster (k-means over the skewed point layer —
+    # join-free codegen assignment + decimal-routed centroid update)
+    "cluster_kmeans_stats",
 ]
 
 

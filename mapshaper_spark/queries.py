@@ -3322,6 +3322,108 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# -cluster / -rectangles [UPSTREAM src/commands/mapshaper-cluster.mjs,
+# mapshaper-rectangle.mjs — beyond-§2 upstream surface]
+# =====================================================================
+
+
+_KMEANS_ASSIGN = """
+    SELECT point_id, lon, lat, min(CASE WHEN d = dmin THEN cid END) AS cid
+    FROM (
+      SELECT p.point_id, p.lon, p.lat, c.cid,
+             (p.lon - c.cx) * (p.lon - c.cx)
+               + (p.lat - c.cy) * (p.lat - c.cy) AS d,
+             min((p.lon - c.cx) * (p.lon - c.cx)
+               + (p.lat - c.cy) * (p.lat - c.cy))
+               OVER (PARTITION BY p.point_id) AS dmin
+      FROM pts p CROSS JOIN {cents} c) z
+    GROUP BY point_id, lon, lat
+"""
+
+_KMEANS_MEANS = """
+    SELECT cid,
+           CAST(sum(CAST(lon AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS cx,
+           CAST(sum(CAST(lat AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS cy
+    FROM {a} GROUP BY cid
+"""
+
+
+@query(
+    "cluster_kmeans_stats",
+    f"""
+    WITH pts AS ({_PTS}),
+    init AS (SELECT point_id, lon, lat FROM pts ORDER BY point_id LIMIT 4),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY point_id) - 1 AS cid,
+                  lon AS cx, lat AS cy FROM init),
+    a1 AS ({_KMEANS_ASSIGN.format(cents="c0")}),
+    c1 AS ({_KMEANS_MEANS.format(a="a1")}),
+    a2 AS ({_KMEANS_ASSIGN.format(cents="c1")})
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CAST(lon AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS cx,
+           CAST(sum(CAST(lat AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS cy
+    FROM a2 GROUP BY cid
+    """,
+)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-cluster: k-means feature clustering [UPSTREAM
+    mapshaper-cluster.mjs — k-means over feature centroids writing a
+    cluster id field]. k=4, two assignment passes from the
+    deterministic smallest-id init over the skewed customer point layer
+    (3 hotspots hold 20% of the mass, so the clusters are non-trivial).
+    Assignment is a pure-codegen CASE over k literal centroids (no
+    join, no point shuffle — the MLlib shape); centroid means route
+    through the exact DECIMAL(18,4) sum so they hash-match the oracle's
+    differently-ordered sums; ties break to the smallest cid on both
+    sides. The oracle unrolls the same two Lloyd rounds as CTEs."""
+    from .operators import cluster as cluster_op
+
+    pts = testdata.customer_points(spark, sf_dir)
+    return cluster_op.cluster_stats(pts, k=4, rounds=2)
+
+
+@query(
+    "rectangles_bbox",
+    f"""
+    WITH e AS (SELECT poly_id, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+                      CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+               FROM {fixtures.multiring_edges_values_sql()}),
+    b AS (SELECT poly_id,
+                 min(LEAST(x1, x2)) AS xmin, min(LEAST(y1, y2)) AS ymin,
+                 max(GREATEST(x1, x2)) AS xmax, max(GREATEST(y1, y2)) AS ymax
+          FROM e GROUP BY poly_id)
+    SELECT poly_id, xmin, ymin, xmax, ymax,
+           (xmax - xmin) * (ymax - ymin) AS rect_area
+    FROM b
+    """,
+)
+def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-rectangles: replace each feature with its bounding box
+    [UPSTREAM mapshaper-rectangle.mjs — -rectangles makes one bbox
+    rectangle per feature]. The bbox folds across ALL rings of a
+    multi-ring feature (holes and islands extend it like any ring), as
+    one JVM-side grouped min/max over the per-ring array_min/array_max
+    — no UDF, no vertex explode. The oracle re-derives the same bounds
+    from the edge relation of the identical literal layer."""
+    h = testdata.holed_features(spark)
+    b = h.groupBy("poly_id").agg(
+        F.min(F.array_min("xs")).alias("xmin"),
+        F.min(F.array_min("ys")).alias("ymin"),
+        F.max(F.array_max("xs")).alias("xmax"),
+        F.max(F.array_max("ys")).alias("ymax"),
+    )
+    return b.select(
+        "poly_id",
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+        ((F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))).alias(
+            "rect_area"
+        ),
+    )
+
+
+# =====================================================================
 # Images pipeline [BASELINE.json input_hint / north_rule]
 # =====================================================================
 
@@ -3561,7 +3663,13 @@ _DRIVER_WINDOW = [
     # gh_boolean family (r2-green since entry; stays in parity)
     "clean_gap_fill",
     "clip_concave_pairs_area",
-    "erase_general_area_windows",
+    # r5 final segment: the NEW distinct operator -cluster (upstream's
+    # k-means feature clustering; unrolled-Lloyd CTE oracle) displaces
+    # erase_general_area_windows — an -erase plan-variant of the
+    # in-window gh/clip family (erase keeps erase_points_holes
+    # in-window; the general-windows row is r2-green x3 and stays in
+    # parity). rectangles_bbox stays in the parity tail.
+    "cluster_kmeans_stats",
     # late-r5 [VERDICT r4 missing #1, last two parity-only rotation
     # candidates]: lsh_dup_candidates (LSH banding — the near-dup
     # candidate generator, r1-green) re-enters displacing
