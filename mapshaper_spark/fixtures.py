@@ -160,6 +160,29 @@ def polygon_edges_values_sql(polys: list[dict] | None = None, name: str = "edges
     return f"(VALUES {vals}) AS {name}(poly_id, x1, y1, x2, y2)"
 
 
+def seg_d2_sql(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
+    """Portable point-to-SEGMENT squared distance (clamped projection).
+
+    Pure ``+ - * /`` + CASE on doubles, so Spark and DuckDB evaluate the
+    IDENTICAL IEEE expression tree — the reason -fuzzy-join can be
+    hash-oracled at all (a sqrt would differ in ULPs across libm;
+    squared distances order the same and compare exactly against a
+    squared radius). The parameter t is inlined at each use site: both
+    engines then evaluate the same tree, and t's recomputation is
+    bit-identical by determinism. Callers must guarantee no zero-length
+    segment (the fixture layers carry no duplicate consecutive
+    vertices), else the projection divides by zero.
+    """
+    t = (
+        f"((({px})-({ax}))*(({bx})-({ax})) + (({py})-({ay}))*(({by})-({ay})))"
+        f" / ((({bx})-({ax}))*(({bx})-({ax})) + (({by})-({ay}))*(({by})-({ay})))"
+    )
+    tc = f"(CASE WHEN {t} < 0.0 THEN 0.0 WHEN {t} > 1.0 THEN 1.0 ELSE {t} END)"
+    dx = f"(({px}) - (({ax}) + {tc} * (({bx})-({ax}))))"
+    dy = f"(({py}) - (({ay}) + {tc} * (({by})-({ay}))))"
+    return f"({dx}*{dx} + {dy}*{dy})"
+
+
 def polygon_vertices_values_sql(polys: list[dict], name: str) -> str:
     """(poly_id, x, y) VALUES relation of ring vertices."""
     rows = []

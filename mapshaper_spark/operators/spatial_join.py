@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import cells, fixtures, geometry
@@ -396,4 +396,92 @@ def polygon_point_agg(
         F.round(
             F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2
         ).alias("sum_value"),
+    )
+
+
+def fuzzy_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_index: DataFrame,
+    radius: float,
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """``-fuzzy-join``: PIP join with a nearest-boundary radius fallback.
+
+    [UPSTREAM ``src/commands/mapshaper-fuzzy-join.mjs`` — public
+    knowledge of mbloch/mapshaper; /root/reference is empty, SURVEY.md
+    §0]: upstream joins a point layer to polygons spatially, with a
+    search ``radius=`` that resolves points falling just OUTSIDE every
+    polygon (GPS jitter at coastlines/borders) to the nearest polygon
+    within the radius.
+
+    Engine shape:
+
+    1. containment rides the existing two-phase cell join
+       (``pip_attribute`` — FULL cells skip geometry); a point in
+       several polygons dedups to the smallest poly_id (upstream keeps
+       one match);
+    2. ONLY the misses (anti-join) enter the fallback: candidates =
+       broadcast bbox+radius prefilter (a point within ``radius`` of a
+       boundary is always inside the bbox expanded by ``radius``), then
+       the exact clamped-projection SQUARED distance to every edge as
+       one JVM ``array_min(transform(...))`` over the ring arrays — no
+       UDF, no vertex explode, no sqrt (squared distances order
+       identically and compare exactly against radius²);
+    3. nearest polygon wins, ties to the smallest poly_id; misses
+       beyond the radius drop (inner-join semantics, like upstream).
+
+    At 100-TB scale: step 1 is the proven PIP plan; the fallback only
+    carries the residual miss fraction, and a large polygon layer swaps
+    the broadcast prefilter for the cell index's radius rings (the kNN
+    candidate shape) without touching the distance math. The match
+    table is consumed twice (output + anti-join), so it checkpoints
+    eagerly [CLAUDE.md: no persist() in re-invoked operators].
+
+    Returns (point_id, poly_id, fuzzy) — fuzzy=0 containment, 1 radius.
+    """
+    hits = pip_attribute(points, cell_index, res=res)
+    pip_best = (
+        hits.groupBy("point_id")
+        .agg(F.min("poly_id").alias("poly_id"))
+        .localCheckpoint()
+    )
+    miss = points.join(pip_best.select("point_id"), "point_id", "left_anti")
+    r = float(radius)
+    pb = polygons.select(
+        F.col("poly_id").alias("cand_poly"),
+        "xs",
+        "ys",
+        (F.array_min("xs") - F.lit(r)).alias("bx0"),
+        (F.array_max("xs") + F.lit(r)).alias("bx1"),
+        (F.array_min("ys") - F.lit(r)).alias("by0"),
+        (F.array_max("ys") + F.lit(r)).alias("by1"),
+    )
+    cand = miss.join(
+        F.broadcast(pb),
+        (F.col("lon") >= F.col("bx0"))
+        & (F.col("lon") <= F.col("bx1"))
+        & (F.col("lat") >= F.col("by0"))
+        & (F.col("lat") <= F.col("by1")),
+    )
+    d2 = fixtures.seg_d2_sql(
+        "lon",
+        "lat",
+        "element_at(xs, CAST(i AS INT) + 1)",
+        "element_at(ys, CAST(i AS INT) + 1)",
+        "element_at(xs, (CAST(i AS INT) + 1) % size(xs) + 1)",
+        "element_at(ys, (CAST(i AS INT) + 1) % size(ys) + 1)",
+    )
+    w = Window.partitionBy("point_id")
+    best = (
+        cand.withColumn(
+            "d2", F.expr(f"array_min(transform(sequence(0, size(xs) - 1), i -> {d2}))")
+        )
+        .withColumn("dmin", F.min("d2").over(w))
+        .filter((F.col("d2") == F.col("dmin")) & (F.col("d2") <= F.lit(r * r)))
+        .groupBy("point_id")
+        .agg(F.min("cand_poly").alias("poly_id"))
+    )
+    return pip_best.withColumn("fuzzy", F.lit(0)).unionByName(
+        best.withColumn("fuzzy", F.lit(1))
     )

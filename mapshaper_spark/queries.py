@@ -3423,6 +3423,45 @@ def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_join_radius",
+    f"""
+    WITH pts AS ({_PTS}), {_ORACLE_HITS},
+    fe AS (SELECT poly_id, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+                  CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+           FROM {fixtures.polygon_edges_values_sql(name="fe0")}),
+    pip AS (SELECT point_id, min(poly_id) AS poly_id FROM hits GROUP BY point_id),
+    miss AS (SELECT p.* FROM pts p
+             WHERE point_id NOT IN (SELECT point_id FROM pip)),
+    cand AS (SELECT m.point_id, f.poly_id,
+                    min({fixtures.seg_d2_sql("m.lon", "m.lat", "f.x1", "f.y1", "f.x2", "f.y2")}) AS d2
+             FROM miss m CROSS JOIN fe f GROUP BY m.point_id, f.poly_id),
+    best AS (SELECT point_id, min(poly_id) AS poly_id FROM (
+               SELECT point_id, poly_id, d2,
+                      min(d2) OVER (PARTITION BY point_id) AS dmin FROM cand) z
+             WHERE d2 = dmin AND d2 <= 36.0 GROUP BY point_id)
+    SELECT point_id, poly_id, 0 AS fuzzy FROM pip
+    UNION ALL
+    SELECT point_id, poly_id, 1 AS fuzzy FROM best
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-fuzzy-join: PIP join with a nearest-boundary radius fallback
+    [UPSTREAM mapshaper-fuzzy-join.mjs — resolves points falling just
+    outside every polygon to the nearest one within radius=]. The
+    engine runs the real two-phase cell join for containment, then ONLY
+    the misses enter the fallback (bbox+radius broadcast prefilter →
+    exact clamped-projection SQUARED distance to every edge as one JVM
+    array fold — no sqrt, so the oracle can hash-match the identical
+    IEEE expression tree). radius=6 degrees; nearest wins, ties to the
+    smallest poly_id; farther misses drop. The oracle brute-forces all
+    point x edge pairs over the same literal layer."""
+    pts = testdata.customer_points(spark, sf_dir)
+    polys = testdata.polygons(spark)
+    idx = sj.build_cell_index(spark, polys)
+    return sj.fuzzy_join(pts, polys, idx, radius=6.0)
+
+
 # =====================================================================
 # Images pipeline [BASELINE.json input_hint / north_rule]
 # =====================================================================
@@ -3696,7 +3735,12 @@ _DRIVER_WINDOW = [
     # stay oracle-checked in tests/test_oracle_parity.py.
     "topojson_tiled_import_stats",
     "dissolve2_rings_tiled",
-    "simplify_dp_counts",
+    # r5 final segment: the NEW distinct operator -fuzzy-join (PIP +
+    # nearest-boundary radius fallback, exact clamped-projection d²
+    # oracle) displaces simplify_dp_counts — the -simplify family
+    # keeps simplify_weighted_counts in-window (dp is r1+r4 green and
+    # stays in parity).
+    "fuzzy_join_radius",
     "minhash_signatures",
     # r4-new DISTINCT operator: LSH-pair -> connected-components dedup
     # cluster resolution (recursive-CTE oracle) takes the slot of
