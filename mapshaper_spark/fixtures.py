@@ -930,6 +930,76 @@ CROSS_LINES = [
 ]
 
 
+# -divide fixture: axis-aligned polylines divided by DISJOINT dyadic
+# rectangles. Exactness contract (what lets the oracle hash-match):
+# every segment span is a POWER OF TWO, rect edges and vertices are
+# dyadic, and no vertex lies on a rect boundary — so each Cyrus–Beck
+# crossing parameter t = (edge - ax)/dx is an exact power-of-two
+# divide, crossing coordinates land exactly on the rect edge, and all
+# piece lengths are dyadic (sums exact in any order). Each segment
+# overlaps at most ONE rect (the oracle's outside-interval count
+# formula depends on it).
+DIVIDE_RECTS = [
+    {"poly_id": 0, "x0": 2.0, "y0": 0.0, "x1": 6.0, "y1": 8.0},
+    {"poly_id": 1, "x0": 8.0, "y0": 0.0, "x1": 12.0, "y1": 5.0},
+    {"poly_id": 2, "x0": 2.0, "y0": 10.0, "x1": 10.0, "y1": 14.0},
+    {"poly_id": 3, "x0": 14.0, "y0": 2.0, "x1": 18.0, "y1": 12.0},
+]
+
+DIVIDE_LINES = [
+    # horizontal run through rects 0, 1, 3
+    {
+        "arc_id": 0,
+        "xs": [0.0, 1.0, 3.0, 5.0, 7.0, 9.0, 11.0, 13.0, 15.0, 17.0, 19.0, 20.0],
+        "ys": [3.0] * 12,
+    },
+    # vertical run through rects 0 and 2
+    {"arc_id": 1, "xs": [4.0] * 9, "ys": [-1.0, 1.0, 3.0, 5.0, 7.0, 9.0, 11.0, 13.0, 15.0]},
+    # staircase through rects 1 and 3 (multi-segment inside pieces)
+    {
+        "arc_id": 2,
+        "xs": [7.5, 9.5, 9.5, 13.5, 13.5, 15.5, 15.5, 15.5],
+        "ys": [1.0, 1.0, 3.0, 3.0, 7.0, 7.0, 11.0, 13.0],
+    },
+    # entirely outside every rect (bbox-candidate-free arc)
+    {"arc_id": 3, "xs": [0.0, 1.0, 3.0, 5.0, 9.0, 13.0], "ys": [9.0] * 6},
+    # entirely inside rect 2 (no outside row)
+    {"arc_id": 4, "xs": [3.0, 5.0, 5.0, 9.0], "ys": [11.0, 11.0, 13.0, 13.0]},
+]
+
+
+def divide_rects_values_sql(name: str = "dr0") -> str:
+    rows = ",".join(
+        f"({b['poly_id']},{b['x0']!r},{b['y0']!r},{b['x1']!r},{b['y1']!r})"
+        for b in DIVIDE_RECTS
+    )
+    return f"(VALUES {rows}) AS {name}(poly_id, rx0, ry0, rx1, ry1)"
+
+
+def divide_segments_values_sql(name: str = "ds0") -> str:
+    """(arc_id, seg_i, x1, y1, x2, y2) VALUES relation of line segments."""
+    rows = []
+    for a in DIVIDE_LINES:
+        xs, ys = a["xs"], a["ys"]
+        for i in range(len(xs) - 1):
+            rows.append(
+                f"({a['arc_id']},{i},{xs[i]!r},{ys[i]!r},{xs[i + 1]!r},{ys[i + 1]!r})"
+            )
+    return f"(VALUES {','.join(rows)}) AS {name}(arc_id, seg_i, x1, y1, x2, y2)"
+
+
+def divide_verts_values_sql(name: str = "dv0") -> str:
+    """(arc_id, vx, vy) VALUES relation of INTERNAL vertices — the
+    oracle's piece-merge counters (a piece continues across a shared
+    vertex iff that vertex is strictly inside the same region)."""
+    rows = []
+    for a in DIVIDE_LINES:
+        xs, ys = a["xs"], a["ys"]
+        for i in range(1, len(xs) - 1):
+            rows.append(f"({a['arc_id']},{xs[i]!r},{ys[i]!r})")
+    return f"(VALUES {','.join(rows)}) AS {name}(arc_id, vx, vy)"
+
+
 # ------------------------------------------------------------- polylines ---
 
 

@@ -185,6 +185,143 @@ def clip_polylines(lines: DataFrame, clip: DataFrame) -> DataFrame:
     )
 
 
+def _cb_interval(ax, ay, dx, dy, ring, nx_, ny_):
+    """Cyrus–Beck parameter interval of one segment vs a convex CCW
+    ring — the ``geometry.clip_polyline_convex`` inner loop, kept
+    standalone so the frozen clip kernel stays untouched bitwise.
+    Returns (t0, t1) or None when the segment misses the window."""
+    t0, t1 = 0.0, 1.0
+    for j in range(len(ring)):
+        D = dx * nx_[j] + dy * ny_[j]
+        W = (ax - ring[j, 0]) * nx_[j] + (ay - ring[j, 1]) * ny_[j]
+        if D == 0.0:
+            if W < 0.0:
+                return None
+        else:
+            t = -W / D
+            if D > 0.0:
+                if t > t0:
+                    t0 = t
+            else:
+                if t < t1:
+                    t1 = t
+        if t0 > t1:
+            return None
+    return t0, t1
+
+
+def divide_polylines(lines: DataFrame, polygons: DataFrame) -> DataFrame:
+    """``-divide``: split a polyline layer by a polygon layer.
+
+    [UPSTREAM ``src/commands/mapshaper-divide.mjs`` — public knowledge
+    of mbloch/mapshaper; /root/reference is empty, SURVEY.md §0]:
+    upstream cuts every line where it crosses polygon boundaries and
+    copies the containing polygon's data onto each piece; pieces
+    outside every polygon keep null attributes. Requires polygons with
+    disjoint interiors (upstream divides against a mosaic/clean layer —
+    compose with ``clean_assign_areas`` first otherwise).
+
+    Engine shape: bbox-candidate LEFT broadcast join (candidate-free
+    arcs still emit their outside piece), then ONE grouped-Arrow fold
+    per arc — per segment, the Cyrus–Beck parameter interval against
+    each candidate window (disjoint interiors ⇒ intervals don't
+    overlap), gaps between intervals are outside pieces, and a piece
+    continues across a shared vertex iff the previous segment's last
+    assignment reaches t=1 and the next starts at t=0 with the same
+    region. Group count scales with the data (one group per arc), so
+    the fold routes through ``_fold_parallel`` [CLAUDE.md invariant].
+    At 100-TB scale the broadcast prefilter swaps for the cell-grid
+    equi-join (the ``clip_polylines`` shape) without touching the walk.
+
+    Returns (arc_id, poly_id, n_pieces, len_sum); poly_id = -1 marks
+    the pieces outside every polygon.
+    """
+    s = _bbox_cols(lines, "s").select(
+        "arc_id",
+        F.col("xs").alias("sxs"),
+        F.col("ys").alias("sys"),
+        "s_xmin",
+        "s_xmax",
+        "s_ymin",
+        "s_ymax",
+    )
+    c = _bbox_cols(polygons, "c").select(
+        F.col("poly_id").alias("cand_poly"),
+        F.col("xs").alias("cxs"),
+        F.col("ys").alias("cys"),
+        "c_xmin",
+        "c_xmax",
+        "c_ymin",
+        "c_ymax",
+    )
+    cond = (
+        (F.col("s_xmin") <= F.col("c_xmax"))
+        & (F.col("s_xmax") >= F.col("c_xmin"))
+        & (F.col("s_ymin") <= F.col("c_ymax"))
+        & (F.col("s_ymax") >= F.col("c_ymin"))
+    )
+    pairs = s.join(F.broadcast(c), cond, "left").select(
+        "arc_id", "sxs", "sys", "cand_poly", "cxs", "cys"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        arc_id = int(pdf["arc_id"].iloc[0])
+        xs = np.asarray(pdf["sxs"].iloc[0], dtype=np.float64)
+        ys = np.asarray(pdf["sys"].iloc[0], dtype=np.float64)
+        cands = []
+        for _, r in pdf.iterrows():
+            if r["cand_poly"] is None or pd.isna(r["cand_poly"]):
+                continue
+            ring = np.column_stack(
+                [np.asarray(r["cxs"], dtype=np.float64), np.asarray(r["cys"], dtype=np.float64)]
+            )
+            ex = geometry.rot1(ring[:, 0]) - ring[:, 0]
+            ey = geometry.rot1(ring[:, 1]) - ring[:, 1]
+            cands.append((int(r["cand_poly"]), ring, -ey, ex))
+        agg: dict[int, list] = {}
+        prev_pid = None
+        for i in range(len(xs) - 1):
+            ax, ay, bx, by = xs[i], ys[i], xs[i + 1], ys[i + 1]
+            dx, dy = bx - ax, by - ay
+            if dx == 0.0 and dy == 0.0:
+                continue
+            ivs = []
+            for pid, ring, nx_, ny_ in cands:
+                iv = _cb_interval(ax, ay, dx, dy, ring, nx_, ny_)
+                if iv is not None and iv[1] > iv[0]:
+                    ivs.append((iv[0], iv[1], pid))
+            ivs.sort()
+            subs = []
+            t = 0.0
+            for t0, t1, pid in ivs:
+                if t0 > t:
+                    subs.append((t, t0, -1))
+                subs.append((t0, t1, pid))
+                t = t1
+            if t < 1.0:
+                subs.append((t, 1.0, -1))
+            for u0, u1, pid in subs:
+                px0, py0 = ax + u0 * dx, ay + u0 * dy
+                px1, py1 = ax + u1 * dx, ay + u1 * dy
+                ln = float(np.hypot(px1 - px0, py1 - py0))
+                e = agg.setdefault(pid, [0, 0.0])
+                if not (u0 == 0.0 and prev_pid == pid):
+                    e[0] += 1
+                e[1] += ln
+                prev_pid = pid
+        rows = [
+            {"arc_id": arc_id, "poly_id": pid, "n_pieces": n, "len_sum": ln}
+            for pid, (n, ln) in sorted(agg.items())
+        ]
+        return pd.DataFrame(rows, columns=["arc_id", "poly_id", "n_pieces", "len_sum"])
+
+    return (
+        _fold_parallel(pairs, "arc_id")
+        .groupBy("arc_id")
+        .applyInPandas(fold, schema="arc_id long, poly_id int, n_pieces int, len_sum double")
+    )
+
+
 def join_interpolate(
     sources: DataFrame, targets: DataFrame, value_col: str = "val"
 ) -> DataFrame:

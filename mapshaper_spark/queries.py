@@ -3462,6 +3462,86 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.fuzzy_join(pts, polys, idx, radius=6.0)
 
 
+@query(
+    "divide_polylines_lengths",
+    f"""
+    WITH rects AS (SELECT poly_id, CAST(rx0 AS DOUBLE) AS rx0, CAST(ry0 AS DOUBLE) AS ry0,
+                          CAST(rx1 AS DOUBLE) AS rx1, CAST(ry1 AS DOUBLE) AS ry1
+                   FROM {fixtures.divide_rects_values_sql()}),
+    segs AS (SELECT arc_id, seg_i, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+                    CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+             FROM {fixtures.divide_segments_values_sql()}),
+    verts AS (SELECT arc_id, CAST(vx AS DOUBLE) AS vx, CAST(vy AS DOUBLE) AS vy
+              FROM {fixtures.divide_verts_values_sql()}),
+    ov AS (SELECT s.arc_id, s.seg_i, r.poly_id,
+             CASE WHEN s.y1 = s.y2
+                  THEN CASE WHEN s.y1 > r.ry0 AND s.y1 < r.ry1
+                       THEN GREATEST(0.0, LEAST(r.rx1, GREATEST(s.x1, s.x2))
+                                        - GREATEST(r.rx0, LEAST(s.x1, s.x2)))
+                       ELSE 0.0 END
+                  ELSE CASE WHEN s.x1 > r.rx0 AND s.x1 < r.rx1
+                       THEN GREATEST(0.0, LEAST(r.ry1, GREATEST(s.y1, s.y2))
+                                        - GREATEST(r.ry0, LEAST(s.y1, s.y2)))
+                       ELSE 0.0 END END AS len_in,
+             CASE WHEN s.y1 = s.y2 THEN GREATEST(r.rx0, LEAST(s.x1, s.x2))
+                  ELSE GREATEST(r.ry0, LEAST(s.y1, s.y2)) END AS c_lo,
+             CASE WHEN s.y1 = s.y2 THEN LEAST(r.rx1, GREATEST(s.x1, s.x2))
+                  ELSE LEAST(r.ry1, GREATEST(s.y1, s.y2)) END AS c_hi,
+             CASE WHEN s.y1 = s.y2 THEN LEAST(s.x1, s.x2) ELSE LEAST(s.y1, s.y2) END AS s_lo,
+             CASE WHEN s.y1 = s.y2 THEN GREATEST(s.x1, s.x2) ELSE GREATEST(s.y1, s.y2) END AS s_hi,
+             ABS(s.x2 - s.x1) + ABS(s.y2 - s.y1) AS seg_len
+           FROM segs s CROSS JOIN rects r),
+    vin AS (SELECT v.arc_id, r.poly_id, count(*) AS c
+            FROM verts v JOIN rects r
+              ON v.vx > r.rx0 AND v.vx < r.rx1 AND v.vy > r.ry0 AND v.vy < r.ry1
+            GROUP BY v.arc_id, r.poly_id),
+    inside AS (SELECT o.arc_id, o.poly_id,
+                      count(*) FILTER (WHERE o.len_in > 0.0) AS nseg,
+                      sum(o.len_in) AS len_sum
+               FROM ov o GROUP BY o.arc_id, o.poly_id
+               HAVING sum(o.len_in) > 0.0),
+    per_seg AS (SELECT arc_id, seg_i, max(seg_len) AS seg_len, sum(len_in) AS cov,
+                       max(CASE WHEN len_in > 0.0 THEN c_lo END) AS c_lo,
+                       max(CASE WHEN len_in > 0.0 THEN c_hi END) AS c_hi,
+                       max(s_lo) AS s_lo, max(s_hi) AS s_hi
+                FROM ov GROUP BY arc_id, seg_i),
+    nout AS (SELECT arc_id,
+                    sum(CASE WHEN cov = 0.0 THEN 1
+                             ELSE (CASE WHEN c_lo > s_lo THEN 1 ELSE 0 END)
+                                + (CASE WHEN c_hi < s_hi THEN 1 ELSE 0 END) END) AS nint,
+                    sum(seg_len - cov) AS len_sum
+             FROM per_seg GROUP BY arc_id HAVING sum(seg_len - cov) > 0.0),
+    vout AS (SELECT v.arc_id, count(*) AS c FROM verts v
+             WHERE NOT EXISTS (SELECT 1 FROM rects r
+                               WHERE v.vx > r.rx0 AND v.vx < r.rx1
+                                 AND v.vy > r.ry0 AND v.vy < r.ry1)
+             GROUP BY v.arc_id)
+    SELECT CAST(i.arc_id AS BIGINT) AS arc_id, i.poly_id,
+           CAST(i.nseg - COALESCE(v.c, 0) AS INT) AS n_pieces, i.len_sum
+    FROM inside i LEFT JOIN vin v ON i.arc_id = v.arc_id AND i.poly_id = v.poly_id
+    UNION ALL
+    SELECT CAST(n.arc_id AS BIGINT) AS arc_id, -1 AS poly_id,
+           CAST(n.nint - COALESCE(v.c, 0) AS INT) AS n_pieces, n.len_sum
+    FROM nout n LEFT JOIN vout v ON n.arc_id = v.arc_id
+    """,
+)
+def q_divide_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-divide: split a polyline layer by a (disjoint) polygon layer
+    [UPSTREAM mapshaper-divide.mjs — cuts lines at polygon boundaries,
+    copying the containing polygon's data onto inside pieces]. The
+    engine walks each arc once per grouped-Arrow fold (Cyrus–Beck
+    intervals per candidate window, gap pieces outside, vertex-merge
+    across segments); the fixture keeps every crossing coordinate
+    exact (power-of-two segment spans, dyadic rect edges), so piece
+    lengths hash-match. The oracle re-derives inside lengths as
+    axis-aligned interval overlaps and piece counts as
+    (overlapping segments − strictly-interior shared vertices); the
+    outside-interval count leans on the fixture's one-rect-per-segment
+    constraint. poly_id = -1 marks pieces outside every polygon."""
+    lines = topology.arcs_df(spark, fixtures.DIVIDE_LINES)
+    return overlay_op.divide_polylines(lines, testdata.divide_rects(spark))
+
+
 # =====================================================================
 # Images pipeline [BASELINE.json input_hint / north_rule]
 # =====================================================================
@@ -3659,7 +3739,13 @@ _DRIVER_WINDOW = [
     # pip_attribute_rows r1-green x4, simplify_visvalingam_counts
     # r1-green x4 — pip keeps count_by_polygon + holes_rows, simplify
     # keeps dp, every displaced row stays in tests/test_oracle_parity).
-    "pip_count_by_polygon",
+    # final r5: the NEW distinct operator -divide (polyline ÷ polygon
+    # layer; exact interval-overlap + piece-merge oracle) displaces
+    # pip_count_by_polygon — the r1-green ×5 PIP exemplar whose plan is
+    # still exercised in-window by pip_holes_rows, clip/erase holes AND
+    # fuzzy_join_radius (which runs pip_attribute internally); the
+    # count row stays in tests/test_oracle_parity.py.
+    "divide_polylines_lengths",
     "pip_holes_rows",
     "clip_points_holes",
     "erase_points_holes",

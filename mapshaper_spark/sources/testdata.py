@@ -111,6 +111,23 @@ def clip_windows(spark: SparkSession) -> DataFrame:
     )
 
 
+def divide_rects(spark: SparkSession) -> DataFrame:
+    """Disjoint dyadic rectangle layer for -divide (rings CCW)."""
+    import pandas as pd
+
+    rows = [
+        {
+            "poly_id": b["poly_id"],
+            "xs": [p[0] for p in fixtures._box_ring(b)],
+            "ys": [p[1] for p in fixtures._box_ring(b)],
+        }
+        for b in fixtures.DIVIDE_RECTS
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows), schema="poly_id int, xs array<double>, ys array<double>"
+    )
+
+
 def interp_source_boxes(spark: SparkSession) -> DataFrame:
     """Source layer for -join interpolate (boxes + value column)."""
     return spark.createDataFrame(
