@@ -210,6 +210,54 @@ def _cb_interval(ax, ay, dx, dy, ring, nx_, ny_):
     return t0, t1
 
 
+def _divide_walk(
+    xs: np.ndarray, ys: np.ndarray, cands: list[tuple[int, np.ndarray]]
+) -> dict[int, list]:
+    """The per-arc -divide walk: Cyrus–Beck intervals per candidate
+    convex CCW window (disjoint interiors ⇒ non-overlapping), gaps are
+    outside pieces (pid −1), pieces merge across a shared vertex iff
+    the previous segment's last assignment reaches t=1 and the next
+    starts at t=0 with the same pid. Returns {pid: [n_pieces, len]}.
+    Standalone so the hypothesis sweep can drive it without Spark."""
+    prepped = []
+    for pid, ring in cands:
+        ex = geometry.rot1(ring[:, 0]) - ring[:, 0]
+        ey = geometry.rot1(ring[:, 1]) - ring[:, 1]
+        prepped.append((pid, ring, -ey, ex))
+    agg: dict[int, list] = {}
+    prev_pid = None
+    for i in range(len(xs) - 1):
+        ax, ay, bx, by = xs[i], ys[i], xs[i + 1], ys[i + 1]
+        dx, dy = bx - ax, by - ay
+        if dx == 0.0 and dy == 0.0:
+            continue
+        ivs = []
+        for pid, ring, nx_, ny_ in prepped:
+            iv = _cb_interval(ax, ay, dx, dy, ring, nx_, ny_)
+            if iv is not None and iv[1] > iv[0]:
+                ivs.append((iv[0], iv[1], pid))
+        ivs.sort()
+        subs = []
+        t = 0.0
+        for t0, t1, pid in ivs:
+            if t0 > t:
+                subs.append((t, t0, -1))
+            subs.append((t0, t1, pid))
+            t = t1
+        if t < 1.0:
+            subs.append((t, 1.0, -1))
+        for u0, u1, pid in subs:
+            px0, py0 = ax + u0 * dx, ay + u0 * dy
+            px1, py1 = ax + u1 * dx, ay + u1 * dy
+            ln = float(np.hypot(px1 - px0, py1 - py0))
+            e = agg.setdefault(pid, [0, 0.0])
+            if not (u0 == 0.0 and prev_pid == pid):
+                e[0] += 1
+            e[1] += ln
+            prev_pid = pid
+    return agg
+
+
 def divide_polylines(lines: DataFrame, polygons: DataFrame) -> DataFrame:
     """``-divide``: split a polyline layer by a polygon layer.
 
@@ -275,40 +323,8 @@ def divide_polylines(lines: DataFrame, polygons: DataFrame) -> DataFrame:
             ring = np.column_stack(
                 [np.asarray(r["cxs"], dtype=np.float64), np.asarray(r["cys"], dtype=np.float64)]
             )
-            ex = geometry.rot1(ring[:, 0]) - ring[:, 0]
-            ey = geometry.rot1(ring[:, 1]) - ring[:, 1]
-            cands.append((int(r["cand_poly"]), ring, -ey, ex))
-        agg: dict[int, list] = {}
-        prev_pid = None
-        for i in range(len(xs) - 1):
-            ax, ay, bx, by = xs[i], ys[i], xs[i + 1], ys[i + 1]
-            dx, dy = bx - ax, by - ay
-            if dx == 0.0 and dy == 0.0:
-                continue
-            ivs = []
-            for pid, ring, nx_, ny_ in cands:
-                iv = _cb_interval(ax, ay, dx, dy, ring, nx_, ny_)
-                if iv is not None and iv[1] > iv[0]:
-                    ivs.append((iv[0], iv[1], pid))
-            ivs.sort()
-            subs = []
-            t = 0.0
-            for t0, t1, pid in ivs:
-                if t0 > t:
-                    subs.append((t, t0, -1))
-                subs.append((t0, t1, pid))
-                t = t1
-            if t < 1.0:
-                subs.append((t, 1.0, -1))
-            for u0, u1, pid in subs:
-                px0, py0 = ax + u0 * dx, ay + u0 * dy
-                px1, py1 = ax + u1 * dx, ay + u1 * dy
-                ln = float(np.hypot(px1 - px0, py1 - py0))
-                e = agg.setdefault(pid, [0, 0.0])
-                if not (u0 == 0.0 and prev_pid == pid):
-                    e[0] += 1
-                e[1] += ln
-                prev_pid = pid
+            cands.append((int(r["cand_poly"]), ring))
+        agg = _divide_walk(xs, ys, cands)
         rows = [
             {"arc_id": arc_id, "poly_id": pid, "n_pieces": n, "len_sum": ln}
             for pid, (n, ln) in sorted(agg.items())

@@ -320,6 +320,69 @@ def buffer_polylines(
     return _segment_quads(lines, seg_expr, radius, ext)
 
 
+def dashlines(lines: DataFrame, dash: float = 1.5, gap: float = 0.5) -> DataFrame:
+    """``-dashlines``: cut a polyline layer into dash intervals of
+    ``dash`` length separated by ``gap``, measured along each arc's
+    cumulative length.
+
+    [UPSTREAM ``src/commands/mapshaper-dashlines.mjs`` — public
+    knowledge of mbloch/mapshaper; /root/reference is empty, SURVEY.md
+    §0]: upstream splits lines into dashes for cartographic styling;
+    the split positions are pure arc-length arithmetic, which is why
+    this command (unlike -style/-symbols) is computable and
+    oracle-checkable.
+
+    PURE COLUMN MATH end to end — explode segments, cumulative offset
+    via a window sum in segment order, candidate dash indices via
+    ``sequence()``, one interval-overlap expression per dash, then a
+    (arc_id, dash_idx) groupBy so a dash spanning several segments
+    sums into one row. No Python anywhere; at scale the only shuffle
+    is the per-arc window + the final aggregation.
+
+    Returns (arc_id, dash_idx, dash_len), one row per non-empty dash.
+    """
+    p = float(dash + gap)
+    d = float(dash)
+    seg = (
+        lines.select(
+            "arc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(xs) - 2), i -> named_struct("
+                    "'seg_i', i, "
+                    "'seg_len', sqrt((xs[i + 1] - xs[i]) * (xs[i + 1] - xs[i])"
+                    " + (ys[i + 1] - ys[i]) * (ys[i + 1] - ys[i]))))"
+                )
+            ).alias("s"),
+        )
+        .select("arc_id", "s.seg_i", "s.seg_len")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("arc_id")
+        .orderBy("seg_i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = seg.withColumn("s0", F.coalesce(F.sum("seg_len").over(w), F.lit(0.0))).withColumn(
+        "s1", F.col("s0") + F.col("seg_len")
+    )
+    ov = c.select(
+        "arc_id",
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(CAST(floor(s0 / {p!r}D) AS BIGINT),"
+                f" CAST(floor(s1 / {p!r}D) AS BIGINT)),"
+                f" k -> named_struct('dash_idx', k,"
+                f" 'len', greatest(0.0D, least(s1, k * {p!r}D + {d!r}D)"
+                f" - greatest(s0, k * {p!r}D)))),"
+                f" x -> x.len > 0.0D)"
+            )
+        ).alias("dd"),
+    ).select("arc_id", "dd.dash_idx", "dd.len")
+    return ov.groupBy("arc_id", "dash_idx").agg(F.sum("len").alias("dash_len"))
+
+
 def buffer_polygons(
     polys: DataFrame, radius: float, cap_extension: float | None = None
 ) -> DataFrame:

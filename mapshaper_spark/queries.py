@@ -2179,6 +2179,87 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_repetition_ngrams",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])
+                 ELSE [] END AS b2,
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                 ELSE [] END AS b3
+          FROM d),
+    stats AS (SELECT doc_id, CAST(len(b2) AS BIGINT) AS n_2grams,
+            CASE WHEN len(b2) >= 1
+                 THEN 1.0 - CAST(len(list_distinct(b2)) AS DOUBLE)
+                          / CAST(len(b2) AS DOUBLE)
+                 ELSE 0.0 END AS dup2_frac,
+            CASE WHEN len(b3) >= 1
+                 THEN 1.0 - CAST(len(list_distinct(b3)) AS DOUBLE)
+                          / CAST(len(b3) AS DOUBLE)
+                 ELSE 0.0 END AS dup3_frac
+          FROM g),
+    top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_count FROM (
+              SELECT doc_id, bg, count(*) AS c
+              FROM (SELECT doc_id, unnest(b2) AS bg FROM g) z
+              GROUP BY doc_id, bg) zz
+            GROUP BY doc_id)
+    SELECT s.doc_id, s.n_2grams, s.dup2_frac, s.dup3_frac, t.top_2gram_count
+    FROM stats s JOIN top t USING (doc_id)
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate n-gram fractions + top-bigram count —
+    the Gopher-style repetition quality filter [task brief: quality
+    scoring; Rae et al. 2021 public filtering rules]: documents whose
+    2/3-gram streams are dominated by repeats are boilerplate/spam and
+    get dropped before training. Shares the whitespace parity tokenizer
+    with token_distinct_counts; the duplicate fractions are pure column
+    math (array_distinct over transform-built n-gram arrays — map-only,
+    scales), the top-bigram count is the one shuffled piece (explode →
+    (doc, gram) count → per-doc max, the exact shape you'd run at
+    100 TB). Fractions are 1 − distinct/total with both counts cast to
+    DOUBLE, so the IEEE divide matches DuckDB bit-for-bit."""
+    d = testdata.load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    g = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+            " i -> concat(t[i], ' ', t[i + 1])) ELSE array() END"
+        ).alias("b2"),
+        F.expr(
+            "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3),"
+            " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])) ELSE array() END"
+        ).alias("b3"),
+    )
+    stats = g.select(
+        "doc_id",
+        F.size("b2").cast("bigint").alias("n_2grams"),
+        F.expr(
+            "CASE WHEN size(b2) >= 1 THEN 1.0D - CAST(size(array_distinct(b2)) AS DOUBLE)"
+            " / CAST(size(b2) AS DOUBLE) ELSE 0.0D END"
+        ).alias("dup2_frac"),
+        F.expr(
+            "CASE WHEN size(b3) >= 1 THEN 1.0D - CAST(size(array_distinct(b3)) AS DOUBLE)"
+            " / CAST(size(b3) AS DOUBLE) ELSE 0.0D END"
+        ).alias("dup3_frac"),
+    )
+    top = (
+        g.select("doc_id", F.explode("b2").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_2gram_count"))
+    )
+    return stats.join(top, "doc_id")
+
+
+@query(
     "language_id_stopword",
     """
     SELECT doc_id,
@@ -3542,6 +3623,45 @@ def q_divide_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlay_op.divide_polylines(lines, testdata.divide_rects(spark))
 
 
+@query(
+    "dashlines_intervals",
+    f"""
+    WITH segs AS (SELECT arc_id, seg_i, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+                         CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+                  FROM {fixtures.divide_segments_values_sql()}),
+    sl AS (SELECT arc_id, seg_i,
+                  sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len
+           FROM segs),
+    c AS (SELECT arc_id, seg_i, seg_len,
+                 COALESCE(SUM(seg_len) OVER (PARTITION BY arc_id ORDER BY seg_i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS s0
+          FROM sl),
+    kk AS (SELECT arc_id, s0, s0 + seg_len AS s1,
+                  unnest(generate_series(CAST(floor(s0 / 2.0) AS BIGINT),
+                                         CAST(floor((s0 + seg_len) / 2.0) AS BIGINT))) AS dash_idx
+           FROM c),
+    ov AS (SELECT arc_id, dash_idx,
+                  GREATEST(0.0, LEAST(s1, dash_idx * 2.0 + 1.5)
+                              - GREATEST(s0, dash_idx * 2.0)) AS len
+           FROM kk)
+    SELECT CAST(arc_id AS BIGINT) AS arc_id, dash_idx, sum(len) AS dash_len
+    FROM ov WHERE len > 0.0 GROUP BY arc_id, dash_idx
+    """,
+)
+def q_dashlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-dashlines: cut polylines into dash intervals (dash=1.5 gap=0.5)
+    along cumulative arc length [UPSTREAM mapshaper-dashlines.mjs — the
+    one styling command whose output is pure arc-length arithmetic].
+    Pure column math: segment explode → per-arc window prefix sum →
+    sequence() of candidate dash indices → interval overlap. The
+    fixture's dyadic power-of-two segment spans keep every offset and
+    overlap exact (IEEE sqrt is exact on axis-aligned segments), so
+    both engines hash-match; a dash spanning several segments sums
+    into one row on both sides."""
+    lines = topology.arcs_df(spark, fixtures.DIVIDE_LINES)
+    return points_op.dashlines(lines, dash=1.5, gap=0.5)
+
+
 # =====================================================================
 # Images pipeline [BASELINE.json input_hint / north_rule]
 # =====================================================================
@@ -3850,7 +3970,11 @@ _DRIVER_WINDOW = [
     "events_sessionize",
     "events_sliding_window",
     # LLM-data + images (first green in r2) + r2-new multimodal oracles
-    "token_distinct_counts",
+    # final r5: the NEW distinct operator -dashlines (arc-length dash
+    # segmentation, pure column math) displaces token_distinct_counts —
+    # the whitespace half of the token-counting pair whose harder
+    # BPE-regex variant keeps its slot (r2-green x4; stays in parity).
+    "dashlines_intervals",
     "language_id_stopword",
     "simhash16_docs",
     "ann_ivf_bucketed_topk",

@@ -61,6 +61,109 @@ def test_divide_diagonal_exact_345(spark):
     assert out[(9, -1)] == (2, 5.0)
 
 
+def _ref_divide(xs, ys, rects):
+    """Independent reference: axis-aligned interval overlap per segment
+    (no Cyrus–Beck anywhere), chained by the spec's vertex-merge rule.
+    Exact when coordinates are dyadic and rect bounds never coincide
+    with vertices."""
+    agg = {}
+    prev = None
+    for i in range(len(xs) - 1):
+        ax, ay, bx, by = xs[i], ys[i], xs[i + 1], ys[i + 1]
+        horiz = ay == by
+        a, b = (ax, bx) if horiz else (ay, by)
+        fixed = ay if horiz else ax
+        length = abs(b - a)
+        ivs = []
+        for pid, x0, y0, x1, y1 in rects:
+            lo_f, hi_f = (y0, y1) if horiz else (x0, x1)
+            if not (lo_f < fixed < hi_f):
+                continue
+            lo_v, hi_v = (x0, x1) if horiz else (y0, y1)
+            o0, o1 = max(lo_v, min(a, b)), min(hi_v, max(a, b))
+            if o1 <= o0:
+                continue
+            w0, w1 = (o0 - a, o1 - a) if a < b else (a - o1, a - o0)
+            ivs.append((w0, w1, pid))
+        ivs.sort()
+        subs = []
+        w = 0.0
+        for w0, w1, pid in ivs:
+            if w0 > w:
+                subs.append((w, w0, -1))
+            subs.append((w0, w1, pid))
+            w = w1
+        if w < length:
+            subs.append((w, length, -1))
+        for w0, w1, pid in subs:
+            e = agg.setdefault(pid, [0, 0.0])
+            if not (w0 == 0.0 and prev == pid):
+                e[0] += 1
+            e[1] += w1 - w0
+            prev = pid
+    return {k: (v[0], v[1]) for k, v in agg.items()}
+
+
+def test_divide_walk_random_sweep():
+    """Hypothesis sweep of the per-arc walk kernel (no Spark): random
+    axis-aligned polylines on ODD coordinates with EVEN power-of-two
+    steps vs disjoint rects on EVEN bounds — every crossing exact, so
+    the Cyrus–Beck walk must equal the interval-overlap reference
+    EXACTLY (counts and lengths)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blocks = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        unique=True,
+        min_size=1,
+        max_size=6,
+    )
+    steps = st.lists(
+        st.tuples(st.sampled_from([0, 1]), st.sampled_from([-8, -4, -2, 2, 4, 8])),
+        min_size=1,
+        max_size=25,
+    )
+    start = st.tuples(st.integers(0, 19), st.integers(0, 19))
+
+    @settings(max_examples=200, deadline=None)
+    @given(blocks=blocks, steps=steps, start=start)
+    def run(blocks, steps, start):
+        xs, ys = [float(start[0] * 2 + 1)], [float(start[1] * 2 + 1)]
+        for axis, d in steps:
+            xs.append(xs[-1] + (d if axis == 0 else 0))
+            ys.append(ys[-1] + (d if axis == 1 else 0))
+        rects = [
+            (10 * bx + by, 10.0 * bx + 2, 10.0 * by + 2, 10.0 * bx + 8, 10.0 * by + 8)
+            for bx, by in blocks
+        ]
+        cands = [
+            (
+                pid,
+                np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+                ),
+            )
+            for pid, x0, y0, x1, y1 in rects
+        ]
+        got = {
+            k: (v[0], v[1]) for k, v in ov._divide_walk(
+                np.asarray(xs), np.asarray(ys), cands
+            ).items()
+        }
+        want = _ref_divide(xs, ys, rects)
+        assert got == want
+        total = sum(v[1] for v in got.values())
+        seg_total = sum(
+            abs(xs[i + 1] - xs[i]) + abs(ys[i + 1] - ys[i])
+            for i in range(len(xs) - 1)
+        )
+        assert total == seg_total
+
+    run()
+
+
 def test_divide_reentry_does_not_merge(spark):
     """A line that exits a rect and re-enters it gets TWO pieces for
     that rect (the shared vertex sits outside, so no merge)."""
