@@ -113,6 +113,13 @@ BENCH_QUERIES = [
     # final-r5 addition: -cluster (k-means over the skewed point layer —
     # join-free codegen assignment + decimal-routed centroid update)
     "cluster_kmeans_stats",
+    # continuation additions: -fuzzy-join (PIP + radius fallback over
+    # the customer points — the data-scaled new op; -divide/-dashlines
+    # are dim-fixture-bound and stay out), and the Gopher repetition
+    # filter over documents (map-only n-gram math + one shuffled top-
+    # bigram aggregation)
+    "fuzzy_join_radius",
+    "doc_repetition_ngrams",
 ]
 
 

@@ -995,3 +995,117 @@ def cassini_inverse(
     lat_gen = F.degrees(F.asin(F.sin(d) * F.cos(xr)))
     lon_gen = F.lit(lon0) + F.degrees(F.atan2(F.sin(xr), F.cos(xr) * F.cos(d)))
     return df.withColumn("lon2", lon_gen).withColumn("lat2", lat_gen)
+
+
+def cylindrical_equal_area(
+    df: DataFrame,
+    lat_ts: float = 0.0,
+    lon0: float = 0.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Cylindrical equal-area (Snyder 1987 eq. 10-1, 10-2): x = R dl
+    cos fs; y = R sin f / cos fs. One closed form covers the whole
+    named family by standard parallel ``lat_ts``: Lambert cylindrical
+    (0°), Behrmann (30°), Gall–Peters (45°). Equal-area by
+    construction (the quad check pins it); parallels are straight
+    lines whose spacing compresses as sin f. Pure codegen column
+    math."""
+    cfs = math.cos(math.radians(lat_ts))
+    x = F.lit(R * cfs) * F.radians(F.col(lon) - F.lit(lon0))
+    y = F.lit(R / cfs) * F.sin(F.radians(F.col(lat)))
+    return df.withColumn("cex", x).withColumn("cey", y)
+
+
+def cylindrical_equal_area_inverse(
+    df: DataFrame,
+    lat_ts: float = 0.0,
+    lon0: float = 0.0,
+    cex: str = "cex",
+    cey: str = "cey",
+) -> DataFrame:
+    """Inverse cylindrical equal-area (Snyder eq. 10-6, 10-7):
+    f = asin(y cos fs / R); l = lon0 + x / (R cos fs)."""
+    cfs = math.cos(math.radians(lat_ts))
+    lat_gen = F.degrees(F.asin(F.col(cey) * F.lit(cfs / R)))
+    lon_gen = F.lit(lon0) + F.degrees(F.col(cex) / F.lit(R * cfs))
+    return df.withColumn("lon2", lon_gen).withColumn("lat2", lat_gen)
+
+
+def miller(
+    df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Miller cylindrical (Snyder 1987 eq. 11-1..11-3): x = R dl;
+    y = (5R/4) ln tan(pi/4 + 2f/5) — Mercator's formula evaluated at
+    4/5 of the latitude then stretched back by 5/4, which keeps the
+    poles finite (y(90°) ≈ 1.832 R vs Mercator's infinity, the node
+    the tests pin) while staying meridian-true. Neither equal-area nor
+    conformal; pure codegen column math."""
+    x = F.lit(R) * F.radians(F.col(lon) - F.lit(lon0))
+    y = F.lit(1.25 * R) * F.log(
+        F.tan(F.lit(math.pi / 4.0) + F.lit(0.4) * F.radians(F.col(lat)))
+    )
+    return df.withColumn("mlx", x).withColumn("mly", y)
+
+
+def miller_inverse(
+    df: DataFrame, lon0: float = 0.0, mlx: str = "mlx", mly: str = "mly"
+) -> DataFrame:
+    """Inverse Miller (Snyder eq. 11-6, 11-7):
+    f = 2.5 atan(e^(4y/5R)) - 5 pi / 8; l = lon0 + x/R."""
+    lat_gen = F.degrees(
+        F.lit(2.5) * F.atan(F.exp(F.lit(0.8 / R) * F.col(mly)))
+        - F.lit(5.0 * math.pi / 8.0)
+    )
+    lon_gen = F.lit(lon0) + F.degrees(F.col(mlx) / F.lit(R))
+    return df.withColumn("lon2", lon_gen).withColumn("lat2", lat_gen)
+
+
+def bonne(
+    df: DataFrame,
+    lat1: float = 45.0,
+    lon0: float = 0.0,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Bonne pseudoconic (Snyder 1987 eq. 19-1..19-3): rho = R (cot f1
+    + f1 - f); E = R dl cos f / rho; x = rho sin E; y = R cot f1 - rho
+    cos E. Equal-area; parallels are CONCENTRIC CIRCULAR ARCS about
+    (0, R cot f1) with TRUE SCALE along every parallel (arc length
+    rho·E = R dl cos f — the defining property the tests pin; the
+    heart-shaped historic atlas projection). With f1 = 45° the arc
+    radius cot f1 + f1 - f stays positive everywhere, so the only
+    special point is the exact pole pair on the inverse. Pure codegen
+    column math."""
+    f1 = math.radians(lat1)
+    cot1 = 1.0 / math.tan(f1)
+    f = F.radians(F.col(lat))
+    rho = F.lit(R) * (F.lit(cot1 + f1) - f)
+    e = F.lit(R) * F.radians(F.col(lon) - F.lit(lon0)) * F.cos(f) / rho
+    return df.withColumn("bnx", rho * F.sin(e)).withColumn(
+        "bny", F.lit(R * cot1) - rho * F.cos(e)
+    )
+
+
+def bonne_inverse(
+    df: DataFrame,
+    lat1: float = 45.0,
+    lon0: float = 0.0,
+    bnx: str = "bnx",
+    bny: str = "bny",
+) -> DataFrame:
+    """Inverse Bonne (Snyder eq. 19-6..19-9, northern f1): rho =
+    hypot(x, R cot f1 - y); f = cot f1 + f1 - rho/R; l = lon0 +
+    rho atan2(x, R cot f1 - y) / (R cos f). The exact poles (cos f = 0)
+    map back to lon0 — every meridian meets there."""
+    f1 = math.radians(lat1)
+    cot1 = 1.0 / math.tan(f1)
+    dy = F.lit(R * cot1) - F.col(bny)
+    rho = F.sqrt(F.col(bnx) * F.col(bnx) + dy * dy)
+    f = F.lit(cot1 + f1) - rho / F.lit(R)
+    cosf = F.cos(f)
+    lon_gen = F.lit(lon0) + F.degrees(rho * F.atan2(F.col(bnx), dy) / (F.lit(R) * cosf))
+    return df.withColumn(
+        "lon2",
+        F.when(F.abs(cosf) < F.lit(1e-15), F.lit(lon0)).otherwise(lon_gen),
+    ).withColumn("lat2", F.degrees(f))

@@ -989,6 +989,52 @@ def q_classify_nice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "colorizer_breaks_categories",
+    """
+    SELECT CASE c_mktsegment WHEN 'BUILDING' THEN '#1b9e77'
+                             WHEN 'AUTOMOBILE' THEN '#d95f02'
+                             WHEN 'MACHINERY' THEN '#7570b3'
+                             ELSE '#999999' END AS cat_color,
+           CASE WHEN c_acctbal < 0.0 THEN '#eff3ff'
+                WHEN c_acctbal < 2500.0 THEN '#bdd7e7'
+                WHEN c_acctbal < 5000.0 THEN '#6baed6'
+                WHEN c_acctbal < 7500.0 THEN '#3182bd'
+                ELSE '#08519c' END AS bal_color,
+           count(*) AS n
+    FROM customer GROUP BY cat_color, bal_color
+    """,
+)
+def q_colorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-colorizer [UPSTREAM mapshaper-colorizer.mjs — builds a color
+    function from categories= (value -> color, nodata default) or
+    colors=/breaks= (sequential ramp)]: both modes in one query —
+    category colors over c_mktsegment with the '#999999' nodata
+    fallback, a 5-color sequential ramp over c_acctbal breaks. Pure
+    CASE-ladder column math (what the generated upstream function is),
+    grouped to (cat_color, bal_color) cells so the whole assignment
+    hash-checks."""
+    c = testdata.load(spark, sf_dir, "customer")
+    cat = (
+        "CASE c_mktsegment WHEN 'BUILDING' THEN '#1b9e77'"
+        " WHEN 'AUTOMOBILE' THEN '#d95f02'"
+        " WHEN 'MACHINERY' THEN '#7570b3'"
+        " ELSE '#999999' END"
+    )
+    bal = (
+        "CASE WHEN c_acctbal < 0.0D THEN '#eff3ff'"
+        " WHEN c_acctbal < 2500.0D THEN '#bdd7e7'"
+        " WHEN c_acctbal < 5000.0D THEN '#6baed6'"
+        " WHEN c_acctbal < 7500.0D THEN '#3182bd'"
+        " ELSE '#08519c' END"
+    )
+    return (
+        c.select(F.expr(cat).alias("cat_color"), F.expr(bal).alias("bal_color"))
+        .groupBy("cat_color", "bal_color")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "classify_equal_interval",
     """
     SELECT cls, count(*) AS n FROM (

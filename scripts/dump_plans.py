@@ -34,6 +34,11 @@ NAMES = (
     "clean_rings_tiled",
     "clean_gap_fill",
     "buffer_polygons_dissolved",
+    "cluster_kmeans_stats",
+    "fuzzy_join_radius",
+    "divide_polylines_lengths",
+    "dashlines_intervals",
+    "doc_repetition_ngrams",
 )
 
 

@@ -1074,3 +1074,132 @@ def test_union_premerge_buffer_path(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=5e-7), k
+
+
+def test_cylindrical_equal_area_roundtrip_nodes_and_quad(spark):
+    """Cylindrical equal-area (final r5): forward→inverse identity at
+    the Gall–Peters parallel (45°), closed-form nodes (pole y = R√2 at
+    fs=45°, frame x(±180°) = ±πR cos 45°), and the shared equal-area
+    quad check."""
+    import math as m
+
+    from mapshaper_spark.functions import proj as proj_fn
+
+    R = proj_fn.R
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0),
+           (60.0, 90.0), (60.0, -90.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.cylindrical_equal_area_inverse(
+        proj_fn.cylindrical_equal_area(df, lat_ts=45.0), lat_ts=45.0
+    ).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9, r
+        # asin's derivative blows up at the pole (sin f rounds to
+        # 1-ulp under the cos-fs scale/unscale), so the exact-pole rows
+        # carry ~9e-7 deg (~10 cm); everywhere else stays at 1e-7
+        tol = 2e-6 if abs(r["lat"]) == 90.0 else 1e-7
+        assert abs(r["lat2"] - r["lat"]) < tol, r
+
+    got = {(r["lon"], r["lat"]): (r["cex"], r["cey"])
+           for r in proj_fn.cylindrical_equal_area(df, lat_ts=45.0).collect()}
+    assert got[(0.0, 0.0)] == (0.0, 0.0)
+    assert abs(got[(60.0, 90.0)][1] - R * m.sqrt(2.0)) < 1e-6
+    edge = spark.createDataFrame([(180.0, 0.0)], schema="lon double, lat double")
+    ex = proj_fn.cylindrical_equal_area(edge, lat_ts=45.0).collect()[0]["cex"]
+    assert abs(ex - m.pi * R * m.cos(m.radians(45.0))) < 1e-6
+
+    d = 0.05
+    lon_c, lat_c = -60.0, 23.0
+    quad = [(lon_c - d, lat_c - d), (lon_c + d, lat_c - d),
+            (lon_c + d, lat_c + d), (lon_c - d, lat_c + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["cex"], r["cey"])
+           for r in proj_fn.cylindrical_equal_area(qdf, lat_ts=45.0).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * m.radians(d)) * (
+        m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
+    )
+    assert abs(planar - spherical) < 2e-5 * spherical
+
+
+def test_miller_roundtrip_nodes_and_meridian_truth(spark):
+    """Miller cylindrical (final r5): forward→inverse identity incl.
+    both poles (FINITE, unlike Mercator — the projection's reason to
+    exist), x = R·dl exactly (meridian-true), numpy-twin node at the
+    pole, and equatorial symmetry y(-f) = -y(f)."""
+    import math as m
+
+    from mapshaper_spark.functions import proj as proj_fn
+
+    R = proj_fn.R
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0),
+           (13.0, 90.0), (-13.0, -90.0), (45.0, -30.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.miller_inverse(proj_fn.miller(df)).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-7, r
+
+    got = {(r["lon"], r["lat"]): (r["mlx"], r["mly"])
+           for r in proj_fn.miller(df).collect()}
+    # tan(pi/4) is one ulp off exact 1.0, so y(0) carries ~1e-9 m
+    assert got[(0.0, 0.0)][0] == 0.0 and abs(got[(0.0, 0.0)][1]) < 1e-6
+    for lon, lat in pts:
+        assert abs(got[(lon, lat)][0] - R * m.radians(lon)) < 1e-6
+    twin = 1.25 * R * m.log(m.tan(m.pi / 4.0 + 0.4 * m.radians(90.0)))
+    assert abs(got[(13.0, 90.0)][1] - twin) < 1e-6
+    assert abs(got[(45.0, 30.0)][1] + got[(45.0, -30.0)][1]) < 1e-9
+
+
+def test_bonne_roundtrip_arc_parallels_and_quad(spark):
+    """Bonne (final r5): forward→inverse identity; the DEFINING
+    properties — parallels are concentric arcs about (0, R·cot f1)
+    (hypot(x, R·cot f1 − y) = rho(f) exactly) with TRUE SCALE along
+    each parallel (rho·E = R·dl·cos f); the equal-area quad check; the
+    exact poles are single points that invert to lon0."""
+    import math as m
+
+    from mapshaper_spark.functions import proj as proj_fn
+
+    R = proj_fn.R
+    f1 = m.radians(45.0)
+    cot1 = 1.0 / m.tan(f1)
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0), (0.0, 45.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.bonne_inverse(proj_fn.bonne(df)).collect()
+    for r in out:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-7, r
+
+    got = {(r["lon"], r["lat"]): (r["bnx"], r["bny"])
+           for r in proj_fn.bonne(df).collect()}
+    for lon, lat in pts:
+        x, y = got[(lon, lat)]
+        f = m.radians(lat)
+        rho = R * (cot1 + f1 - f)
+        assert abs(m.hypot(x, R * cot1 - y) - rho) < 1e-6, (lon, lat)
+        e = m.atan2(x, R * cot1 - y)
+        assert abs(rho * e - R * m.radians(lon) * m.cos(f)) < 1e-5, (lon, lat)
+    # poles are single points; inverse sends them to lon0
+    pole = spark.createDataFrame([(77.0, 90.0)], schema="lon double, lat double")
+    pr = proj_fn.bonne_inverse(proj_fn.bonne(pole)).collect()[0]
+    assert abs(pr["lat2"] - 90.0) < 1e-7 and abs(pr["lon2"]) < 1e-9
+
+    d = 0.05
+    lon_c, lat_c = 33.0, -48.0
+    quad = [(lon_c - d, lat_c - d), (lon_c + d, lat_c - d),
+            (lon_c + d, lat_c + d), (lon_c - d, lat_c + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["bnx"], r["bny"])
+           for r in proj_fn.bonne(qdf).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * m.radians(d)) * (
+        m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
+    )
+    assert abs(planar - spherical) < 2e-5 * spherical
