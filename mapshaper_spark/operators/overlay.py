@@ -220,7 +220,13 @@ def _divide_walk(
     starts at t=0 with the same pid. Returns {pid: [n_pieces, len]}.
     Standalone so the hypothesis sweep can drive it without Spark."""
     prepped = []
+    seen = set()
     for pid, ring in cands:
+        # the cells prefilter can deliver the same (arc, poly) pair
+        # once per shared cell — dedupe here, where it's free
+        if pid in seen:
+            continue
+        seen.add(pid)
         ex = geometry.rot1(ring[:, 0]) - ring[:, 0]
         ey = geometry.rot1(ring[:, 1]) - ring[:, 1]
         prepped.append((pid, ring, -ey, ex))
@@ -258,7 +264,9 @@ def _divide_walk(
     return agg
 
 
-def divide_polylines(lines: DataFrame, polygons: DataFrame) -> DataFrame:
+def divide_polylines(
+    lines: DataFrame, polygons: DataFrame, prefilter: str = "broadcast"
+) -> DataFrame:
     """``-divide``: split a polyline layer by a polygon layer.
 
     [UPSTREAM ``src/commands/mapshaper-divide.mjs`` — public knowledge
@@ -308,9 +316,45 @@ def divide_polylines(lines: DataFrame, polygons: DataFrame) -> DataFrame:
         & (F.col("s_ymin") <= F.col("c_ymax"))
         & (F.col("s_ymax") >= F.col("c_ymin"))
     )
-    pairs = s.join(F.broadcast(c), cond, "left").select(
-        "arc_id", "sxs", "sys", "cand_poly", "cxs", "cys"
-    )
+    if prefilter == "broadcast":
+        pairs = s.join(F.broadcast(c), cond, "left").select(
+            "arc_id", "sxs", "sys", "cand_poly", "cxs", "cys"
+        )
+    elif prefilter == "cells":
+        # the 100-TB shape: BOTH layers explode to the grid cells of
+        # their bbox (bounded replication), candidates equi-join on
+        # cell — no broadcast; a pair matching in several shared cells
+        # dedups inside the fold. LEFT join against the one-row-per-arc
+        # side keeps candidate-free arcs emitting their outside piece.
+        from .. import cells as cells_mod
+
+        res = 5
+        six0, siy0 = cells_mod.grid_xy_sql("s_xmin", "s_ymin", res)
+        six1, siy1 = cells_mod.grid_xy_sql("s_xmax", "s_ymax", res)
+        sc = (
+            s.withColumn("_cx", F.explode(F.expr(f"sequence({six0}, {six1})")))
+            .withColumn("_cy", F.explode(F.expr(f"sequence({siy0}, {siy1})")))
+            .withColumn("_cell", F.expr(cells_mod.morton_sql("_cx", "_cy")))
+            .drop("_cx", "_cy")
+        )
+        cix0, ciy0 = cells_mod.grid_xy_sql("c_xmin", "c_ymin", res)
+        cix1, ciy1 = cells_mod.grid_xy_sql("c_xmax", "c_ymax", res)
+        cc = (
+            c.withColumn("_cx", F.explode(F.expr(f"sequence({cix0}, {cix1})")))
+            .withColumn("_cy", F.explode(F.expr(f"sequence({ciy0}, {ciy1})")))
+            .withColumn("_cell", F.expr(cells_mod.morton_sql("_cx", "_cy")))
+            .drop("_cx", "_cy")
+        )
+        matched = (
+            sc.join(cc, "_cell")
+            .filter(cond)
+            .select("arc_id", "sxs", "sys", "cand_poly", "cxs", "cys")
+        )
+        pairs = s.select("arc_id", "sxs", "sys").join(
+            matched.select("arc_id", "cand_poly", "cxs", "cys"), "arc_id", "left"
+        )
+    else:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         arc_id = int(pdf["arc_id"].iloc[0])

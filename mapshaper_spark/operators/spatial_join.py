@@ -405,6 +405,7 @@ def fuzzy_join(
     cell_index: DataFrame,
     radius: float,
     res: int = DEFAULT_RES,
+    prefilter: str = "broadcast",
 ) -> DataFrame:
     """``-fuzzy-join``: PIP join with a nearest-boundary radius fallback.
 
@@ -432,11 +433,16 @@ def fuzzy_join(
        beyond the radius drop (inner-join semantics, like upstream).
 
     At 100-TB scale: step 1 is the proven PIP plan; the fallback only
-    carries the residual miss fraction, and a large polygon layer swaps
-    the broadcast prefilter for the cell index's radius rings (the kNN
-    candidate shape) without touching the distance math. The match
-    table is consumed twice (output + anti-join), so it checkpoints
-    eagerly [CLAUDE.md: no persist() in re-invoked operators].
+    carries the residual miss fraction, and ``prefilter="cells"``
+    swaps the broadcast for bounded replication — each polygon
+    explodes to every grid cell its radius-expanded bbox covers and
+    the misses equi-join on their OWN cell (the kNN candidate shape:
+    no broadcast, no all-pairs, one shuffle on cell). The bbox filter
+    stays as the secondary prune, the distance math is untouched, and
+    a point meets a polygon in exactly one cell (its own), so no
+    dedup is needed before the window. The match table is consumed
+    twice (output + anti-join), so it checkpoints eagerly [CLAUDE.md:
+    no persist() in re-invoked operators].
 
     Returns (point_id, poly_id, fuzzy) — fuzzy=0 containment, 1 radius.
     """
@@ -457,13 +463,30 @@ def fuzzy_join(
         (F.array_min("ys") - F.lit(r)).alias("by0"),
         (F.array_max("ys") + F.lit(r)).alias("by1"),
     )
-    cand = miss.join(
-        F.broadcast(pb),
+    bbox_cond = (
         (F.col("lon") >= F.col("bx0"))
         & (F.col("lon") <= F.col("bx1"))
         & (F.col("lat") >= F.col("by0"))
-        & (F.col("lat") <= F.col("by1")),
+        & (F.col("lat") <= F.col("by1"))
     )
+    if prefilter == "broadcast":
+        cand = miss.join(F.broadcast(pb), bbox_cond)
+    elif prefilter == "cells":
+        ix0, iy0 = cells.grid_xy_sql("bx0", "by0", res)
+        ix1, iy1 = cells.grid_xy_sql("bx1", "by1", res)
+        pc = (
+            pb.withColumn("_cx", F.explode(F.expr(f"sequence({ix0}, {ix1})")))
+            .withColumn("_cy", F.explode(F.expr(f"sequence({iy0}, {iy1})")))
+            .withColumn("_cell", F.expr(cells.morton_sql("_cx", "_cy")))
+            .drop("_cx", "_cy")
+        )
+        pix, piy = cells.grid_xy_sql("lon", "lat", res)
+        mc = miss.withColumn(
+            "_cell", F.expr(cells.morton_sql(f"({pix})", f"({piy})"))
+        )
+        cand = mc.join(pc, "_cell").filter(bbox_cond).drop("_cell")
+    else:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
     d2 = fixtures.seg_d2_sql(
         "lon",
         "lat",

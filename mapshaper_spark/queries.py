@@ -3550,9 +3550,7 @@ def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "fuzzy_join_radius",
-    f"""
+_FUZZY_ORACLE = f"""
     WITH pts AS ({_PTS}), {_ORACLE_HITS},
     fe AS (SELECT poly_id, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
                   CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
@@ -3570,8 +3568,10 @@ def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT point_id, poly_id, 0 AS fuzzy FROM pip
     UNION ALL
     SELECT point_id, poly_id, 1 AS fuzzy FROM best
-    """,
-)
+    """
+
+
+@query("fuzzy_join_radius", _FUZZY_ORACLE)
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-fuzzy-join: PIP join with a nearest-boundary radius fallback
     [UPSTREAM mapshaper-fuzzy-join.mjs — resolves points falling just
@@ -3589,9 +3589,22 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.fuzzy_join(pts, polys, idx, radius=6.0)
 
 
-@query(
-    "divide_polylines_lengths",
-    f"""
+@query("fuzzy_join_radius_cells", _FUZZY_ORACLE)
+def q_fuzzy_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-fuzzy-join, prefilter="cells" plan variant (parity tail): the
+    100-TB fallback shape — each polygon explodes to every grid cell
+    its radius-expanded bbox covers and the misses equi-join on their
+    OWN cell (no broadcast, no all-pairs), bbox as the secondary prune,
+    identical distance math. Same oracle as fuzzy_join_radius — the
+    prefilter is a superset filter, so the output must hash-match it
+    exactly."""
+    pts = testdata.customer_points(spark, sf_dir)
+    polys = testdata.polygons(spark)
+    idx = sj.build_cell_index(spark, polys)
+    return sj.fuzzy_join(pts, polys, idx, radius=6.0, prefilter="cells")
+
+
+_DIVIDE_ORACLE = f"""
     WITH rects AS (SELECT poly_id, CAST(rx0 AS DOUBLE) AS rx0, CAST(ry0 AS DOUBLE) AS ry0,
                           CAST(rx1 AS DOUBLE) AS rx1, CAST(ry1 AS DOUBLE) AS ry1
                    FROM {fixtures.divide_rects_values_sql()}),
@@ -3650,8 +3663,10 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n.arc_id AS BIGINT) AS arc_id, -1 AS poly_id,
            CAST(n.nint - COALESCE(v.c, 0) AS INT) AS n_pieces, n.len_sum
     FROM nout n LEFT JOIN vout v ON n.arc_id = v.arc_id
-    """,
-)
+    """
+
+
+@query("divide_polylines_lengths", _DIVIDE_ORACLE)
 def q_divide_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """-divide: split a polyline layer by a (disjoint) polygon layer
     [UPSTREAM mapshaper-divide.mjs — cuts lines at polygon boundaries,
@@ -3667,6 +3682,20 @@ def q_divide_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraint. poly_id = -1 marks pieces outside every polygon."""
     lines = topology.arcs_df(spark, fixtures.DIVIDE_LINES)
     return overlay_op.divide_polylines(lines, testdata.divide_rects(spark))
+
+
+@query("divide_polylines_cells", _DIVIDE_ORACLE)
+def q_divide_polylines_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-divide, prefilter="cells" plan variant (parity tail): both
+    layers explode to the grid cells of their bbox and candidates
+    equi-join on cell (bounded replication, no broadcast — the 100-TB
+    shape); pairs matching in several shared cells dedupe inside the
+    fold. Same oracle as divide_polylines_lengths — the prefilter is a
+    superset filter, so the output must hash-match it exactly."""
+    lines = topology.arcs_df(spark, fixtures.DIVIDE_LINES)
+    return overlay_op.divide_polylines(
+        lines, testdata.divide_rects(spark), prefilter="cells"
+    )
 
 
 @query(

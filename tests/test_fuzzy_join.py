@@ -70,7 +70,26 @@ def test_fuzzy_radius_boundary_is_inclusive(spark):
     assert out == {(0, 0, 1)}
 
 
-def _fuzzy(spark, pts, polys, idx, rings, radius):
+def test_fuzzy_join_cells_prefilter_matches_broadcast(spark):
+    """The prefilter="cells" scale path (bounded bbox-cell replication,
+    no broadcast) is a superset filter ahead of identical distance
+    math — outputs must match the broadcast plan exactly."""
+    import pytest
+
+    polys, rings = _layer(spark)
+    idx = sj.build_cell_index(spark, polys)
+    pts = spark.createDataFrame(
+        [(0, 2.0, 2.0), (1, 5.5, 2.0), (2, 12.5, 2.0), (3, 9.0, 50.0)],
+        "point_id long, lon double, lat double",
+    )
+    a = _fuzzy(spark, pts, polys, idx, rings, radius=2.0)
+    b = _fuzzy(spark, pts, polys, idx, rings, radius=2.0, prefilter="cells")
+    assert a == b == {(0, 0, 0), (1, 0, 1), (2, 1, 1)}
+    with pytest.raises(ValueError):
+        sj.fuzzy_join(pts, polys, idx, radius=2.0, prefilter="nope")
+
+
+def _fuzzy(spark, pts, polys, idx, rings, radius, prefilter="broadcast"):
     import mapshaper_spark.operators.spatial_join as sjm
 
     orig = sjm.pip_attribute
@@ -80,7 +99,9 @@ def _fuzzy(spark, pts, polys, idx, rings, radius):
 
     sjm.pip_attribute = patched
     try:
-        rows = sjm.fuzzy_join(pts, polys, idx, radius=radius).collect()
+        rows = sjm.fuzzy_join(
+            pts, polys, idx, radius=radius, prefilter=prefilter
+        ).collect()
     finally:
         sjm.pip_attribute = orig
     return {(r["point_id"], r["poly_id"], r["fuzzy"]) for r in rows}
