@@ -2263,14 +2263,32 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring; Rae et al. 2021 public filtering rules]: documents whose
     2/3-gram streams are dominated by repeats are boilerplate/spam and
     get dropped before training. Shares the whitespace parity tokenizer
-    with token_distinct_counts; the duplicate fractions are pure column
-    math (array_distinct over transform-built n-gram arrays — map-only,
-    scales), the top-bigram count is the one shuffled piece (explode →
-    (doc, gram) count → per-doc max, the exact shape you'd run at
-    100 TB). Fractions are 1 − distinct/total with both counts cast to
-    DOUBLE, so the IEEE divide matches DuckDB bit-for-bit."""
-    d = testdata.load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
+    with token_distinct_counts. FULLY MAP-ONLY: fractions via
+    array_distinct, the top-bigram count as a run-length scan over the
+    SORTED bigram array (equal grams are adjacent) — nothing explodes,
+    nothing shuffles except the width-pinning repartition. Measured at
+    sf0.1/local[32]: 9 s as a stats-vs-top join (the two branches each
+    recomputed the n-gram arrays), 5.7 s as explode → (doc, gram)
+    groupBy (10M shuffled strings), 3.0 s map-only with a tail filter
+    Catalyst pushed below the repartition as a full bigram recompute
+    inside the single-split scan, 0.5 s in this form. Fractions are
+    1 − distinct/total with both counts cast to DOUBLE, so the IEEE
+    divide matches DuckDB bit-for-bit."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        testdata.load(spark, sf_dir, "documents")
+        # the documents table arrives as ONE parquet split (KB-scale
+        # bytes, compute-bound map) — pin full width explicitly, the
+        # map-side twin of overlay._fold_parallel (measured 3.3 s ->
+        # sub-second at sf0.1 on 32 cores)
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        # n_2grams >= 1 ⇔ size(t) >= 2, checked HERE on the cheap
+        # token array: a tail filter on n_2grams gets pushed below the
+        # repartition and re-derives the whole bigram transform inside
+        # the single-split scan task (visible in .explain — the b2
+        # transform appeared twice, once as a scan DataFilter)
+        .filter(F.size("t") >= 2)
     )
     g = d.select(
         "doc_id",
@@ -2283,7 +2301,23 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])) ELSE array() END"
         ).alias("b3"),
     )
-    stats = g.select(
+    # MAP-ONLY: the top-bigram count is a run-length scan over the
+    # SORTED bigram array (equal grams are adjacent after array_sort),
+    # so nothing explodes and nothing shuffles — one projection per
+    # doc. An earlier explode -> (doc, gram) groupBy shape measured
+    # 5.7 s at sf0.1 (10M shuffled strings); this runs the same docs
+    # in well under a second. The filter mirrors the oracle's inner
+    # join (docs with no bigrams drop).
+    top_expr = (
+        "aggregate(array_sort(b2),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
+        " (a, x) -> named_struct('prev', x,"
+        "   'run', CASE WHEN a.prev <=> x THEN a.run + 1L ELSE 1L END,"
+        "   'best', greatest(a.best,"
+        "     CASE WHEN a.prev <=> x THEN a.run + 1L ELSE 1L END)),"
+        " a -> a.best)"
+    )
+    return g.select(
         "doc_id",
         F.size("b2").cast("bigint").alias("n_2grams"),
         F.expr(
@@ -2294,15 +2328,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN size(b3) >= 1 THEN 1.0D - CAST(size(array_distinct(b3)) AS DOUBLE)"
             " / CAST(size(b3) AS DOUBLE) ELSE 0.0D END"
         ).alias("dup3_frac"),
+        F.expr(top_expr).alias("top_2gram_count"),
     )
-    top = (
-        g.select("doc_id", F.explode("b2").alias("bg"))
-        .groupBy("doc_id", "bg")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_2gram_count"))
-    )
-    return stats.join(top, "doc_id")
 
 
 @query(
