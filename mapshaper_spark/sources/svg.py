@@ -24,8 +24,83 @@ printf — deterministic output for a given layer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def style_attrs(
+    features: DataFrame,
+    style: dict[str, str],
+    id_col: str = "poly_id",
+    where: str | None = None,
+) -> DataFrame:
+    """``-style`` / ``-svg-style`` [UPSTREAM presentation commands —
+    the last declared-out bucket, now covered]: per-feature SVG
+    presentation attributes. ``style`` maps attribute names (python
+    underscores become hyphens: ``stroke_width`` → ``stroke-width``)
+    to Spark SQL expressions over the layer's data columns — string
+    literals quote SQL-style (``"'#dddddd'"``), data-driven values are
+    arbitrary column math (upstream evaluates a JS expression per
+    feature; here the expression compiles into the scan projection).
+    ``where`` restricts the styling to matching features (upstream's
+    ``where=``) — non-matching features keep an empty attribute string.
+
+    Returns one ``(id_col, attrs)`` row per feature, the attr string
+    built entirely JVM-side; at scan scale this is a projection plus
+    the same per-feature groupBy the d-string build already pays."""
+    pieces: list[Column] = []
+    for attr, sql in style.items():
+        name = attr.replace("_", "-")
+        pieces.append(
+            F.concat(
+                F.lit(f' {name}="'), F.expr(sql).cast("string"), F.lit('"')
+            )
+        )
+    attrs = F.concat(*pieces) if pieces else F.lit("")
+    if where is not None:
+        attrs = F.when(F.expr(where), attrs).otherwise(F.lit(""))
+    return features.groupBy(id_col).agg(F.first(attrs).alias("attrs"))
+
+
+def _nice_scale(raw: float) -> float:
+    """Largest 1/2/5 x 10^n value <= raw (upstream -scalebar picks its
+    round label the same way)."""
+    import math
+
+    if raw <= 0:
+        return 1.0
+    e = math.floor(math.log10(raw))
+    for m in (5.0, 2.0, 1.0):
+        v = m * 10.0**e
+        if v <= raw * (1.0 + 1e-12):
+            return v
+    return 10.0 ** (e - 1) * 5.0
+
+
+def scalebar_markup(
+    k: float,
+    height: float,
+    target_px: float = 100.0,
+    units: str = "km",
+    units_per_data_unit: float = 1.0,
+    bar_h: float = 4.0,
+    margin: float = 12.0,
+) -> str:
+    """``-scalebar`` [UPSTREAM]: a bottom-left bar + label group. ``k``
+    is the document affine (SVG px per data unit); the bar length is
+    the largest nice 1/2/5x10^n label value whose px length fits
+    ``target_px``. Pure driver-side string math — annotation markup is
+    O(1), nothing distributed to do."""
+    px_per_label_unit = k / units_per_data_unit
+    nice = _nice_scale(target_px / px_per_label_unit)
+    px = nice * px_per_label_unit
+    label = f"{nice:g} {units}"
+    y = height - margin
+    return (
+        f'<g id="scalebar"><rect x="{margin:g}" y="{y - bar_h:g}" '
+        f'width="{px:g}" height="{bar_h:g}"/>'
+        f'<text x="{margin:g}" y="{y - bar_h - 4:g}">{label}</text></g>'
+    )
 
 
 def _layer_frame(features: DataFrame, width: float):
@@ -44,12 +119,16 @@ def _layer_frame(features: DataFrame, width: float):
 
 
 def svg_path_features(
-    features: DataFrame, width: float = 800.0, precision: int = 2
+    features: DataFrame,
+    width: float = 800.0,
+    precision: int = 2,
+    frame: tuple[float, float, float, float, float] | None = None,
 ) -> tuple[DataFrame, float, float]:
     """(poly_id, ring_idx, xs, ys) rings → one (poly_id, d) row per
     feature plus the document (width, height). The per-vertex work is a
-    single distributed projection."""
-    x0, y1, k, w, h = _layer_frame(features, width)
+    single distributed projection. ``frame`` overrides the layer-bounds
+    affine with a precomputed (x0, y1, k, w, h) — the ``-frame`` path."""
+    x0, y1, k, w, h = frame if frame is not None else _layer_frame(features, width)
     fmt = f"%.{precision}f"
     pt = lambda p: F.format_string(  # noqa: E731 — HOF lambda helper
         f"{fmt},{fmt}",
@@ -78,21 +157,62 @@ def svg_path_features(
 
 
 def svg_document(
-    features: DataFrame, width: float = 800.0, precision: int = 2
+    features: DataFrame,
+    width: float = 800.0,
+    precision: int = 2,
+    style: dict[str, str] | None = None,
+    where: str | None = None,
+    frame: tuple[float, float, float, float] | None = None,
+    scalebar: dict | None = None,
 ) -> str:
     """-o format=svg: one document for the layer. Collects one path
     string per feature (document assembly is inherently single-file —
-    the vertex-scale work already ran distributed)."""
-    paths, w, h = svg_path_features(features, width, precision)
+    the vertex-scale work already ran distributed).
+
+    Presentation options [UPSTREAM -style/-frame/-scalebar — the
+    declared-presentation bucket]:
+
+    - ``style``/``where``: per-feature SVG attributes via
+      :func:`style_attrs` (SQL expressions over the layer's columns,
+      compiled into the same distributed projection as the d-strings).
+    - ``frame``: a (x0, y0, x1, y1) DATA-coordinate rectangle that
+      pins the export affine (instead of the layer bounds) and renders
+      as an ``id="frame"`` outline rect — upstream's -frame defines
+      the composition extent the same way.
+    - ``scalebar``: kwargs for :func:`scalebar_markup` (``{}`` for
+      defaults)."""
+    if frame is not None:
+        fx0, fy0, fx1, fy1 = (float(v) for v in frame)
+        k = float(width) / max(fx1 - fx0, 1e-12)
+        fr = (fx0, fy1, k, float(width), max(fy1 - fy0, 1e-12) * k)
+    else:
+        fr = _layer_frame(features, width)
+    paths, w, h = svg_path_features(features, width, precision, frame=fr)
+    if style:
+        paths = paths.join(
+            style_attrs(features, style, where=where), "poly_id", "left"
+        ).withColumn("attrs", F.coalesce(F.col("attrs"), F.lit("")))
+    else:
+        paths = paths.withColumn("attrs", F.lit(""))
     rows = paths.orderBy("poly_id").collect()
     body = "\n".join(
-        f'<path id="f{r["poly_id"]}" d="{r["d"]}" fill-rule="evenodd"/>'
+        f'<path id="f{r["poly_id"]}" d="{r["d"]}" fill-rule="evenodd"'
+        f'{r["attrs"]}/>'
         for r in rows
     )
+    extras = []
+    if frame is not None:
+        extras.append(
+            f'<rect id="frame" x="0" y="0" width="{w:g}" height="{h:g}" '
+            'fill="none"/>'
+        )
+    if scalebar is not None:
+        extras.append(scalebar_markup(fr[2], h, **scalebar))
+    tail = ("\n" + "\n".join(extras)) if extras else ""
     return (
         '<svg xmlns="http://www.w3.org/2000/svg" version="1.2" '
         f'baseProfile="tiny" width="{w:g}" height="{h:g}" '
-        f'viewBox="0 0 {w:g} {h:g}">\n{body}\n</svg>'
+        f'viewBox="0 0 {w:g} {h:g}">\n{body}{tail}\n</svg>'
     )
 
 
@@ -100,13 +220,21 @@ def svg_point_document(
     points: DataFrame,
     width: float = 800.0,
     precision: int = 2,
-    r: float = 2.0,
+    r: float | str = 2.0,
     id_col: str = "point_id",
     x_col: str = "lon",
     y_col: str = "lat",
+    symbol: str = "circle",
+    style: dict[str, str] | None = None,
+    where: str | None = None,
 ) -> str:
-    """Point layer → one <circle> per point. Same frame/flip rules as
-    the polygon export; circle markup builds JVM-side."""
+    """Point layer → one symbol element per point [UPSTREAM -symbols]:
+    ``symbol`` picks circle / square / diamond / cross, ``r`` is a
+    float literal or a Spark SQL expression over the point's columns
+    (upstream sizes symbols from data the same way), and ``style`` /
+    ``where`` attach per-point presentation attributes. Same
+    frame/flip rules as the polygon export; all markup builds
+    JVM-side inside one projection."""
     rings = points.select(
         F.col(id_col).alias("poly_id"),
         F.lit(0).alias("ring_idx"),
@@ -115,13 +243,52 @@ def svg_point_document(
     )
     x0, y1, k, w, h = _layer_frame(rings, width)
     fmt = f"%.{precision}f"
-    circle = F.format_string(
-        f'<circle id="p%s" cx="{fmt}" cy="{fmt}" r="{r:g}"/>',
-        F.col(id_col).cast("string"),
-        (F.col(x_col) - F.lit(x0)) * F.lit(k),
-        (F.lit(y1) - F.col(y_col)) * F.lit(k),
-    )
-    rows = points.select(F.col(id_col), circle.alias("c")).orderBy(id_col).collect()
+    cx = (F.col(x_col) - F.lit(x0)) * F.lit(k)
+    cy = (F.lit(y1) - F.col(y_col)) * F.lit(k)
+    rad = (F.expr(r) if isinstance(r, str) else F.lit(float(r))).cast("double")
+    sid = F.col(id_col).cast("string")
+    pieces = []
+    if style:
+        for attr, sql in style.items():
+            name = attr.replace("_", "-")
+            pieces.append(
+                F.concat(
+                    F.lit(f' {name}="'),
+                    F.expr(sql).cast("string"),
+                    F.lit('"'),
+                )
+            )
+    attrs = F.concat(*pieces) if pieces else F.lit("")
+    if where is not None:
+        attrs = F.when(F.expr(where), attrs).otherwise(F.lit(""))
+    if symbol == "circle":
+        mark = F.format_string(
+            f'<circle id="p%s" cx="{fmt}" cy="{fmt}" r="{fmt}"%s/>',
+            sid, cx, cy, rad, attrs,
+        )
+    elif symbol == "square":
+        mark = F.format_string(
+            f'<rect id="p%s" x="{fmt}" y="{fmt}" width="{fmt}" '
+            f'height="{fmt}"%s/>',
+            sid, cx - rad, cy - rad, rad * 2, rad * 2, attrs,
+        )
+    elif symbol == "diamond":
+        mark = F.format_string(
+            f'<path id="p%s" d="M{fmt},{fmt} L{fmt},{fmt} L{fmt},{fmt} '
+            f'L{fmt},{fmt} Z"%s/>',
+            sid, cx, cy - rad, cx + rad, cy, cx, cy + rad, cx - rad, cy,
+            attrs,
+        )
+    elif symbol == "cross":
+        mark = F.format_string(
+            f'<path id="p%s" d="M{fmt},{fmt} L{fmt},{fmt} M{fmt},{fmt} '
+            f'L{fmt},{fmt}"%s/>',
+            sid, cx - rad, cy, cx + rad, cy, cx, cy - rad, cx, cy + rad,
+            attrs,
+        )
+    else:
+        raise ValueError(f"unknown symbol type: {symbol!r}")
+    rows = points.select(F.col(id_col), mark.alias("c")).orderBy(id_col).collect()
     body = "\n".join(r2["c"] for r2 in rows)
     return (
         '<svg xmlns="http://www.w3.org/2000/svg" version="1.2" '

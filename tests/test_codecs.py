@@ -538,6 +538,118 @@ def test_svg_polygon_document(spark):
     assert float(viewbox[3]) > 0.0
 
 
+def test_svg_style_where_frame_scalebar(spark):
+    """-style/-frame/-scalebar [UPSTREAM presentation commands]: data-
+    driven per-feature attributes with where= subsetting, a fixed
+    composition frame that pins the affine, and a nice-number
+    scalebar."""
+    import xml.etree.ElementTree as ET
+
+    from mapshaper_spark.sources import svg as svg_mod
+
+    feats = testdata.holed_features(spark).withColumn(
+        "pop", F.col("poly_id") * 100
+    )
+    doc = svg_mod.svg_document(
+        feats,
+        width=800.0,
+        precision=2,
+        style={
+            "fill": "concat('#c', cast(poly_id as string))",
+            "stroke_width": "cast(pop as string)",
+        },
+        where="poly_id >= 2",
+        frame=(-10.0, -10.0, 30.0, 10.0),
+        scalebar={"target_px": 100.0, "units": "units"},
+    )
+    root = ET.fromstring(doc)
+    ns = "{http://www.w3.org/2000/svg}"
+    paths = {p.get("id"): p for p in root.findall(f"{ns}path")}
+    assert len(paths) == 4
+    # where= gate: styled features carry the data-driven attrs
+    # (underscore -> hyphen), unstyled features carry none
+    assert paths["f2"].get("fill") == "#c2"
+    assert paths["f2"].get("stroke-width") == "200"
+    assert paths["f3"].get("fill") == "#c3"
+    assert paths["f0"].get("fill") is None
+    assert paths["f1"].get("stroke-width") is None
+    # -frame pins the affine: width 800 over a 40-unit frame -> k=20,
+    # height = 20 units * k = 400; the frame rect covers the viewBox
+    vb = [float(v) for v in root.get("viewBox").split()]
+    assert vb[2] == 800.0 and abs(vb[3] - 400.0) < 1e-6
+    frame_rect = [
+        r for r in root.findall(f"{ns}rect") if r.get("id") == "frame"
+    ]
+    assert len(frame_rect) == 1
+    assert float(frame_rect[0].get("width")) == 800.0
+    # scalebar: k=20 px/unit, target 100 px -> nice length 5 units ->
+    # exactly 100 px wide, labelled "5 units"
+    bar = root.findall(f"{ns}g")
+    assert len(bar) == 1 and bar[0].get("id") == "scalebar"
+    bar_rect = bar[0].find(f"{ns}rect")
+    assert float(bar_rect.get("width")) == 100.0
+    assert bar[0].find(f"{ns}text").text == "5 units"
+    # vertex check under the frame affine: feature 0's first ring
+    r0 = [
+        r for r in feats.collect() if r["poly_id"] == 0 and r["ring_idx"] == 0
+    ][0]
+    first_pt = paths["f0"].get("d").split(" L")[0].lstrip("M").split(",")
+    assert abs(float(first_pt[0]) - (r0["xs"][0] - (-10.0)) * 20.0) <= 0.005 + 1e-9
+    assert abs(float(first_pt[1]) - (10.0 - r0["ys"][0]) * 20.0) <= 0.005 + 1e-9
+
+
+def test_svg_symbols(spark):
+    """-symbols [UPSTREAM]: square/diamond/cross markup with an
+    expression-driven radius and per-point style attributes."""
+    import xml.etree.ElementTree as ET
+
+    from mapshaper_spark.sources import svg as svg_mod
+
+    pts = testdata.customer_points(spark, SF_SMOKE).limit(20)
+    doc = svg_mod.svg_point_document(
+        pts,
+        width=400.0,
+        precision=2,
+        r="1.0 + pmod(point_id, 3)",
+        symbol="square",
+        style={"fill": "'#08519c'"},
+        where="pmod(point_id, 2) = 0",
+    )
+    root = ET.fromstring(doc)
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = {r.get("id"): r for r in root.findall(f"{ns}rect")}
+    assert len(rects) == 20
+    ids = [r["point_id"] for r in pts.select("point_id").collect()]
+    for pid in ids:
+        el = rects[f"p{pid}"]
+        rad = 1.0 + (pid % 3)
+        assert abs(float(el.get("width")) - 2 * rad) < 1e-9
+        assert abs(float(el.get("height")) - 2 * rad) < 1e-9
+        if pid % 2 == 0:
+            assert el.get("fill") == "#08519c"
+        else:
+            assert el.get("fill") is None
+    # diamond: 4-vertex closed path centred on the circle-variant cx/cy
+    doc_d = svg_mod.svg_point_document(
+        pts, width=400.0, precision=2, r=3.0, symbol="diamond"
+    )
+    droot = ET.fromstring(doc_d)
+    dpaths = droot.findall(f"{ns}path")
+    assert len(dpaths) == 20
+    d = dpaths[0].get("d")
+    assert d.startswith("M") and d.endswith("Z") and d.count("L") == 3
+    # cross: two strokes, no Z
+    doc_c = svg_mod.svg_point_document(
+        pts, width=400.0, precision=2, r=3.0, symbol="cross"
+    )
+    cpaths = ET.fromstring(doc_c).findall(f"{ns}path")
+    assert len(cpaths) == 20
+    assert cpaths[0].get("d").count("M") == 2
+    # circle path unchanged by default args
+    doc_o = svg_mod.svg_point_document(pts, width=400.0, precision=2)
+    assert len(ET.fromstring(doc_o).findall(f"{ns}circle")) == 20
+
+
 def test_svg_point_document(spark):
     import xml.etree.ElementTree as ET
 

@@ -1203,3 +1203,67 @@ def test_bonne_roundtrip_arc_parallels_and_quad(spark):
         m.sin(m.radians(lat_c + d)) - m.sin(m.radians(lat_c - d))
     )
     assert abs(planar - spherical) < 2e-5 * spherical
+
+
+def test_winkel_tripel_roundtrip_mean_property_and_nodes(spark):
+    """Winkel Tripel (r5 continuation — 24th projection, the NatGeo
+    world-map standard): forward→inverse identity over the full
+    graticule INCLUDING the poles and the date line (the fixed 16-step
+    FD-Jacobian 2D Newton's measured envelope is ~1e-13°); the DEFINING
+    property — x,y are the arithmetic mean of equirectangular at
+    φ1=acos(2/π) and Aitoff (independent numpy twin); the central
+    meridian is exactly equidistant (x=0, y=R·φ); the pole LINE spreads
+    meridians as x = R·Δλ·cos(φ1)/2 (Winkel's poles are lines, not
+    points — and λ stays recoverable there, which the identity check
+    exploits)."""
+    import math as m
+
+    R = proj_fn.R
+    pts = [
+        (float(lo), float(la))
+        for lo in (-180.0, -179.999, -120.0, -60.0, 0.0, 0.001, 60.0, 179.999, 180.0)
+        for la in (-90.0, -89.999, -60.0, -0.001, 0.0, 30.0, 89.999, 90.0)
+    ]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.winkel_tripel_inverse(proj_fn.winkel_tripel(df)).collect()
+    for r in out:
+        assert abs(r["lat2"] - r["lat"]) < 1e-9, r
+        assert abs(r["lon2"] - r["lon"]) < 1e-9, r
+
+    # defining mean-of-two-projections property vs a numpy Aitoff twin
+    f1 = m.acos(2.0 / m.pi)
+    got = {
+        (r["lon"], r["lat"]): (r["wtx"], r["wty"])
+        for r in proj_fn.winkel_tripel(df).collect()
+    }
+    for lon, lat in pts:
+        f, dl = m.radians(lat), m.radians(lon)
+        a = m.acos(max(-1.0, min(1.0, m.cos(f) * m.cos(dl / 2.0))))
+        sinc = m.sin(a) / a if a > 1e-12 else 1.0
+        aitoff_x = 2.0 * m.cos(f) * m.sin(dl / 2.0) / sinc
+        aitoff_y = m.sin(f) / sinc
+        wx = R * 0.5 * (dl * m.cos(f1) + aitoff_x)
+        wy = R * 0.5 * (f + aitoff_y)
+        assert abs(got[(lon, lat)][0] - wx) < 1e-6 * max(1.0, abs(wx)), (lon, lat)
+        assert abs(got[(lon, lat)][1] - wy) < 1e-6 * max(1.0, abs(wy)), (lon, lat)
+
+    # central meridian: exactly equidistant (a degenerates to |φ|,
+    # sinφ/sinc a = φ, so y = R·φ and x = 0)
+    cm = spark.createDataFrame(
+        [(0.0, float(la)) for la in (-75.0, -30.0, 0.0, 30.0, 75.0)],
+        schema="lon double, lat double",
+    )
+    for r in proj_fn.winkel_tripel(cm).collect():
+        assert abs(r["wtx"]) < 1e-9
+        assert abs(r["wty"] - R * m.radians(r["lat"])) < 1e-6
+
+    # pole LINE: y constant at R·π/2, meridians spread by the
+    # equirectangular half only
+    pole = spark.createDataFrame(
+        [(float(lo), 90.0) for lo in (-180.0, -90.0, 0.0, 90.0, 180.0)],
+        schema="lon double, lat double",
+    )
+    for r in proj_fn.winkel_tripel(pole).collect():
+        assert abs(r["wty"] - R * m.pi / 2.0) < 1e-6
+        want_x = R * m.radians(r["lon"]) * m.cos(f1) / 2.0
+        assert abs(r["wtx"] - want_x) < 1e-6
