@@ -1265,3 +1265,76 @@ def images_df(spark, n: int = 10_000, partitions: int = 32):
         .withColumn("w", F.col("w").cast("int"))
         .withColumn("h", F.col("h").cast("int"))
     )
+
+
+# ------------------------------------------------------------ -stitch ---
+
+# Antimeridian-split polygon pieces for -stitch [UPSTREAM
+# mapshaper-stitch.mjs — joins polygons split at lon ±180, as produced
+# by clipping a projected world layer at the antimeridian]. Exact
+# integer coordinates keep every shoelace term IEEE-exact, so the
+# area/vertex aggregates hash-match DuckDB. Construction invariants the
+# oracle leans on (documented in operators/stitch.py):
+#   * a seam edge is a vertical edge with both endpoints at x == +180
+#     or both at x == -180;
+#   * every seam-touched piece is rotated so its CLOSING edge
+#     (last vertex -> first vertex) is a seam edge — non-seam edge runs
+#     never wrap past the end of the vertex list, which keeps the
+#     oracle's prefix-count run ids exact;
+#   * within one feature, every junction y appears on exactly one path
+#     END and one path START (consistent ring orientation guarantees
+#     this for real split data; the kernel raises loudly otherwise).
+STITCH_PIECES = [
+    # f0: one rectangle split at the seam (west 10x10 + east 10x10).
+    {"feature_id": 0, "piece_id": 0,
+     "xs": [180.0, 170.0, 170.0, 180.0], "ys": [10.0, 10.0, 0.0, 0.0]},
+    {"feature_id": 0, "piece_id": 1,
+     "xs": [-180.0, -170.0, -170.0, -180.0], "ys": [0.0, 0.0, 10.0, 10.0]},
+    # f1: untouched feature far from the seam (CCW outer + CW hole) —
+    # must pass through bitwise.
+    {"feature_id": 1, "piece_id": 0,
+     "xs": [10.0, 20.0, 20.0, 10.0], "ys": [10.0, 10.0, 20.0, 20.0]},
+    {"feature_id": 1, "piece_id": 1,
+     "xs": [12.0, 12.0, 18.0, 18.0], "ys": [12.0, 18.0, 18.0, 12.0]},
+    # f2: two separate lobes, each split at the seam (4 pieces -> 2
+    # stitched rings).
+    {"feature_id": 2, "piece_id": 0,
+     "xs": [180.0, 170.0, 170.0, 180.0], "ys": [10.0, 10.0, 0.0, 0.0]},
+    {"feature_id": 2, "piece_id": 1,
+     "xs": [-180.0, -170.0, -170.0, -180.0], "ys": [0.0, 0.0, 10.0, 10.0]},
+    {"feature_id": 2, "piece_id": 2,
+     "xs": [180.0, 175.0, 175.0, 180.0], "ys": [30.0, 30.0, 20.0, 20.0]},
+    {"feature_id": 2, "piece_id": 3,
+     "xs": [-180.0, -176.0, -176.0, -180.0], "ys": [20.0, 20.0, 30.0, 30.0]},
+    # f3: H-shaped west piece with TWO seam intervals + two east
+    # rectangles (3 pieces, 4 seam edges -> ONE stitched ring; the
+    # chain alternates sides twice).
+    {"feature_id": 3, "piece_id": 0,
+     "xs": [180.0, 174.0, 174.0, 180.0, 180.0, 176.0, 176.0, 180.0],
+     "ys": [30.0, 30.0, 0.0, 0.0, 10.0, 10.0, 20.0, 20.0]},
+    {"feature_id": 3, "piece_id": 1,
+     "xs": [-180.0, -174.0, -174.0, -180.0], "ys": [0.0, 0.0, 10.0, 10.0]},
+    {"feature_id": 3, "piece_id": 2,
+     "xs": [-180.0, -174.0, -174.0, -180.0], "ys": [20.0, 20.0, 30.0, 30.0]},
+    # f4: seam-crossing outer ring AND a seam-crossing CW hole (4
+    # pieces -> 2 stitched rings, the hole staying negative-area).
+    {"feature_id": 4, "piece_id": 0,
+     "xs": [180.0, 168.0, 168.0, 180.0], "ys": [15.0, 15.0, -5.0, -5.0]},
+    {"feature_id": 4, "piece_id": 1,
+     "xs": [-180.0, -168.0, -168.0, -180.0], "ys": [-5.0, -5.0, 15.0, 15.0]},
+    {"feature_id": 4, "piece_id": 2,
+     "xs": [180.0, 176.0, 176.0, 180.0], "ys": [2.0, 2.0, 8.0, 8.0]},
+    {"feature_id": 4, "piece_id": 3,
+     "xs": [-180.0, -176.0, -176.0, -180.0], "ys": [8.0, 8.0, 2.0, 2.0]},
+]
+
+
+def stitch_vertices_values_sql(name: str = "sv0") -> str:
+    """(fid, pid, vi, x, y) VALUES relation of the stitch fixture —
+    the oracle re-derives seam edges, path runs and the path-cycle
+    components from the raw vertices."""
+    rows = []
+    for p in STITCH_PIECES:
+        for i, (x, y) in enumerate(zip(p["xs"], p["ys"])):
+            rows.append(f"({p['feature_id']},{p['piece_id']},{i},{x!r},{y!r})")
+    return f"(VALUES {','.join(rows)}) AS {name}(fid, pid, vi, x, y)"

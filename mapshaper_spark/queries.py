@@ -46,6 +46,7 @@ from .operators import raster as raster_op
 from .operators import simplify as simplify_op
 from .operators import skew as skew_op
 from .operators import spatial_join as sj
+from .operators import stitch as stitch_op
 from .operators import faces as faces_op
 from .operators import topology
 from .sources import testdata
@@ -3900,6 +3901,91 @@ def q_dashlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_op.dashlines(lines, dash=1.5, gap=0.5)
 
 
+@query(
+    "stitch_antimeridian",
+    f"""
+    WITH RECURSIVE v AS (SELECT fid, pid, vi, CAST(x AS DOUBLE) AS x,
+                                CAST(y AS DOUBLE) AS y
+               FROM {fixtures.stitch_vertices_values_sql()}),
+    cnt AS (SELECT fid, pid, COUNT(*) AS n FROM v GROUP BY fid, pid),
+    e AS (SELECT a.fid, a.pid, a.vi AS ei, a.x AS x1, a.y AS y1,
+                 b.x AS x2, b.y AS y2,
+                 (a.x = b.x AND abs(a.x) = 180.0) AS seam
+          FROM v a
+          JOIN cnt c ON c.fid = a.fid AND c.pid = a.pid
+          JOIN v b ON b.fid = a.fid AND b.pid = a.pid
+                  AND b.vi = (a.vi + 1) % c.n),
+    er AS (SELECT fid, pid, ei, x1, y1, x2, y2, seam,
+                  SUM(CASE WHEN seam THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY fid, pid ORDER BY ei) AS run
+           FROM e),
+    touched AS (SELECT DISTINCT fid, pid FROM e WHERE seam),
+    paths AS (SELECT r.fid, r.pid, r.run,
+                     arg_min(r.y1, r.ei) AS sy, arg_max(r.y2, r.ei) AS ey
+              FROM er r JOIN touched t ON t.fid = r.fid AND t.pid = r.pid
+              WHERE NOT r.seam GROUP BY r.fid, r.pid, r.run),
+    adj AS (SELECT p.fid, p.pid * 1000 + p.run AS pk,
+                   q.pid * 1000 + q.run AS qk
+            FROM paths p JOIN paths q ON q.fid = p.fid AND q.sy = p.ey),
+    reach(fid, pk, r) AS (
+        SELECT fid, pid * 1000 + run, pid * 1000 + run FROM paths
+        UNION
+        SELECT a.fid, a.pk, reach.r
+        FROM reach JOIN adj a ON a.fid = reach.fid AND a.qk = reach.pk
+    ),
+    labels AS (SELECT fid, pk, MIN(r) AS lbl FROM reach GROUP BY fid, pk),
+    ncomp AS (SELECT fid, COUNT(DISTINCT lbl) AS n_stitched
+              FROM labels GROUP BY fid),
+    npass AS (SELECT c.fid, COUNT(*) AS n_pass FROM cnt c
+              WHERE NOT EXISTS (SELECT 1 FROM touched t
+                                WHERE t.fid = c.fid AND t.pid = c.pid)
+              GROUP BY c.fid),
+    agg AS (SELECT fid,
+                   CAST(SUM(CASE WHEN seam THEN 1 ELSE 0 END) AS BIGINT)
+                       AS seam_edges,
+                   CAST(SUM(CASE WHEN seam THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_vertices,
+                   SUM(x1 * y2 - x2 * y1) / 2.0 AS total_area
+            FROM e GROUP BY fid)
+    SELECT CAST(a.fid AS BIGINT) AS feature_id,
+           CAST(COALESCE(np.n_pass, 0) + COALESCE(nc.n_stitched, 0) AS BIGINT)
+               AS n_rings,
+           a.seam_edges, a.n_vertices, a.total_area
+    FROM agg a
+    LEFT JOIN npass np ON np.fid = a.fid
+    LEFT JOIN ncomp nc ON nc.fid = a.fid
+    """,
+)
+def q_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-stitch: join polygons split at the antimeridian [UPSTREAM
+    mapshaper-stitch.mjs — the last upstream command computing geometry
+    rather than styling]. One grouped-Arrow fold per feature (stitching
+    is feature-local): seam edges (both endpoints exactly x = ±180)
+    are removed, the remaining open paths reconnect by exact junction-y
+    matching with a cumulative ±360 unwrap shift, and the chain closes
+    back at its anchor (loud raise on ambiguous/unmatched junctions or
+    wrap imbalance — polar rings are out of scope, documented). The
+    driver row aggregates per feature: stitched ring count, removed
+    seam edges, output vertex count (= non-seam edge count — each
+    junction dedupes exactly one vertex), and total signed area (the
+    removed seam edges traverse oppositely in partner pieces, so the
+    stitched area equals the sum of piece shoelace areas EXACTLY; the
+    integer fixture keeps every term IEEE-exact on both engines).
+
+    Oracle: re-derives seam edges and non-seam runs from the raw
+    vertex VALUES (prefix-count run ids — the fixture rotates every
+    cut piece so its closing edge is a seam edge, so runs never wrap),
+    matches path endpoints by junction y, and counts stitched rings as
+    cycles of the successor graph via a recursive min-reach CTE."""
+    rings = stitch_op.stitch_antimeridian(testdata.stitch_pieces(spark))
+    return rings.groupBy("feature_id").agg(
+        F.count("*").cast("long").alias("n_rings"),
+        F.max("seam_edges").alias("seam_edges"),
+        F.sum(F.size("xs")).alias("n_vertices"),
+        F.sum("area").alias("total_area"),
+    )
+
+
 # =====================================================================
 # Images pipeline [BASELINE.json input_hint / north_rule]
 # =====================================================================
@@ -4205,9 +4291,15 @@ _DRIVER_WINDOW = [
     # which keeps its slot; the tile row stays parity-checked). Its
     # clean_rings_tiled sibling waits in the tail for the r5 rotation.
     "mosaic_rings_tiled",
+    # r5 continuation: the NEW distinct operator -stitch (antimeridian
+    # seam removal — the last upstream command computing geometry;
+    # path-cycle recursive-CTE oracle) displaces overlay_pairs_nonempty,
+    # a thrice-green (r2-r4) polygon-overlap row whose plan family is
+    # exercised harder in-window by mosaic_faces_overlap_layer and
+    # dissolve2_overlap_groups (the pairs row stays in parity).
+    "stitch_antimeridian",
     # twice-green rows that keep their slot (first checked in r2)
     "subdivide_hot_cells",
-    "overlay_pairs_nonempty",
     "join_interpolate_area_weighted",
     "rollup_region_nation",
     "info_summary_customer",

@@ -128,6 +128,16 @@ def divide_rects(spark: SparkSession) -> DataFrame:
     )
 
 
+def stitch_pieces(spark: SparkSession) -> DataFrame:
+    """Antimeridian-split polygon pieces for -stitch."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(fixtures.STITCH_PIECES),
+        schema="feature_id bigint, piece_id int, xs array<double>, ys array<double>",
+    )
+
+
 def interp_source_boxes(spark: SparkSession) -> DataFrame:
     """Source layer for -join interpolate (boxes + value column)."""
     return spark.createDataFrame(
