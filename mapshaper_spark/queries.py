@@ -2500,6 +2500,65 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = "[A-Za-z0-9._-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+_PII_PHONE = "555-[0-9]{4}"
+_PII_AUG = (
+    "format_string('%s Contact user%d@ex-%s.org or call 555-%04d now.',"
+    " text, doc_id, lang, doc_id % 9973)"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN format_string(' cc admin%d@x.net', doc_id) ELSE '' END"
+)
+_PII_AUG_DUCK = (
+    "printf('%s Contact user%d@ex-%s.org or call 555-%04d now.',"
+    " text, doc_id, lang, doc_id % 9973)"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN printf(' cc admin%d@x.net', doc_id) ELSE '' END"
+)
+
+
+@query(
+    "pii_scrub_redaction",
+    f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG_DUCK} AS aug FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones
+    FROM a
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing [task brief: text analysis for training-data
+    pipelines — the redaction pass real corpora run before release]:
+    email and phone patterns are replaced with typed placeholder
+    tokens and counted per document. The documents fixture carries no
+    PII, so both engines inject the SAME deterministic contact line
+    (format_string/printf over doc_id and lang — identical strings by
+    construction, including a second email on every third doc so the
+    counts vary). The patterns are character-class-only regexes whose
+    semantics agree between Java regex (Spark) and RE2 (DuckDB) — the
+    same portability rule token_bpe_regex established — and the hash
+    pins the full scrubbed STRING, not just the counts. Map-only
+    column math: scales as a pure scan stage, no shuffle."""
+    d = testdata.load(spark, sf_dir, "documents")
+    aug = F.expr(_PII_AUG)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
 @query(
     "jaccard_ngram_pairs",
     """
