@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     # bigram aggregation)
     "fuzzy_join_radius",
     "doc_repetition_ngrams",
+    # continuation: PII scrubbing (map-only regex redaction over
+    # documents — data-scaled; -stitch and the quantized TopoJSON
+    # round-trip are dim-fixture-bound and stay out, same rule as
+    # -divide/-dashlines)
+    "pii_scrub_redaction",
 ]
 
 

@@ -1905,6 +1905,44 @@ def q_topojson_tiled_import(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topojson_quantized_stats",
+    """
+    SELECT 144 AS n_features, 312 AS n_arcs, 576 AS n_refs
+    """,
+)
+def q_topojson_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZED TopoJSON round-trip (r5 continuation — upstream
+    exports quantized by default: spec ``transform`` member +
+    delta-encoded integer arcs). Same 12x12 grid sharded 3x2, exported
+    at quantization 12*256+1 so the grid scale is exactly 2^-8 —
+    integer fixture coordinates quantize and decode BITWISE lossless,
+    which makes the quantized path checkable against the same literal
+    stats as the raw import: the distributed delta prefix-sum decode
+    (per-arc window) must reproduce the identical 312-arc pool through
+    the content-addressed dedup (every tile shares ONE global
+    transform, so border-shared arc replicas still collapse). Lossy
+    quantization bounds are pinned in tests/test_codecs.py."""
+    from .sources import geojson as gj
+
+    arcs, feats = fixtures._make_grid_topology(12)
+    tiles = gj.export_topojson_tiled(
+        topology.features_df(spark, feats),
+        topology.arcs_df(spark, arcs),
+        nx=3,
+        ny=2,
+        layer="grid",
+        quantization=12 * 256 + 1,
+    )
+    f2, a2 = gj.import_topojson_tiled(tiles, layer="grid")
+    stats_f = f2.select(
+        F.count(F.lit(1)).cast("int").alias("n_features"),
+        F.sum(F.size(F.flatten("parts"))).cast("int").alias("n_refs"),
+    )
+    stats_a = a2.select(F.count(F.lit(1)).cast("int").alias("n_arcs"))
+    return stats_f.crossJoin(stats_a).select("n_features", "n_arcs", "n_refs")
+
+
+@query(
     "topojson_tiled_counts",
     """
     SELECT tx AS tile_x, ty AS tile_y, 24 AS n_features, 58 AS n_arcs

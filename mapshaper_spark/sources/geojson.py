@@ -198,16 +198,54 @@ def import_points_csv(spark: SparkSession, path: str) -> DataFrame:
     ).csv(path)
 
 
-def topojson_doc(features_pdf, arcs_pdf, layer: str = "layer") -> dict:
+def topo_transform(x0, y0, x1, y1, quantization: int):
+    """(translate_x, translate_y, scale_x, scale_y) for a quantization
+    grid of ``quantization`` addressable positions per axis over the
+    given bbox [TopoJSON spec §2.1.2 / UPSTREAM mapshaper's
+    quantization= export option — upstream quantizes by default]. A
+    degenerate span gets scale 1 (the spec's convention), so a single
+    column of points still round-trips."""
+    q = int(quantization)
+    if q < 2:
+        raise ValueError("quantization must be >= 2 addressable positions")
+    sx = (x1 - x0) / (q - 1) if x1 > x0 else 1.0
+    sy = (y1 - y0) / (q - 1) if y1 > y0 else 1.0
+    return float(x0), float(y0), float(sx), float(sy)
+
+
+def _quantize_arcs(arc_rows, transform):
+    """Delta-encoded integer arcs per the TopoJSON transform spec:
+    position i quantizes to round((v - translate) / scale); the first
+    point of each arc is absolute, the rest are deltas. Python ints in
+    the JSON keep the document spec-shaped (no trailing .0)."""
+    tx, ty, sx, sy = transform
+    out = []
+    for _, pts in arc_rows:
+        qx = [int(round((float(x) - tx) / sx)) for x, _ in pts]
+        qy = [int(round((float(y) - ty) / sy)) for _, y in pts]
+        enc = [[qx[0], qy[0]]]
+        for i in range(1, len(qx)):
+            enc.append([qx[i] - qx[i - 1], qy[i] - qy[i - 1]])
+        out.append(enc)
+    return out
+
+
+def topojson_doc(features_pdf, arcs_pdf, layer: str = "layer", transform=None) -> dict:
     """Assemble a TopoJSON Topology document from the engine's native
     feature/arc tables (pandas frames of a dim-sized layer). Signed arc
     refs already follow the TopoJSON convention (ref = -(arc_id+1) for
-    reversed traversal), so this is serialization, not conversion."""
+    reversed traversal), so this is serialization, not conversion.
+    With ``transform`` (tx, ty, sx, sy — see :func:`topo_transform`)
+    the arcs emit QUANTIZED delta-encoded integers plus the spec's
+    ``transform`` member, matching upstream's default export shape."""
     arc_rows = sorted(
         (int(r["arc_id"]), list(zip(r["xs"], r["ys"])))
         for _, r in arcs_pdf.iterrows()
     )
-    arcs = [[[float(x), float(y)] for x, y in pts] for _, pts in arc_rows]
+    if transform is not None:
+        arcs = _quantize_arcs(arc_rows, transform)
+    else:
+        arcs = [[[float(x), float(y)] for x, y in pts] for _, pts in arc_rows]
     geometries = []
     for _, f in features_pdf.iterrows():
         geometries.append(
@@ -218,15 +256,24 @@ def topojson_doc(features_pdf, arcs_pdf, layer: str = "layer") -> dict:
                 "arcs": [[int(ref) for ref in part] for part in f["parts"]],
             }
         )
-    return {
+    doc = {
         "type": "Topology",
         "arcs": arcs,
         "objects": {layer: {"type": "GeometryCollection", "geometries": geometries}},
     }
+    if transform is not None:
+        tx, ty, sx, sy = transform
+        doc["transform"] = {"scale": [sx, sy], "translate": [tx, ty]}
+    return doc
 
 
-def topojson_json(features_pdf, arcs_pdf, layer: str = "layer") -> str:
-    return json.dumps(topojson_doc(features_pdf, arcs_pdf, layer), sort_keys=True)
+def topojson_json(
+    features_pdf, arcs_pdf, layer: str = "layer", transform=None
+) -> str:
+    return json.dumps(
+        topojson_doc(features_pdf, arcs_pdf, layer, transform=transform),
+        sort_keys=True,
+    )
 
 
 def export_topojson_tiled(
@@ -235,6 +282,7 @@ def export_topojson_tiled(
     nx: int = 2,
     ny: int = 2,
     layer: str = "layer",
+    quantization: int | None = None,
 ) -> DataFrame:
     """Scan-scale TopoJSON export [NEXT r3: the arc-dictionary document
     assembly collected the arc pool; shard per tile for continental
@@ -251,7 +299,15 @@ def export_topojson_tiled(
     tile-assignment join, one (tile, arc) replication join (factor =
     number of tiles referencing the arc, ~1 for border-shared arcs),
     and a per-tile cogrouped assembly. Returns one row per non-empty
-    tile: (tile_x, tile_y, n_features, n_arcs, doc)."""
+    tile: (tile_x, tile_y, n_features, n_arcs, doc).
+
+    ``quantization=`` emits spec-conformant quantized documents
+    (``transform`` member + delta-encoded integer arcs — upstream's
+    default export shape). Every tile shares ONE GLOBAL transform
+    (computed from the layer bbox the tile assignment already
+    aggregates), not a per-tile one: border-shared arcs then quantize
+    to identical integers in every tile, so the importer's
+    content-addressed dedup keeps collapsing replicas bitwise."""
     refs = features.select(
         "feature_id", F.explode(F.flatten("parts")).alias("ref")
     ).select(
@@ -285,6 +341,11 @@ def export_topojson_tiled(
     ).first()
     spanx = max(g.gx1 - g.gx0, 1e-300)
     spany = max(g.gy1 - g.gy0, 1e-300)
+    transform = (
+        topo_transform(g.gx0, g.gy0, g.gx1, g.gy1, quantization)
+        if quantization is not None
+        else None
+    )
     ftile = fbox.select(
         "feature_id",
         F.least(
@@ -346,7 +407,7 @@ def export_topojson_tiled(
                     "tile_y": ty,
                     "n_features": len(f2),
                     "n_arcs": len(a2),
-                    "doc": topojson_json(f2, a2, layer),
+                    "doc": topojson_json(f2, a2, layer, transform=transform),
                 }
             ]
         )
@@ -376,11 +437,27 @@ def topojson_import(doc: dict | str, layer: str | None = None):
         doc = json.loads(doc)
     if doc.get("type") != "Topology":
         raise ValueError("not a TopoJSON Topology document")
+    t = doc.get("transform")
+    if t is not None:
+        # quantized: delta-decode then apply the affine [TopoJSON spec]
+        import numpy as np
+
+        sx, sy = t["scale"]
+        tx, ty = t["translate"]
+        xs_l, ys_l = [], []
+        for arc in doc["arcs"]:
+            a = np.asarray(arc, dtype=float)
+            q = np.cumsum(a, axis=0)
+            xs_l.append((tx + sx * q[:, 0]).tolist())
+            ys_l.append((ty + sy * q[:, 1]).tolist())
+    else:
+        xs_l = [[p[0] for p in arc] for arc in doc["arcs"]]
+        ys_l = [[p[1] for p in arc] for arc in doc["arcs"]]
     arcs_pdf = pd.DataFrame(
         {
             "arc_id": range(len(doc["arcs"])),
-            "xs": [[p[0] for p in arc] for arc in doc["arcs"]],
-            "ys": [[p[1] for p in arc] for arc in doc["arcs"]],
+            "xs": xs_l,
+            "ys": ys_l,
         }
     )
     if layer is None:
@@ -399,6 +476,7 @@ def topojson_import(doc: dict | str, layer: str | None = None):
 
 _TOPO_DOC_SCHEMA = (
     "type string, arcs array<array<array<double>>>, "
+    "transform struct<scale array<double>, translate array<double>>, "
     "objects map<string, struct<type string, geometries array<struct<"
     "type string, id long, properties map<string,string>, "
     "arcs array<array<long>>>>>>"
@@ -430,19 +508,88 @@ def import_topojson_tiled(
     dedup shuffle join. Signed refs remap through the (doc_id, local)
     → global map with orientation preserved, and parts reassemble by
     position. Features are assumed to appear in exactly one tile (the
-    exporter's contract)."""
+    exporter's contract). QUANTIZED documents (spec ``transform``
+    member) decode distributively — delta prefix-sum as a per-arc
+    window, then the affine — before entering the same dedup; a
+    one-row probe picks the path and mixed quantized/raw inputs fail
+    loudly."""
     d = docs.select(
         F.monotonically_increasing_id().alias("doc_id"),
         F.from_json(F.col(col), _TOPO_DOC_SCHEMA).alias("t"),
     )
-    la = d.select(
-        "doc_id", F.posexplode("t.arcs").alias("la", "pts")
-    ).select(
-        "doc_id",
-        "la",
-        F.expr("transform(pts, p -> p[0])").alias("xs"),
-        F.expr("transform(pts, p -> p[1])").alias("ys"),
-    ).withColumn("arc_id", F.expr("shiftrightunsigned(xxhash64(xs, ys), 1)"))
+    # one-row metadata probe decides the decode path (the exporter's
+    # bbox .first() sets the precedent); a whole import is either
+    # quantized or raw — mixing modes is asserted against below
+    probe = d.select(F.col("t.transform").isNotNull().alias("q")).first()
+    quantized = bool(probe and probe.q)
+    if not quantized:
+        la = d.select(
+            "doc_id", F.col("t.transform").alias("tf"),
+            F.posexplode("t.arcs").alias("la", "pts"),
+        ).where(
+            F.assert_true(
+                F.col("tf").isNull(),
+                F.lit("import_topojson_tiled: mixed quantized/raw documents"),
+            ).isNull()
+        ).select(
+            "doc_id",
+            "la",
+            F.expr("transform(pts, p -> p[0])").alias("xs"),
+            F.expr("transform(pts, p -> p[1])").alias("ys"),
+        ).withColumn("arc_id", F.expr("shiftrightunsigned(xxhash64(xs, ys), 1)"))
+    else:
+        # quantized documents [TopoJSON spec transform member; the
+        # tiled exporter's quantization=]: delta-decode via the
+        # distributed prefix sum (posexplode -> running window SUM ->
+        # positional regroup). Deltas are INTEGER-valued doubles, so
+        # the running sum is exact in any order and the decoded
+        # doubles are bitwise identical across tiles (one global
+        # transform) — the content-addressed dedup below keeps
+        # collapsing border-shared replicas.
+        from pyspark.sql import Window as W
+
+        pe = d.select(
+            "doc_id",
+            F.col("t.transform.scale")[0].alias("sx"),
+            F.col("t.transform.scale")[1].alias("sy"),
+            F.col("t.transform.translate")[0].alias("tx0"),
+            F.col("t.transform.translate")[1].alias("ty0"),
+            F.posexplode("t.arcs").alias("la", "pts"),
+        ).where(
+            F.assert_true(
+                F.col("sx").isNotNull(),
+                F.lit("import_topojson_tiled: mixed quantized/raw documents"),
+            ).isNull()
+        ).select(
+            "doc_id", "la", "sx", "sy", "tx0", "ty0",
+            F.posexplode("pts").alias("pos", "p"),
+        )
+        w = (
+            W.partitionBy("doc_id", "la")
+            .orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        dec = pe.select(
+            "doc_id",
+            "la",
+            "pos",
+            (F.col("tx0") + F.col("sx") * F.sum(F.col("p")[0]).over(w)).alias("x"),
+            (F.col("ty0") + F.col("sy") * F.sum(F.col("p")[1]).over(w)).alias("y"),
+        )
+        la = (
+            dec.groupBy("doc_id", "la")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"),
+                F.array_sort(F.collect_list(F.struct("pos", "y"))).alias("py"),
+            )
+            .select(
+                "doc_id",
+                "la",
+                F.expr("transform(px, s -> s.x)").alias("xs"),
+                F.expr("transform(py, s -> s.y)").alias("ys"),
+            )
+            .withColumn("arc_id", F.expr("shiftrightunsigned(xxhash64(xs, ys), 1)"))
+        )
     # dedup replicas by content address, VERIFYING the address on the
     # way [ADVICE r3 #5]: at multi-billion-arc scale a 63-bit birthday
     # collision between DISTINCT arcs would silently merge them — the

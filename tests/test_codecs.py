@@ -752,3 +752,78 @@ def test_geojson_export_precision_option(spark):
         for ring in f["geometry"]["coordinates"]:
             for x, y in ring:
                 assert x == round(x, 3) and y == round(y, 3)
+
+
+def test_topojson_quantized_doc_shape():
+    """Quantized export is spec-shaped: transform member, integer
+    delta-encoded arcs (first point absolute), grid round-trip exact
+    on a dyadic scale."""
+    arcs, feats = fixtures._make_grid_topology(4)
+    import pandas as pd
+
+    apdf = pd.DataFrame(arcs)
+    fpdf = pd.DataFrame(feats)
+    tf = gj.topo_transform(0.0, 0.0, 4.0, 4.0, 4 * 256 + 1)
+    doc = gj.topojson_doc(fpdf, apdf, layer="grid", transform=tf)
+    assert doc["transform"] == {
+        "scale": [2.0 ** -8, 2.0 ** -8],
+        "translate": [0.0, 0.0],
+    }
+    for enc in doc["arcs"]:
+        assert all(isinstance(v, int) for pt in enc for v in pt)
+    # delta encoding: cumulative sums reproduce the quantized points
+    f2, a2 = gj.topojson_import(doc, layer="grid")
+    by_pts = sorted((tuple(r["xs"]), tuple(r["ys"])) for _, r in a2.iterrows())
+    raw = sorted((tuple(map(float, a["xs"])), tuple(map(float, a["ys"]))) for a in arcs)
+    assert by_pts == raw  # dyadic scale -> bitwise lossless
+
+
+def test_topojson_quantized_lossy_bound():
+    """Non-dyadic quantization is lossy but bounded by half a grid
+    cell per axis."""
+    import pandas as pd
+
+    apdf = pd.DataFrame(
+        [{"arc_id": 0, "xs": [0.0, 0.123456, 0.9999], "ys": [0.0, 0.77777, 0.5]}]
+    )
+    fpdf = pd.DataFrame([{"feature_id": 0, "key": "k", "parts": [[0]]}])
+    tf = gj.topo_transform(0.0, 0.0, 1.0, 1.0, 101)
+    doc = gj.topojson_doc(fpdf, apdf, layer="layer", transform=tf)
+    _, a2 = gj.topojson_import(doc, layer="layer")
+    half = (1.0 / 100) / 2
+    for got, want in zip(a2.iloc[0]["xs"], apdf.iloc[0]["xs"]):
+        assert abs(got - want) <= half + 1e-12
+    for got, want in zip(a2.iloc[0]["ys"], apdf.iloc[0]["ys"]):
+        assert abs(got - want) <= half + 1e-12
+
+
+def test_topojson_tiled_quantized_roundtrip_bitwise(spark):
+    """Tiled quantized export -> distributed import reproduces the RAW
+    import's arc pool and features bitwise (one GLOBAL transform keeps
+    border-shared replicas identical across tiles; dyadic scale keeps
+    the integer grid lossless)."""
+    from mapshaper_spark.operators import topology
+
+    arcs, feats = fixtures._make_grid_topology(8)
+    fdf, adf = topology.features_df(spark, feats), topology.arcs_df(spark, arcs)
+    raw_f, raw_a = gj.import_topojson_tiled(
+        gj.export_topojson_tiled(fdf, adf, nx=2, ny=2, layer="grid"),
+        layer="grid",
+    )
+    q_f, q_a = gj.import_topojson_tiled(
+        gj.export_topojson_tiled(
+            fdf, adf, nx=2, ny=2, layer="grid", quantization=8 * 256 + 1
+        ),
+        layer="grid",
+    )
+    raw_pool = sorted((tuple(r.xs), tuple(r.ys)) for r in raw_a.collect())
+    q_pool = sorted((tuple(r.xs), tuple(r.ys)) for r in q_a.collect())
+    assert raw_pool == q_pool
+    assert sorted(map(str, raw_f.collect())) == sorted(map(str, q_f.collect()))
+
+
+def test_topojson_quantization_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="quantization"):
+        gj.topo_transform(0.0, 0.0, 1.0, 1.0, 1)
