@@ -1338,3 +1338,39 @@ def stitch_vertices_values_sql(name: str = "sv0") -> str:
         for i, (x, y) in enumerate(zip(p["xs"], p["ys"])):
             rows.append(f"({p['feature_id']},{p['piece_id']},{i},{x!r},{y!r})")
     return f"(VALUES {','.join(rows)}) AS {name}(fid, pid, vi, x, y)"
+
+
+# Antimeridian-split POLYLINE pieces for -stitch's line half. A cut
+# line sheds no edges — pieces just end/start on the seam — so the
+# oracle is pure counting: links = directed end→start junction matches,
+# lines = pieces − links, vertices = Σ − links (each join dedupes the
+# shared cut vertex). Integer coords, axis-aligned spans plus one 3-4-5
+# diagonal keep every length IEEE-exact.
+STITCH_LINE_PIECES = [
+    # f0: one horizontal line cut once (len 10 + 6).
+    {"feature_id": 0, "piece_id": 0, "xs": [170.0, 180.0], "ys": [1.0, 1.0]},
+    {"feature_id": 0, "piece_id": 1, "xs": [-180.0, -174.0], "ys": [1.0, 1.0]},
+    # f1: untouched polyline (3-4-5 diagonal + vertical) — passthrough.
+    {"feature_id": 1, "piece_id": 0,
+     "xs": [10.0, 13.0, 13.0], "ys": [0.0, 4.0, 8.0]},
+    # f2: double crossing — west, a U in the east, back west (2 links).
+    {"feature_id": 2, "piece_id": 0, "xs": [176.0, 180.0], "ys": [2.0, 2.0]},
+    {"feature_id": 2, "piece_id": 1,
+     "xs": [-180.0, -176.0, -176.0, -180.0], "ys": [2.0, 2.0, 6.0, 6.0]},
+    {"feature_id": 2, "piece_id": 2, "xs": [180.0, 172.0], "ys": [6.0, 6.0]},
+    # f3: one joined pair PLUS a line whose seam endpoint has no
+    # partner — a legitimate terminal, not an error.
+    {"feature_id": 3, "piece_id": 0, "xs": [178.0, 180.0], "ys": [10.0, 10.0]},
+    {"feature_id": 3, "piece_id": 1, "xs": [-180.0, -179.0], "ys": [10.0, 10.0]},
+    {"feature_id": 3, "piece_id": 2, "xs": [176.0, 180.0], "ys": [20.0, 20.0]},
+]
+
+
+def stitch_line_vertices_values_sql(name: str = "sl0") -> str:
+    """(fid, pid, vi, x, y) VALUES relation of the polyline stitch
+    fixture."""
+    rows = []
+    for p in STITCH_LINE_PIECES:
+        for i, (x, y) in enumerate(zip(p["xs"], p["ys"])):
+            rows.append(f"({p['feature_id']},{p['piece_id']},{i},{x!r},{y!r})")
+    return f"(VALUES {','.join(rows)}) AS {name}(fid, pid, vi, x, y)"

@@ -161,6 +161,127 @@ def stitch_feature(pieces: list[tuple[int, np.ndarray, np.ndarray]]):
     return out, n_seam_total
 
 
+def stitch_polyline_feature(pieces: list[tuple[int, np.ndarray, np.ndarray]]):
+    """Stitch one feature's POLYLINE pieces across the seam. Unlike
+    rings, a cut polyline sheds no edges — the cut just ends one piece
+    at (±180, y) and starts the next at (∓180, y) — so stitching is
+    pure endpoint joining: a piece END on the seam joins the piece
+    START at the same junction y (the cut preserves traversal
+    direction, so matching is directed end→start; an end meeting
+    another end is ambiguous input and raises). Endpoints on the seam
+    with NO partner are legitimate line terminals, not errors. Chains
+    unwrap with the cumulative ±360 shift, anchored at the chain's
+    head piece; a circular piece chain (every junction matched) would
+    be a closed line and raises loudly.
+
+    Returns (lines, n_links): lines = [(anchor_piece_id, xs, ys)]
+    sorted by anchor, n_links = junction joins performed."""
+    seam = lambda x: abs(float(x)) == 180.0  # noqa: E731
+    starts: dict[float, int] = {}
+    ends: dict[float, int] = {}
+    by_id = {}
+    for pid, xs, ys in pieces:
+        by_id[pid] = (np.asarray(xs, float), np.asarray(ys, float))
+        if seam(xs[0]):
+            if float(ys[0]) in starts:
+                raise ValueError(
+                    "stitch: ambiguous polyline seam junction (two piece "
+                    "starts at the same y)"
+                )
+            starts[float(ys[0])] = pid
+        if seam(xs[-1]):
+            if float(ys[-1]) in ends:
+                raise ValueError(
+                    "stitch: ambiguous polyline seam junction (two piece "
+                    "ends at the same y)"
+                )
+            ends[float(ys[-1])] = pid
+    # a junction is an end y with a matching start y
+    links = {e_pid: starts[y] for y, e_pid in ends.items() if y in starts}
+    has_pred = set(links.values())
+    heads = sorted(pid for pid, _, _ in pieces if pid not in has_pred)
+    if len(heads) < len(by_id) - len(links):
+        raise ValueError("stitch: inconsistent polyline chain graph")
+    lines = []
+    visited: set[int] = set()
+    n_links = 0
+    for head in heads:
+        cxs, cys = [], []
+        pid, shift = head, 0.0
+        while True:
+            if pid in visited:
+                raise ValueError(
+                    "stitch: circular polyline piece chain (closed line "
+                    "through the seam) — out of -stitch scope"
+                )
+            visited.add(pid)
+            xs, ys = by_id[pid]
+            drop = 1 if cxs else 0  # the junction vertex is shared
+            cxs.append(xs[drop:] + shift)
+            cys.append(ys[drop:])
+            nxt = links.get(pid)
+            if nxt is None:
+                break
+            shift = shift + float(xs[-1]) - float(by_id[nxt][0][0])
+            n_links += 1
+            pid = nxt
+        lines.append((head, np.concatenate(cxs), np.concatenate(cys)))
+    if len(visited) != len(by_id):
+        raise ValueError(
+            "stitch: circular polyline piece chain (closed line through "
+            "the seam) — out of -stitch scope"
+        )
+    return lines, n_links
+
+
+_LINE_SCHEMA = (
+    "feature_id bigint, line_id int, xs array<double>, ys array<double>, "
+    "length double, n_links bigint"
+)
+
+
+def stitch_polylines(pieces: DataFrame) -> DataFrame:
+    """Distributed polyline -stitch over (feature_id, piece_id, xs, ys)
+    [UPSTREAM mapshaper-stitch.mjs stitches lines as well as polygons].
+    Output: one row per stitched line with its exact Euclidean length
+    (sequential segment sum — exact on the dyadic oracle fixture) and
+    the per-feature junction-join count repeated on every row."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["feature_id"].iloc[0])
+        pieces_l = [
+            (int(r.piece_id), np.asarray(r.xs, float), np.asarray(r.ys, float))
+            for r in pdf.itertuples()
+        ]
+        pieces_l.sort(key=lambda p: p[0])
+        lines, n_links = stitch_polyline_feature(pieces_l)
+
+        def seg_len(xs, ys):
+            total = 0.0
+            for i in range(len(xs) - 1):
+                dx = xs[i + 1] - xs[i]
+                dy = ys[i + 1] - ys[i]
+                total += float(np.sqrt(dx * dx + dy * dy))
+            return total
+
+        return pd.DataFrame(
+            {
+                "feature_id": fid,
+                "line_id": range(len(lines)),
+                "xs": [l[1].tolist() for l in lines],
+                "ys": [l[2].tolist() for l in lines],
+                "length": [seg_len(l[1], l[2]) for l in lines],
+                "n_links": n_links,
+            }
+        )
+
+    return (
+        _fold_parallel(pieces, "feature_id")
+        .groupBy("feature_id")
+        .applyInPandas(lambda _, pdf: fold(pdf), schema=_LINE_SCHEMA)
+    )
+
+
 def stitch_antimeridian(pieces: DataFrame) -> DataFrame:
     """Distributed -stitch over a (feature_id, piece_id, xs, ys) layer.
 

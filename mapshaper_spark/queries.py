@@ -4083,6 +4083,58 @@ def q_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stitch_polylines",
+    f"""
+    WITH v AS (SELECT fid, pid, vi, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+               FROM {fixtures.stitch_line_vertices_values_sql()}),
+    cnt AS (SELECT fid, pid, COUNT(*) AS n FROM v GROUP BY fid, pid),
+    e AS (SELECT a.fid, a.pid, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+          FROM v a JOIN v b ON b.fid = a.fid AND b.pid = a.pid
+                           AND b.vi = a.vi + 1),
+    ends AS (SELECT v.fid, v.pid, v.y
+             FROM v JOIN cnt c ON c.fid = v.fid AND c.pid = v.pid
+             WHERE v.vi = c.n - 1 AND abs(v.x) = 180.0),
+    starts AS (SELECT fid, pid, y FROM v WHERE vi = 0 AND abs(x) = 180.0),
+    links AS (SELECT e.fid, COUNT(*) AS n_links
+              FROM ends e JOIN starts s ON s.fid = e.fid AND s.y = e.y
+              GROUP BY e.fid),
+    agg AS (SELECT fid,
+                   SUM(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))
+                       AS total_len
+            FROM e GROUP BY fid),
+    np AS (SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+                  CAST(SUM(n) AS BIGINT) AS n_verts
+           FROM cnt GROUP BY fid)
+    SELECT CAST(np.fid AS BIGINT) AS feature_id,
+           CAST(np.n_pieces - COALESCE(l.n_links, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(l.n_links, 0) AS BIGINT) AS n_links,
+           CAST(np.n_verts - COALESCE(l.n_links, 0) AS BIGINT) AS n_vertices,
+           a.total_len
+    FROM np LEFT JOIN links l ON l.fid = np.fid JOIN agg a ON a.fid = np.fid
+    """,
+)
+def q_stitch_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-stitch on POLYLINE layers (parity tail — the ring half holds
+    the in-window slot) [UPSTREAM mapshaper-stitch.mjs stitches lines
+    too]. A cut line sheds no edges, so stitching is directed endpoint
+    joining: a piece END on the seam joins the piece START at the same
+    junction y with the cumulative ±360 unwrap; seam endpoints with no
+    partner stay legitimate terminals, and end-end coincidences or
+    circular chains raise loudly. The oracle needs no recursion — for
+    a forest, lines = pieces − links and vertices = Σ − links (each
+    join dedupes the shared cut vertex); lengths are exact (integer
+    axis-aligned spans + a 3-4-5 diagonal) so the double sum
+    hash-matches in any order."""
+    lines = stitch_op.stitch_polylines(testdata.stitch_line_pieces(spark))
+    return lines.groupBy("feature_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.max("n_links").alias("n_links"),
+        F.sum(F.size("xs")).alias("n_vertices"),
+        F.sum("length").alias("total_len"),
+    )
+
+
 # =====================================================================
 # Images pipeline [BASELINE.json input_hint / north_rule]
 # =====================================================================

@@ -138,6 +138,16 @@ def stitch_pieces(spark: SparkSession) -> DataFrame:
     )
 
 
+def stitch_line_pieces(spark: SparkSession) -> DataFrame:
+    """Antimeridian-split polyline pieces for -stitch's line half."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(fixtures.STITCH_LINE_PIECES),
+        schema="feature_id bigint, piece_id int, xs array<double>, ys array<double>",
+    )
+
+
 def interp_source_boxes(spark: SparkSession) -> DataFrame:
     """Source layer for -join interpolate (boxes + value column)."""
     return spark.createDataFrame(

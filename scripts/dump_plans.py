@@ -39,6 +39,9 @@ NAMES = (
     "divide_polylines_lengths",
     "dashlines_intervals",
     "doc_repetition_ngrams",
+    "stitch_antimeridian",
+    "pii_scrub_redaction",
+    "topojson_quantized_stats",
 )
 
 

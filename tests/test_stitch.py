@@ -152,3 +152,71 @@ def test_distributed_operator_matches_kernel(spark):
             assert xs == kxs.tolist()
             assert ys == kys.tolist()
             assert area == geometry.shoelace_area(kxs, kys)
+
+
+# --------------------------------------------------------- polylines ---
+
+
+def _line_pieces(fid: int):
+    return [
+        (p["piece_id"], np.array(p["xs"]), np.array(p["ys"]))
+        for p in fixtures.STITCH_LINE_PIECES
+        if p["feature_id"] == fid
+    ]
+
+
+def test_polyline_simple_join_golden():
+    lines, n_links = stitch_op.stitch_polyline_feature(_line_pieces(0))
+    assert n_links == 1
+    assert len(lines) == 1
+    _, xs, ys = lines[0]
+    assert list(zip(xs, ys)) == [(170.0, 1.0), (180.0, 1.0), (186.0, 1.0)]
+
+
+def test_polyline_double_crossing_golden():
+    lines, n_links = stitch_op.stitch_polyline_feature(_line_pieces(2))
+    assert n_links == 2
+    _, xs, ys = lines[0]
+    assert list(zip(xs, ys)) == [
+        (176.0, 2.0), (180.0, 2.0), (184.0, 2.0),
+        (184.0, 6.0), (180.0, 6.0), (172.0, 6.0),
+    ]
+
+
+def test_polyline_untouched_and_unpartnered_terminal():
+    lines, n_links = stitch_op.stitch_polyline_feature(_line_pieces(1))
+    assert (n_links, len(lines)) == (0, 1)
+    assert lines[0][1].tolist() == [10.0, 13.0, 13.0]
+    # a seam endpoint with no partner is a terminal, not an error
+    lines3, n_links3 = stitch_op.stitch_polyline_feature(_line_pieces(3))
+    assert (n_links3, len(lines3)) == (1, 2)
+
+
+def test_polyline_ambiguous_and_circular_raise():
+    import pytest as _pytest
+
+    a = (0, np.array([170.0, 180.0]), np.array([5.0, 5.0]))
+    b = (1, np.array([160.0, 180.0]), np.array([5.0, 5.0]))
+    with _pytest.raises(ValueError, match="ambiguous polyline"):
+        stitch_op.stitch_polyline_feature([a, b])
+    # circular chain: two pieces joining each other end-to-start twice
+    d = (1, np.array([-180.0, -180.0]), np.array([2.0, 1.0]))
+    e = (0, np.array([180.0, 180.0]), np.array([1.0, 2.0]))
+    with _pytest.raises(ValueError, match="circular polyline"):
+        stitch_op.stitch_polyline_feature([e, d])
+
+
+def test_polyline_distributed_matches_kernel(spark):
+    from mapshaper_spark.sources import testdata as td
+
+    rows = (
+        stitch_op.stitch_polylines(td.stitch_line_pieces(spark))
+        .orderBy("feature_id", "line_id")
+        .collect()
+    )
+    got = {}
+    for r in rows:
+        got.setdefault(r.feature_id, []).append((r.xs, r.ys))
+    for fid in sorted(got):
+        lines, _ = stitch_op.stitch_polyline_feature(_line_pieces(fid))
+        assert [(l[1].tolist(), l[2].tolist()) for l in lines] == got[fid]
