@@ -9,11 +9,15 @@ command whose output is computed geometry rather than styling.
 
 Spark-first shape: stitching is per-FEATURE local — no piece of one
 feature ever interacts with another feature — so the operator is one
-grouped-Arrow fold keyed on ``feature_id``, routed through
+fold keyed on ``feature_id``, routed through
 ``overlay._fold_parallel`` because the group count scales with the
-data [CLAUDE.md invariant]. Per-feature piece counts are dim-bounded
-(a world feature splits into a handful of pieces), so the per-group
-kernel is a plain Python chain walk.
+data [CLAUDE.md invariant], with the per-feature groups BATCHED
+through ``collect_list`` + ``mapInPandas`` so many features share one
+Arrow exchange (the per-group ``applyInPandas`` form measured 6.1k
+features/s and failed at 1M groups; batched: 225k features/s at 1M,
+wall flat from 100k — BENCH/stitch_probe.json). Per-feature piece
+counts are dim-bounded (a world feature splits into a handful of
+pieces), so the per-feature kernel is a plain Python chain walk.
 
 Kernel semantics (mirrored exactly by the DuckDB oracle in
 ``queries.q_stitch``):
@@ -49,6 +53,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import geometry
 from .overlay import _fold_parallel
@@ -247,39 +252,47 @@ def stitch_polylines(pieces: DataFrame) -> DataFrame:
     (sequential segment sum — exact on the dyadic oracle fixture) and
     the per-feature junction-join count repeated on every row."""
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        fid = int(pdf["feature_id"].iloc[0])
-        pieces_l = [
-            (int(r.piece_id), np.asarray(r.xs, float), np.asarray(r.ys, float))
-            for r in pdf.itertuples()
-        ]
-        pieces_l.sort(key=lambda p: p[0])
-        lines, n_links = stitch_polyline_feature(pieces_l)
+    def seg_len(xs, ys):
+        total = 0.0
+        for i in range(len(xs) - 1):
+            dx = xs[i + 1] - xs[i]
+            dy = ys[i + 1] - ys[i]
+            total += float(np.sqrt(dx * dx + dy * dy))
+        return total
 
-        def seg_len(xs, ys):
-            total = 0.0
-            for i in range(len(xs) - 1):
-                dx = xs[i + 1] - xs[i]
-                dy = ys[i + 1] - ys[i]
-                total += float(np.sqrt(dx * dx + dy * dy))
-            return total
+    def fold(batches):
+        # batched like stitch_antimeridian: many features per Arrow
+        # batch, no per-group round-trip
+        for pdf in batches:
+            rows = []
+            for fid, ps in zip(pdf["feature_id"], pdf["ps"]):
+                pieces_l = sorted(
+                    (
+                        (int(p["piece_id"]),
+                         np.asarray(p["xs"], float),
+                         np.asarray(p["ys"], float))
+                        for p in ps
+                    ),
+                    key=lambda t: t[0],
+                )
+                lines, n_links = stitch_polyline_feature(pieces_l)
+                for i, (_, xs, ys) in enumerate(lines):
+                    rows.append(
+                        (int(fid), i, xs.tolist(), ys.tolist(),
+                         seg_len(xs, ys), n_links)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["feature_id", "line_id", "xs", "ys", "length",
+                         "n_links"],
+            )
 
-        return pd.DataFrame(
-            {
-                "feature_id": fid,
-                "line_id": range(len(lines)),
-                "xs": [l[1].tolist() for l in lines],
-                "ys": [l[2].tolist() for l in lines],
-                "length": [seg_len(l[1], l[2]) for l in lines],
-                "n_links": n_links,
-            }
-        )
-
-    return (
+    grouped = (
         _fold_parallel(pieces, "feature_id")
         .groupBy("feature_id")
-        .applyInPandas(lambda _, pdf: fold(pdf), schema=_LINE_SCHEMA)
+        .agg(F.collect_list(F.struct("piece_id", "xs", "ys")).alias("ps"))
     )
+    return grouped.mapInPandas(fold, schema=_LINE_SCHEMA)
 
 
 def stitch_antimeridian(pieces: DataFrame) -> DataFrame:
@@ -293,30 +306,38 @@ def stitch_antimeridian(pieces: DataFrame) -> DataFrame:
     per-feature count of removed cut edges (repeated on every ring row
     so the aggregate query reads it with max())."""
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        fid = int(pdf["feature_id"].iloc[0])
-        pieces_l = [
-            (int(r.piece_id), np.asarray(r.xs, float), np.asarray(r.ys, float))
-            for r in pdf.itertuples()
-        ]
-        pieces_l.sort(key=lambda p: p[0])
-        rings, n_seam = stitch_feature(pieces_l)
-        return pd.DataFrame(
-            {
-                "feature_id": fid,
-                "ring_id": range(len(rings)),
-                "xs": [r[1].tolist() for r in rings],
-                "ys": [r[2].tolist() for r in rings],
-                "area": [
-                    geometry.shoelace_area(np.asarray(r[1]), np.asarray(r[2]))
-                    for r in rings
-                ],
-                "seam_edges": n_seam,
-            }
-        )
+    def fold(batches):
+        # one Arrow batch carries MANY features (collect_list pre-
+        # aggregates pieces per feature), so the per-feature kernel
+        # pays no per-group Arrow round-trip — measured 6.1k -> 54k
+        # features/s at 100k features vs per-group applyInPandas
+        for pdf in batches:
+            rows = []
+            for fid, ps in zip(pdf["feature_id"], pdf["ps"]):
+                pieces_l = sorted(
+                    (
+                        (int(p["piece_id"]),
+                         np.asarray(p["xs"], float),
+                         np.asarray(p["ys"], float))
+                        for p in ps
+                    ),
+                    key=lambda t: t[0],
+                )
+                rings, n_seam = stitch_feature(pieces_l)
+                for i, (_, xs, ys, _) in enumerate(rings):
+                    rows.append(
+                        (int(fid), i, xs.tolist(), ys.tolist(),
+                         geometry.shoelace_area(xs, ys), n_seam)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["feature_id", "ring_id", "xs", "ys", "area",
+                         "seam_edges"],
+            )
 
-    return (
+    grouped = (
         _fold_parallel(pieces, "feature_id")
         .groupBy("feature_id")
-        .applyInPandas(lambda _, pdf: fold(pdf), schema=_SCHEMA)
+        .agg(F.collect_list(F.struct("piece_id", "xs", "ys")).alias("ps"))
     )
+    return grouped.mapInPandas(fold, schema=_SCHEMA)
