@@ -285,7 +285,10 @@ def divide_polylines(
     continues across a shared vertex iff the previous segment's last
     assignment reaches t=1 and the next starts at t=0 with the same
     region. Group count scales with the data (one group per arc), so
-    the fold routes through ``_fold_parallel`` [CLAUDE.md invariant].
+    the fold routes through ``_fold_parallel`` [CLAUDE.md invariant],
+    with the per-arc groups BATCHED via collect_list + mapInPandas
+    (per-group applyInPandas measured 4.3k arcs/s vs 16.3k/s batched
+    at 100k arcs, 294k/s at 1M — BENCH/divide_probe.json).
     At 100-TB scale the broadcast prefilter swaps for the cell-grid
     equi-join (the ``clip_polylines`` shape) without touching the walk.
 
@@ -356,29 +359,53 @@ def divide_polylines(
     else:
         raise ValueError(f"unknown prefilter {prefilter!r}")
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        arc_id = int(pdf["arc_id"].iloc[0])
-        xs = np.asarray(pdf["sxs"].iloc[0], dtype=np.float64)
-        ys = np.asarray(pdf["sys"].iloc[0], dtype=np.float64)
-        cands = []
-        for _, r in pdf.iterrows():
-            if r["cand_poly"] is None or pd.isna(r["cand_poly"]):
-                continue
-            ring = np.column_stack(
-                [np.asarray(r["cxs"], dtype=np.float64), np.asarray(r["cys"], dtype=np.float64)]
+    def fold(batches):
+        # BATCHED like the stitch folds: candidates pre-aggregate per
+        # arc with collect_list, so many arcs share one Arrow exchange
+        # instead of paying a per-group round-trip — the walk is
+        # microseconds per short arc and the per-group applyInPandas
+        # form measured 4.3k arcs/s at 100k arcs vs 16.3k/s batched,
+        # same-session A/B (BENCH/divide_probe.json)
+        for pdf in batches:
+            rows = []
+            for arc_id, sxs, sys_, cl in zip(
+                pdf["arc_id"], pdf["sxs"], pdf["sys"], pdf["cands"]
+            ):
+                xs = np.asarray(sxs, dtype=np.float64)
+                ys = np.asarray(sys_, dtype=np.float64)
+                cands = [
+                    (
+                        int(c["cand_poly"]),
+                        np.column_stack(
+                            [
+                                np.asarray(c["cxs"], dtype=np.float64),
+                                np.asarray(c["cys"], dtype=np.float64),
+                            ]
+                        ),
+                    )
+                    for c in cl
+                    if c["cand_poly"] is not None
+                ]
+                agg = _divide_walk(xs, ys, cands)
+                rows.extend(
+                    (int(arc_id), pid, n, ln)
+                    for pid, (n, ln) in sorted(agg.items())
+                )
+            yield pd.DataFrame(
+                rows, columns=["arc_id", "poly_id", "n_pieces", "len_sum"]
             )
-            cands.append((int(r["cand_poly"]), ring))
-        agg = _divide_walk(xs, ys, cands)
-        rows = [
-            {"arc_id": arc_id, "poly_id": pid, "n_pieces": n, "len_sum": ln}
-            for pid, (n, ln) in sorted(agg.items())
-        ]
-        return pd.DataFrame(rows, columns=["arc_id", "poly_id", "n_pieces", "len_sum"])
 
-    return (
+    grouped = (
         _fold_parallel(pairs, "arc_id")
         .groupBy("arc_id")
-        .applyInPandas(fold, schema="arc_id long, poly_id int, n_pieces int, len_sum double")
+        .agg(
+            F.first("sxs").alias("sxs"),
+            F.first("sys").alias("sys"),
+            F.collect_list(F.struct("cand_poly", "cxs", "cys")).alias("cands"),
+        )
+    )
+    return grouped.mapInPandas(
+        fold, schema="arc_id long, poly_id int, n_pieces int, len_sum double"
     )
 
 
