@@ -1,10 +1,12 @@
 """-points / -filter-islands / -affine / -snap — per-shape derivations
 [SURVEY.md §2.2, §2.7].
 
-Centroid/area run per-polygon inside a grouped pandas UDF (one group per
-feature — a million-feature layer parallelizes); the accumulation is
-sequential ring-order so the DuckDB oracle's SQL ``sum()`` over the edge
-relation reproduces the values bit-for-bit [geometry.shoelace_seq].
+Centroid/area are ROW-LOCAL (one ring per row in the simple-polygon
+model) and run as plain ``mapInPandas`` — no grouping, no shuffle; the
+accumulation is sequential ring-order so the DuckDB oracle's SQL
+``sum()`` over the edge relation reproduces the values bit-for-bit
+[geometry.shoelace_seq]. Multi-ring per-feature ops (inner points,
+dots, island filtering) keep their per-feature groups.
 Affine/snap are pure column math (whole-stage codegen, no UDF).
 """
 
@@ -18,7 +20,13 @@ from .. import geometry
 
 
 def centroids(polygons: DataFrame) -> DataFrame:
-    """-points centroid: (poly_id, cx, cy) via ring-order shoelace."""
+    """-points centroid: (poly_id, cx, cy) via ring-order shoelace.
+
+    Input is the simple-polygon model — ONE ring per row — so the op is
+    row-local: plain ``mapInPandas`` over the table, no grouping, no
+    shuffle (the earlier groupBy(poly_id) hash-exchanged the whole
+    layer to build 1-row groups; values are bitwise unchanged because
+    the per-row kernel is identical)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -36,13 +44,15 @@ def centroids(polygons: DataFrame) -> DataFrame:
             )
         return pd.DataFrame(out, columns=["poly_id", "cx", "cy"])
 
-    return polygons.groupBy("poly_id").applyInPandas(
-        run, schema="poly_id int, cx double, cy double"
+    return polygons.mapInPandas(
+        lambda it: (run(pdf) for pdf in it),
+        schema="poly_id int, cx double, cy double",
     )
 
 
 def areas(polygons: DataFrame) -> DataFrame:
-    """(poly_id, area) — signed shoelace area (CCW positive)."""
+    """(poly_id, area) — signed shoelace area (CCW positive). Row-local
+    like :func:`centroids`: one ring per row, mapInPandas, no shuffle."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -51,8 +61,9 @@ def areas(polygons: DataFrame) -> DataFrame:
             out.append({"poly_id": int(r["poly_id"]), "area": a2 / 2.0})
         return pd.DataFrame(out, columns=["poly_id", "area"])
 
-    return polygons.groupBy("poly_id").applyInPandas(
-        run, schema="poly_id int, area double"
+    return polygons.mapInPandas(
+        lambda it: (run(pdf) for pdf in it),
+        schema="poly_id int, area double",
     )
 
 
