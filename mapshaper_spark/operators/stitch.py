@@ -65,8 +65,10 @@ _SCHEMA = (
 
 
 def _ring_paths(xs: np.ndarray, ys: np.ndarray):
-    """Correct run builder: walk edges in order; a non-seam edge run
-    [i..j] yields the path (v_i .. v_{j+1})."""
+    """Split one closed ring (open storage) into its non-seam edge
+    runs: a run of edges [i..j] yields the open path (v_i .. v_{j+1}).
+    The ring is rotated so a seam edge closes the list first, so runs
+    never wrap (any seam-touched cut piece admits such a rotation)."""
     n = len(xs)
     seam = [xs[i] == xs[(i + 1) % n] and abs(xs[i]) == 180.0 for i in range(n)]
     n_seam = sum(seam)
