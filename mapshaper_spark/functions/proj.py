@@ -1232,3 +1232,49 @@ def winkel_tripel_inverse(
         .withColumn("lon2", F.lit(lon0) + F.degrees(F.col("_wt_l")))
         .drop("_wt_f", "_wt_l")
     )
+
+
+def project_layer(
+    features: DataFrame,
+    fwd,
+    out: tuple[str, str],
+    keys: tuple[str, ...] = ("poly_id", "ring_idx"),
+    xs: str = "xs",
+    ys: str = "ys",
+) -> DataFrame:
+    """Apply any point projection to a RING-ARRAY layer — upstream's
+    ``-proj`` reprojects whole layers, not point tables [UPSTREAM
+    mapshaper-proj.mjs]. Generic over every projection in this module:
+    ``fwd`` is the point-table function (or a lambda binding its
+    parameters) and ``out`` names the two columns it appends (e.g.
+    ``("mx", "my")`` for :func:`to_webmercator`).
+
+    Plan shape: posexplode the vertex arrays → the projection's pure
+    codegen column math per vertex → positional regroup
+    (array_sort(collect_list(struct(pos, v)))) — one shuffle on the
+    ring keys, everything JVM-side; the same explode→regroup prefix-sum
+    pattern the quantized TopoJSON import uses. Vertex order is
+    restored exactly by pos, so ring orientation survives."""
+    pe = features.select(
+        *keys,
+        F.posexplode(F.arrays_zip(F.col(xs), F.col(ys))).alias("_pos", "_p"),
+    ).select(
+        *keys,
+        "_pos",
+        F.col(f"_p.{xs}").alias("lon"),
+        F.col(f"_p.{ys}").alias("lat"),
+    )
+    pr = fwd(pe)
+    ox, oy = out
+    return (
+        pr.groupBy(*keys)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_pos", F.col(ox).alias("v")))).alias("_px"),
+            F.array_sort(F.collect_list(F.struct("_pos", F.col(oy).alias("v")))).alias("_py"),
+        )
+        .select(
+            *keys,
+            F.expr("transform(_px, s -> s.v)").alias(xs),
+            F.expr("transform(_py, s -> s.v)").alias(ys),
+        )
+    )

@@ -1267,3 +1267,43 @@ def test_winkel_tripel_roundtrip_mean_property_and_nodes(spark):
         assert abs(r["wty"] - R * m.pi / 2.0) < 1e-6
         want_x = R * m.radians(r["lon"]) * m.cos(f1) / 2.0
         assert abs(r["wtx"] - want_x) < 1e-6
+
+
+def test_project_layer_roundtrip_and_orientation(spark):
+    """project_layer applies a point projection to ring arrays: the
+    WebMercator fwd->inv round trip restores every vertex (1e-9 deg),
+    ring lengths and vertex ORDER survive the positional regroup, and
+    signed orientation is preserved under the conformal map."""
+    import numpy as np
+
+    from mapshaper_spark import geometry
+    from mapshaper_spark.sources import testdata
+
+    feats = testdata.holed_features(spark)
+    orig = {
+        (r.poly_id, r.ring_idx): (list(r.xs), list(r.ys))
+        for r in feats.collect()
+    }
+    merc = proj_fn.project_layer(feats, proj_fn.to_webmercator, out=("mx", "my"))
+    back = proj_fn.project_layer(
+        merc,
+        lambda df: proj_fn.from_webmercator(df, mx="lon", my="lat"),
+        out=("lon2", "lat2"),
+    )
+    got = {
+        (r.poly_id, r.ring_idx): (list(r.xs), list(r.ys))
+        for r in back.collect()
+    }
+    assert set(got) == set(orig)
+    for k, (oxs, oys) in orig.items():
+        gxs, gys = got[k]
+        assert len(gxs) == len(oxs)
+        assert np.allclose(gxs, oxs, atol=1e-9)
+        assert np.allclose(gys, oys, atol=1e-9)
+    # orientation survives the projection itself (conformal => sign kept)
+    merc_rows = {(r.poly_id, r.ring_idx): (r.xs, r.ys) for r in merc.collect()}
+    for k, (oxs, oys) in orig.items():
+        s_orig = geometry.shoelace_area(np.asarray(oxs), np.asarray(oys))
+        mxs, mys = merc_rows[k]
+        s_merc = geometry.shoelace_area(np.asarray(mxs), np.asarray(mys))
+        assert (s_orig > 0) == (s_merc > 0)
