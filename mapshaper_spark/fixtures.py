@@ -383,6 +383,21 @@ def multiring_edges_values_sql(feats: list[dict] | None = None, name: str = "me"
     return f"(VALUES {','.join(rows)}) AS {name}(poly_id, x1, y1, x2, y2)"
 
 
+def multiring_vertices_values_sql(
+    feats: list[dict] | None = None, name: str = "mv"
+) -> str:
+    """(poly_id, ring_idx, vi, x, y) VALUES relation over EVERY ring
+    vertex of every multi-ring feature (rings stored unclosed, so the
+    closing vertex never appears twice) — the -points vertices
+    oracles' source relation."""
+    rows = []
+    for f in feats if feats is not None else HOLED_FEATURES:
+        for ri, ring in enumerate(f["rings"]):
+            for vi, (x, y) in enumerate(ring):
+                rows.append(f"({f['poly_id']},{ri},{vi},{x!r},{y!r})")
+    return f"(VALUES {','.join(rows)}) AS {name}(poly_id, ring_idx, vi, x, y)"
+
+
 def multiring_pdf(feats: list[dict] | None = None):
     """pandas DataFrame of a multi-ring layer: one row PER RING
     (poly_id, ring_idx, xs, ys) — the distributed feature model the

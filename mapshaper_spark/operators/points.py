@@ -452,3 +452,144 @@ def _segment_quads(
             F.col("sy2") + eyn + nyn,
         ).alias("ys"),
     )
+
+
+def _arc_cum_segments(lines: DataFrame) -> DataFrame:
+    """Shared ``-points midpoints|interpolated`` stage: explode a
+    polyline layer (arc_id, xs, ys) into segments carrying cumulative
+    arc-length offsets. PURE COLUMN MATH — the prefix sum is a per-arc
+    window in segment order (sequential, so an SQL twin's windowed SUM
+    evaluates the identical IEEE chain; the -dashlines oracle proves
+    the pattern). Returns
+    (arc_id, seg_i, ax, ay, bx, by, seg_len, s0, s1)."""
+    from pyspark.sql import Window
+
+    seg = lines.select(
+        "arc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(xs) - 2), i -> named_struct("
+                "'seg_i', i, 'ax', xs[i], 'ay', ys[i],"
+                "'bx', xs[i + 1], 'by', ys[i + 1],"
+                "'seg_len', sqrt((xs[i + 1] - xs[i]) * (xs[i + 1] - xs[i])"
+                " + (ys[i + 1] - ys[i]) * (ys[i + 1] - ys[i]))))"
+            )
+        ).alias("s"),
+    ).select("arc_id", "s.*")
+    w = (
+        Window.partitionBy("arc_id")
+        .orderBy("seg_i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return seg.withColumn(
+        "s0", F.coalesce(F.sum("seg_len").over(w), F.lit(0.0))
+    ).withColumn("s1", F.col("s0") + F.col("seg_len"))
+
+
+def points_midpoints(lines: DataFrame) -> DataFrame:
+    """``-points midpoints``: one point per polyline feature at half its
+    total arc length [UPSTREAM ``src/commands/mapshaper-points.mjs``
+    midpoints mode — public knowledge of mbloch/mapshaper;
+    /root/reference is empty, SURVEY.md §0]. The containing segment is
+    the FIRST whose cumulative end reaches L/2 (min seg_i — a midpoint
+    landing exactly on a shared vertex resolves to the earlier segment
+    at t=1, the same coordinate the next segment gives at t=0). All
+    column math: the only shuffles are the per-arc window and the final
+    min_by aggregation. Returns (arc_id, px, py)."""
+    from pyspark.sql import Window
+
+    c = _arc_cum_segments(lines)
+    w2 = Window.partitionBy("arc_id")
+    cand = (
+        c.withColumn("h", F.max("s1").over(w2) / F.lit(2.0))
+        .filter(F.col("s1") >= F.col("h"))
+        .withColumn("t", (F.col("h") - F.col("s0")) / F.col("seg_len"))
+        .withColumn(
+            "px", F.col("ax") + (F.col("bx") - F.col("ax")) * F.col("t")
+        )
+        .withColumn(
+            "py", F.col("ay") + (F.col("by") - F.col("ay")) * F.col("t")
+        )
+    )
+    return cand.groupBy("arc_id").agg(
+        F.expr("min_by(px, seg_i)").alias("px"),
+        F.expr("min_by(py, seg_i)").alias("py"),
+    )
+
+
+def points_interpolated(lines: DataFrame, interval: float) -> DataFrame:
+    """``-points interpolated interval=``: points at every multiple of
+    ``interval`` along each arc's cumulative length, k = 0 (the start
+    vertex) through floor(L / interval) [UPSTREAM mapshaper-points.mjs
+    interpolated mode — upstream resamples a line at a fixed interval].
+    Candidate indices per segment come from the same ``sequence()``
+    shape as -dashlines, guarded empty when the segment straddles no
+    multiple (Spark's sequence() runs BACKWARD when start > stop — an
+    unguarded call would fabricate candidates outside the segment); a
+    multiple landing exactly on a shared vertex appears as the earlier
+    segment's t=1 and the later one's t=0 — (arc, k) min_by(seg_i)
+    keeps the earlier row, bit-identical coordinates either way.
+    Returns (arc_id, k, px, py)."""
+    d = float(interval)
+    c = _arc_cum_segments(lines)
+    cand = (
+        c.select(
+            "arc_id",
+            "seg_i",
+            "ax",
+            "ay",
+            "bx",
+            "by",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN ceil(s0 / {d!r}D) <= floor(s1 / {d!r}D)"
+                    f" THEN transform(sequence("
+                    f"CAST(ceil(s0 / {d!r}D) AS BIGINT),"
+                    f" CAST(floor(s1 / {d!r}D) AS BIGINT)),"
+                    f" k -> named_struct('k', k,"
+                    f" 't', (k * {d!r}D - s0) / seg_len))"
+                    f" ELSE array() END"
+                )
+            ).alias("kk"),
+        )
+        .select(
+            "arc_id",
+            "seg_i",
+            F.col("kk.k").alias("k"),
+            (F.col("ax") + (F.col("bx") - F.col("ax")) * F.col("kk.t")).alias(
+                "px"
+            ),
+            (F.col("ay") + (F.col("by") - F.col("ay")) * F.col("kk.t")).alias(
+                "py"
+            ),
+        )
+    )
+    return cand.groupBy("arc_id", "k").agg(
+        F.expr("min_by(px, seg_i)").alias("px"),
+        F.expr("min_by(py, seg_i)").alias("py"),
+    )
+
+
+def points_vertices(layer: DataFrame, unique: bool = True) -> DataFrame:
+    """``-points vertices|vertices2``: one point per ring vertex of each
+    feature [UPSTREAM mapshaper-points.mjs — vertices dedups repeated
+    coordinates within a feature, vertices2 keeps every instance].
+    Rings arrive one row per ring (poly_id, ring_idx, xs, ys — stored
+    unclosed, so the closing vertex never double-counts) and leave as
+    exploded vertex rows; map-only plus one distinct shuffle in the
+    unique mode. Returns (poly_id, x, y) unique, or
+    (poly_id, ring_idx, vi, x, y) with duplicates."""
+    v = layer.select(
+        "poly_id",
+        "ring_idx",
+        F.posexplode(F.arrays_zip("xs", "ys")).alias("vi", "v"),
+    ).select(
+        "poly_id",
+        "ring_idx",
+        "vi",
+        F.col("v.xs").alias("x"),
+        F.col("v.ys").alias("y"),
+    )
+    if unique:
+        return v.select("poly_id", "x", "y").distinct()
+    return v

@@ -3998,6 +3998,107 @@ def q_dashlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_op.dashlines(lines, dash=1.5, gap=0.5)
 
 
+_ARC_CUM_SQL = f"""
+    segs AS (SELECT arc_id, seg_i, CAST(x1 AS DOUBLE) AS ax,
+                    CAST(y1 AS DOUBLE) AS ay, CAST(x2 AS DOUBLE) AS bx,
+                    CAST(y2 AS DOUBLE) AS by
+             FROM {fixtures.divide_segments_values_sql()}),
+    sl AS (SELECT arc_id, seg_i, ax, ay, bx, by,
+                  sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+                      AS seg_len
+           FROM segs),
+    c AS (SELECT arc_id, seg_i, ax, ay, bx, by, seg_len,
+                 COALESCE(SUM(seg_len) OVER (PARTITION BY arc_id
+                          ORDER BY seg_i ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0.0) AS s0
+          FROM sl)"""
+
+
+@query(
+    "points_midpoints",
+    f"""
+    WITH {_ARC_CUM_SQL},
+    cc AS (SELECT *, s0 + seg_len AS s1,
+                  MAX(s0 + seg_len) OVER (PARTITION BY arc_id) / 2.0 AS h
+           FROM c),
+    cand AS (SELECT arc_id, seg_i,
+                    ax + (bx - ax) * ((h - s0) / seg_len) AS px,
+                    ay + (by - ay) * ((h - s0) / seg_len) AS py
+             FROM cc WHERE s1 >= h)
+    SELECT CAST(arc_id AS BIGINT) AS arc_id,
+           arg_min(px, seg_i) AS px, arg_min(py, seg_i) AS py
+    FROM cand GROUP BY arc_id
+    """,
+)
+def q_points_midpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-points midpoints: one point per polyline at half its total arc
+    length [UPSTREAM mapshaper-points.mjs midpoints mode — completes
+    the §2.7 -points row alongside centroid/inner/x,y/vertices]. Pure
+    column math over the dyadic -divide polyline fixture: cumulative
+    lengths are exact integer sums (axis-aligned power-of-two spans,
+    IEEE-exact sqrt), L/2 is a power-of-two division, and the
+    interpolation parameter t = (L/2 - s0)/seg_len divides dyadics by
+    powers of two — every coordinate hash-matches. The containing
+    segment is the FIRST with s1 >= L/2 (min_by/arg_min on seg_i: a
+    midpoint on a shared vertex resolves to the earlier segment at
+    t=1, bit-identical to the next segment's t=0)."""
+    lines = topology.arcs_df(spark, fixtures.DIVIDE_LINES)
+    return points_op.points_midpoints(lines)
+
+
+@query(
+    "points_interpolated",
+    f"""
+    WITH {_ARC_CUM_SQL},
+    kk AS (SELECT arc_id, seg_i, ax, ay, bx, by, seg_len, s0,
+                  unnest(generate_series(
+                      CAST(ceil(s0 / 2.0) AS BIGINT),
+                      CAST(floor((s0 + seg_len) / 2.0) AS BIGINT))) AS k
+           FROM c),
+    cand AS (SELECT arc_id, seg_i, k,
+                    ax + (bx - ax) * ((k * 2.0 - s0) / seg_len) AS px,
+                    ay + (by - ay) * ((k * 2.0 - s0) / seg_len) AS py
+             FROM kk)
+    SELECT CAST(arc_id AS BIGINT) AS arc_id, k,
+           arg_min(px, seg_i) AS px, arg_min(py, seg_i) AS py
+    FROM cand GROUP BY arc_id, k
+    """,
+)
+def q_points_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-points interpolated interval=2: resample each polyline at every
+    multiple of the interval along its cumulative length, k = 0 (the
+    start vertex) through floor(L/2) [UPSTREAM mapshaper-points.mjs
+    interpolated mode]. Same sequence()-candidate shape as -dashlines,
+    guarded empty when a segment straddles no multiple (Spark's
+    sequence() runs BACKWARD when start > stop; DuckDB's
+    generate_series returns empty — the guard keeps the Spark side from
+    fabricating candidates). A multiple landing on a shared vertex
+    appears as the earlier segment's t=1 and the later's t=0 —
+    min_by/arg_min(seg_i) keeps the earlier row on both engines,
+    bit-identical coordinates either way. The dyadic fixture keeps
+    k*2.0, the prefix sums, and t exact, so coordinates hash-match."""
+    lines = topology.arcs_df(spark, fixtures.DIVIDE_LINES)
+    return points_op.points_interpolated(lines, interval=2.0)
+
+
+@query(
+    "points_vertices",
+    f"""
+    WITH v AS (SELECT poly_id, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+               FROM {fixtures.multiring_vertices_values_sql()})
+    SELECT DISTINCT poly_id, x, y FROM v
+    """,
+)
+def q_points_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-points vertices: one point per UNIQUE vertex of each feature
+    (vertices2 — the keep-duplicates variant — is the same explode
+    without the distinct; pytest covers it) [UPSTREAM
+    mapshaper-points.mjs vertices/vertices2 modes]. Map-only explode
+    over the holed multi-ring layer plus one distinct shuffle; rings
+    are stored unclosed, so closing vertices never double-count."""
+    return points_op.points_vertices(testdata.holed_features(spark))
+
+
 @query(
     "stitch_antimeridian",
     f"""
@@ -4322,6 +4423,14 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 _DRIVER_WINDOW = [
     # graded spatial core (kept exemplars — every family retains at
     # least one hard driver row while twice-green variants rotate out)
+    # r5 continuation: the three new -points modes (midpoints /
+    # interpolated / vertices) register in the PARITY TAIL deliberately
+    # — their plan families are already exemplified in-window
+    # (dashlines_intervals carries the identical segment-explode →
+    # per-arc-window → sequence()-candidate shape; explode+distinct is
+    # exercised by the token/dedup rows) — per the window invariant this
+    # note records the placement decision rather than letting them fall
+    # past slot 50 silently.
     # r5 ROTATION [VERDICT r4 #2 / CLAUDE.md window invariant]:
     # clean_rings_tiled (the last parity-only ring emitter) displaces
     # its own plan-variant clean_overlap_assignment (same min-id
