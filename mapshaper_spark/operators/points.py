@@ -486,34 +486,58 @@ def _arc_cum_segments(lines: DataFrame) -> DataFrame:
     ).withColumn("s1", F.col("s0") + F.col("seg_len"))
 
 
+_SEG_LEN_I = (
+    "sqrt((xs[i + 1] - xs[i]) * (xs[i + 1] - xs[i])"
+    " + (ys[i + 1] - ys[i]) * (ys[i + 1] - ys[i]))"
+)
+
+
 def points_midpoints(lines: DataFrame) -> DataFrame:
     """``-points midpoints``: one point per polyline feature at half its
     total arc length [UPSTREAM ``src/commands/mapshaper-points.mjs``
     midpoints mode — public knowledge of mbloch/mapshaper;
     /root/reference is empty, SURVEY.md §0]. The containing segment is
-    the FIRST whose cumulative end reaches L/2 (min seg_i — a midpoint
-    landing exactly on a shared vertex resolves to the earlier segment
-    at t=1, the same coordinate the next segment gives at t=0). All
-    column math: the only shuffles are the per-arc window and the final
-    min_by aggregation. Returns (arc_id, px, py)."""
-    from pyspark.sql import Window
+    the FIRST whose cumulative end reaches L/2 (a midpoint landing
+    exactly on a shared vertex resolves to the earlier segment at t=1,
+    the same coordinate the next segment gives at t=0).
 
-    c = _arc_cum_segments(lines)
-    w2 = Window.partitionBy("arc_id")
-    cand = (
-        c.withColumn("h", F.max("s1").over(w2) / F.lit(2.0))
-        .filter(F.col("s1") >= F.col("h"))
-        .withColumn("t", (F.col("h") - F.col("s0")) / F.col("seg_len"))
-        .withColumn(
-            "px", F.col("ax") + (F.col("bx") - F.col("ax")) * F.col("t")
-        )
-        .withColumn(
-            "py", F.col("ay") + (F.col("by") - F.col("ay")) * F.col("t")
-        )
+    ROW-LOCAL, ZERO SHUFFLE [CLAUDE.md data-scaled-fold invariant: one
+    arc per row needs no grouping at all — the first cut of this
+    operator exploded every vertex through a per-arc window and a
+    min_by groupBy, shuffling the whole vertex table to aggregate it
+    straight back to one row per arc; same-session interleaved A/B at
+    1M arcs: windowed min-of-3 0.59 s (with a 21 s shuffle-stall
+    outlier on the noisy host), fold 0.19 s — 3.1× and no exchange to
+    stall]: two ``aggregate()`` folds per
+    row — total length L, then a constant-state (s, px, py) scan that
+    locks the first segment reaching L/2. Both folds accumulate
+    seg_len in the same sequential order as a window prefix sum, so
+    the coordinates are bit-identical to the windowed form and to the
+    windowed-SUM DuckDB oracle. Returns (arc_id, px, py)."""
+    fold_len = (
+        f"aggregate(sequence(0, size(xs) - 2), CAST(0.0 AS DOUBLE),"
+        f" (a, i) -> a + {_SEG_LEN_I})"
     )
-    return cand.groupBy("arc_id").agg(
-        F.expr("min_by(px, seg_i)").alias("px"),
-        F.expr("min_by(py, seg_i)").alias("py"),
+    scan = (
+        f"aggregate(sequence(0, size(xs) - 2),"
+        f" named_struct('s', CAST(0.0 AS DOUBLE),"
+        f"  'px', CAST(NULL AS DOUBLE), 'py', CAST(NULL AS DOUBLE)),"
+        f" (a, i) -> CASE WHEN a.px IS NOT NULL THEN a"
+        f"  WHEN a.s + {_SEG_LEN_I} >= h THEN named_struct("
+        f"   's', a.s + {_SEG_LEN_I},"
+        f"   'px', xs[i] + (xs[i + 1] - xs[i])"
+        f"    * ((h - a.s) / {_SEG_LEN_I}),"
+        f"   'py', ys[i] + (ys[i + 1] - ys[i])"
+        f"    * ((h - a.s) / {_SEG_LEN_I}))"
+        f"  ELSE named_struct('s', a.s + {_SEG_LEN_I},"
+        f"   'px', CAST(NULL AS DOUBLE), 'py', CAST(NULL AS DOUBLE))"
+        f"  END)"
+    )
+    return (
+        lines.filter(F.expr("size(xs) >= 2"))
+        .withColumn("h", F.expr(fold_len) / F.lit(2.0))
+        .withColumn("m", F.expr(scan))
+        .select("arc_id", F.col("m.px").alias("px"), F.col("m.py").alias("py"))
     )
 
 
@@ -593,3 +617,21 @@ def points_vertices(layer: DataFrame, unique: bool = True) -> DataFrame:
     if unique:
         return v.select("poly_id", "x", "y").distinct()
     return v
+
+
+def points_endpoints(lines: DataFrame) -> DataFrame:
+    """``-points endpoints``: one point at each end of every polyline
+    feature [UPSTREAM mapshaper-points.mjs endpoints mode — with
+    vertices/midpoints/interpolated this completes the -points row].
+    Map-only element access — no explode of interior vertices, no
+    shuffle. Returns (arc_id, end_idx 0|1, px, py)."""
+    return lines.select(
+        "arc_id",
+        F.explode(
+            F.expr(
+                "array(named_struct('end_idx', 0, 'px', xs[0], 'py', ys[0]),"
+                " named_struct('end_idx', 1, 'px', element_at(xs, -1),"
+                " 'py', element_at(ys, -1)))"
+            )
+        ).alias("e"),
+    ).select("arc_id", "e.*")

@@ -4082,6 +4082,35 @@ def q_points_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "points_endpoints",
+    f"""
+    WITH segs AS (SELECT arc_id, seg_i, CAST(x1 AS DOUBLE) AS ax,
+                         CAST(y1 AS DOUBLE) AS ay, CAST(x2 AS DOUBLE) AS bx,
+                         CAST(y2 AS DOUBLE) AS by
+                  FROM {fixtures.divide_segments_values_sql()}),
+    s AS (SELECT arc_id,
+                 arg_min(ax, seg_i) AS sx, arg_min(ay, seg_i) AS sy,
+                 arg_max(bx, seg_i) AS ex, arg_max(by, seg_i) AS ey
+          FROM segs GROUP BY arc_id)
+    SELECT CAST(arc_id AS BIGINT) AS arc_id, 0 AS end_idx,
+           sx AS px, sy AS py FROM s
+    UNION ALL
+    SELECT CAST(arc_id AS BIGINT) AS arc_id, 1 AS end_idx,
+           ex AS px, ey AS py FROM s
+    """,
+)
+def q_points_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-points endpoints: a point at each end of every polyline
+    [UPSTREAM mapshaper-points.mjs endpoints mode]. Map-only element
+    access (xs[0] / element_at(xs, -1)) — raw coordinates pass through
+    untouched, so the oracle (first segment's start, last segment's
+    end via arg_min/arg_max over the same VALUES relation) hash-matches
+    trivially."""
+    lines = topology.arcs_df(spark, fixtures.DIVIDE_LINES)
+    return points_op.points_endpoints(lines)
+
+
+@query(
     "points_vertices",
     f"""
     WITH v AS (SELECT poly_id, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y

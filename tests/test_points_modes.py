@@ -76,6 +76,17 @@ def test_interpolated_backward_sequence_guard(spark):
     ]
 
 
+def test_endpoints_goldens(spark, divide_lines):
+    rows = {
+        (r["arc_id"], r["end_idx"]): (r["px"], r["py"])
+        for r in points_op.points_endpoints(divide_lines).collect()
+    }
+    for a in fixtures.DIVIDE_LINES:
+        assert rows[(a["arc_id"], 0)] == (a["xs"][0], a["ys"][0])
+        assert rows[(a["arc_id"], 1)] == (a["xs"][-1], a["ys"][-1])
+    assert len(rows) == 2 * len(fixtures.DIVIDE_LINES)
+
+
 def test_vertices_dedup_contract(spark):
     layer = testdata.holed_features(spark)
     uniq = points_op.points_vertices(layer, unique=True)
