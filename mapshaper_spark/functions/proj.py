@@ -1278,3 +1278,99 @@ def project_layer(
             F.expr("transform(_py, s -> s.v)").alias(ys),
         )
     )
+
+
+def rotate_sphere(
+    df: DataFrame,
+    angles: tuple[float, float, float],
+    lon: str = "lon",
+    lat: str = "lat",
+    out: tuple[str, str] = ("rlon", "rlat"),
+) -> DataFrame:
+    """``-rotate``: spherical rotation of a lat-long dataset by Euler
+    angles (dlam, dphi, dgamma) in degrees [UPSTREAM
+    ``src/commands/mapshaper-rotate.mjs`` — public knowledge of
+    mbloch/mapshaper; /root/reference is empty, SURVEY.md §0 — upstream
+    rotates world layers before projecting (re-center a world map on
+    the Pacific, put a chosen city at the projection center)].
+
+    Convention is the d3-geo one upstream uses: rotate longitude by
+    dlam, then the phi/gamma rotation on the unit sphere —
+    x = cos(l + dlam) cos(p), y = sin(l + dlam) cos(p), z = sin(p),
+    k = z cos(dphi) + x sin(dphi),
+    lon' = atan2(y cos(dg) - k sin(dg), x cos(dphi) - z sin(dphi)),
+    lat' = asin(k cos(dg) + y sin(dg)).
+    Longitudes enter only through cos/sin and leave through atan2, so
+    the output is always in [-180, 180] with no explicit wrapping.
+    PURE CODEGEN column math; rotation is an isometry of the sphere
+    (great-circle distances are preserved — the property pytest pins
+    it). Not hash-oracled: trig is not ULP-portable across libm
+    [SURVEY.md §5.2], same as every -proj row."""
+    dl, dp, dg = (math.radians(a) for a in angles)
+    l = F.radians(F.col(lon)) + F.lit(dl)
+    p = F.radians(F.col(lat))
+    x = F.cos(l) * F.cos(p)
+    y = F.sin(l) * F.cos(p)
+    z = F.sin(p)
+    k = z * F.lit(math.cos(dp)) + x * F.lit(math.sin(dp))
+    olon, olat = out
+    return df.withColumn(
+        olon,
+        F.degrees(
+            F.atan2(
+                y * F.lit(math.cos(dg)) - k * F.lit(math.sin(dg)),
+                x * F.lit(math.cos(dp)) - z * F.lit(math.sin(dp)),
+            )
+        ),
+    ).withColumn(
+        olat,
+        F.degrees(
+            F.asin(
+                F.greatest(
+                    F.lit(-1.0),
+                    F.least(
+                        F.lit(1.0), k * F.lit(math.cos(dg)) + y * F.lit(math.sin(dg))
+                    ),
+                )
+            )
+        ),
+    )
+
+
+def rotate_sphere_inverse(
+    df: DataFrame,
+    angles: tuple[float, float, float],
+    lon: str = "rlon",
+    lat: str = "rlat",
+    out: tuple[str, str] = ("lon2", "lat2"),
+) -> DataFrame:
+    """Inverse of :func:`rotate_sphere`: the phi/gamma rotation inverts
+    with negated angles in reverse order (gamma first, then phi), and
+    the longitude shift subtracts at the END — the mirror of the
+    forward composition. The final wrap keeps lon2 in [-180, 180]
+    (the subtraction can leave the atan2 range)."""
+    dl, dp, dg = (math.radians(a) for a in angles)
+    l = F.radians(F.col(lon))
+    p = F.radians(F.col(lat))
+    x = F.cos(l) * F.cos(p)
+    y = F.sin(l) * F.cos(p)
+    z = F.sin(p)
+    # inverse gamma (about the x-axis analog), then inverse phi
+    k = z * F.lit(math.cos(-dg)) + y * F.lit(math.sin(-dg))
+    y2 = y * F.lit(math.cos(-dg)) - z * F.lit(math.sin(-dg))
+    z2 = k
+    k2 = z2 * F.lit(math.cos(-dp)) + x * F.lit(math.sin(-dp))
+    x2 = x * F.lit(math.cos(-dp)) - z2 * F.lit(math.sin(-dp))
+    olon, olat = out
+    lon_unwrapped = F.degrees(F.atan2(y2, x2)) - F.lit(math.degrees(dl))
+    return df.withColumn(
+        olon,
+        lon_unwrapped
+        - F.lit(360.0)
+        * F.floor((lon_unwrapped + F.lit(180.0)) / F.lit(360.0)),
+    ).withColumn(
+        olat,
+        F.degrees(
+            F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), k2)))
+        ),
+    )

@@ -4129,6 +4129,64 @@ def q_points_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "point_grid",
+    """
+    WITH j AS (SELECT CAST(v AS INT) AS jc FROM generate_series(0, 7) t(v)),
+    i AS (SELECT CAST(v AS INT) AS ir FROM generate_series(0, 3) t(v))
+    SELECT ir AS row, jc AS col,
+           0.0 + (CAST(jc AS DOUBLE) + 0.5) * 2.0 AS px,
+           -4.0 + (CAST(ir AS DOUBLE) + 0.5) * 2.0 AS py
+    FROM i, j
+    """,
+)
+def q_point_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-point-grid: a cols×rows lattice of points at the cell centers
+    of a bbox partition [UPSTREAM mapshaper-point-grid.mjs — upstream
+    generates sample-point layers this way]. 8×4 over the dyadic bbox
+    (0, -4, 16, 4): cell sides are exactly 2.0, centers are exact, so
+    the generate_series oracle hash-matches. Pure spark.range
+    arithmetic — the 100-TB shape is the same expression over a
+    billion-cell range, no data movement at all."""
+    cols, rows = 8, 4
+    x0, y0, x1, y1 = 0.0, -4.0, 16.0, 4.0
+    g = spark.range(cols * rows).selectExpr(
+        f"CAST(id DIV {cols} AS INT) AS row",
+        f"CAST(id % {cols} AS INT) AS col",
+    )
+    return g.select(
+        "row",
+        "col",
+        (
+            F.lit(x0)
+            + (F.col("col").cast("double") + F.lit(0.5))
+            * F.lit((x1 - x0) / cols)
+        ).alias("px"),
+        (
+            F.lit(y0)
+            + (F.col("row").cast("double") + F.lit(0.5))
+            * F.lit((y1 - y0) / rows)
+        ).alias("py"),
+    )
+
+
+@query("rotate_world_roundtrip")
+def q_rotate_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-rotate: spherical rotation of a lat-long layer by Euler angles
+    (the d3-geo convention upstream uses — re-center a world map
+    before projecting) [UPSTREAM mapshaper-rotate.mjs]. Forward +
+    inverse over the point layer; rows-only like every -proj row
+    (trig is not ULP-portable across libm [SURVEY.md §5.2]); pytest
+    pins inverse identity < 1e-9 deg, the isometry DEFINING property
+    (great-circle distances preserved), 90°-rotation goldens, and a
+    numpy twin."""
+    pts = testdata.customer_points(spark, sf_dir)
+    r = proj_fn.rotate_sphere(pts, (110.0, -35.0, 20.0))
+    return proj_fn.rotate_sphere_inverse(r, (110.0, -35.0, 20.0)).select(
+        "point_id", "lon", "lat", "rlon", "rlat", "lon2", "lat2"
+    )
+
+
+@query(
     "stitch_antimeridian",
     f"""
     WITH RECURSIVE v AS (SELECT fid, pid, vi, CAST(x AS DOUBLE) AS x,
