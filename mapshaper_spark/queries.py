@@ -2437,6 +2437,79 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_quality_gate",
+    """
+    WITH d AS (SELECT doc_id, source,
+                 (length(text) - length(replace(text, ' ', '')) + 1)
+                     AS n_words,
+                 CASE WHEN length(text)
+                           - length(replace(text, ' the ', ' th ')) >= 2
+                      THEN 1 ELSE 0 END AS has_stop
+               FROM documents),
+    s AS (SELECT source,
+                 CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS mean_words,
+                 CAST(SUM(has_stop) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     AS frac_stop
+          FROM d GROUP BY source)
+    SELECT d.doc_id, d.source, s.mean_words, s.frac_stop,
+           (s.mean_words >= 52.0 AND s.frac_stop >= 0.4) AS src_pass
+    FROM d JOIN s USING (source)
+    """,
+)
+def q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-level quality gating [task brief: training-data pipeline;
+    the C4/RefinedWeb pattern — judge an entire domain/source by its
+    aggregate quality and drop every document from failing sources,
+    catching boilerplate farms whose individual docs pass per-doc
+    rules]. Two-level shape: per-doc measurements (map-only string
+    math, shared with gopher_quality_rules) → per-source aggregate
+    (exact integer sums, explicit CAST-to-DOUBLE division — never
+    avg(), whose engine-internal accumulation order differs) → the
+    verdict joins BACK to every doc row broadcast (the source table is
+    domains-sized metadata, millions of rows at 100 TB vs billions of
+    docs — exactly the broadcast-dim shape). Parity tail: the map-only
+    string family keeps language_id_stopword in-window."""
+    d = testdata.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_words"),
+        (
+            F.length("text")
+            - F.length(
+                F.replace(F.col("text"), F.lit(" the "), F.lit(" th "))
+            )
+            >= 2
+        )
+        .cast("int")
+        .alias("has_stop"),
+    )
+    s = d.groupBy("source").agg(
+        (
+            F.sum("n_words").cast("double") / F.count("*").cast("double")
+        ).alias("mean_words"),
+        (
+            F.sum("has_stop").cast("double") / F.count("*").cast("double")
+        ).alias("frac_stop"),
+    )
+    gate = s.select(
+        "source",
+        "mean_words",
+        "frac_stop",
+        (
+            (F.col("mean_words") >= 52.0) & (F.col("frac_stop") >= 0.4)
+        ).alias("src_pass"),
+    )
+    return d.join(F.broadcast(gate), "source").select(
+        "doc_id", "source", "mean_words", "frac_stop", "src_pass"
+    )
+
+
+@query(
     "cross_doc_ngram_overlap",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
