@@ -42,6 +42,10 @@ NAMES = (
     "stitch_antimeridian",
     "pii_scrub_redaction",
     "topojson_quantized_stats",
+    "points_midpoints",
+    "points_interpolated",
+    "source_quality_gate",
+    "rotate_world_roundtrip",
 )
 
 
@@ -62,6 +66,11 @@ def main() -> None:
         "aggregate over the checkpointed RDD — the replicate/fold/pair/",
         "CC stages execute eagerly before the frame is returned and are",
         "visible in the per-stage plans of earlier rounds' dumps.",
+        "The -points arc-length rows (midpoints/interpolated) read as",
+        "bare LocalTableScan here: their fixture is a literal local",
+        "relation, so Catalyst constant-folds the ENTIRE zero-exchange",
+        "fold at optimization time — the distributed shape is exhibited",
+        "by scripts/points_scale_probe.py over a 1M-arc range instead.",
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     for name in NAMES:
