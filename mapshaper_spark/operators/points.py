@@ -525,10 +525,15 @@ def points_midpoints(lines: DataFrame) -> DataFrame:
         f" (a, i) -> CASE WHEN a.px IS NOT NULL THEN a"
         f"  WHEN a.s + {_SEG_LEN_I} >= h THEN named_struct("
         f"   's', a.s + {_SEG_LEN_I},"
-        f"   'px', xs[i] + (xs[i + 1] - xs[i])"
-        f"    * ((h - a.s) / {_SEG_LEN_I}),"
-        f"   'py', ys[i] + (ys[i + 1] - ys[i])"
-        f"    * ((h - a.s) / {_SEG_LEN_I}))"
+        # zero-length segment (or an all-degenerate L = 0 arc): the
+        # interpolation divide would be 0/0 -> NaN; lock the segment
+        # start instead (t = 0), which IS the midpoint of a point
+        f"   'px', CASE WHEN {_SEG_LEN_I} > 0.0D THEN"
+        f"    xs[i] + (xs[i + 1] - xs[i]) * ((h - a.s) / {_SEG_LEN_I})"
+        f"    ELSE xs[i] END,"
+        f"   'py', CASE WHEN {_SEG_LEN_I} > 0.0D THEN"
+        f"    ys[i] + (ys[i + 1] - ys[i]) * ((h - a.s) / {_SEG_LEN_I})"
+        f"    ELSE ys[i] END)"
         f"  ELSE named_struct('s', a.s + {_SEG_LEN_I},"
         f"   'px', CAST(NULL AS DOUBLE), 'py', CAST(NULL AS DOUBLE))"
         f"  END)"
@@ -557,7 +562,11 @@ def points_interpolated(lines: DataFrame, interval: float) -> DataFrame:
     d = float(interval)
     c = _arc_cum_segments(lines)
     cand = (
-        c.select(
+        # zero-length segments contribute nothing (a multiple landing
+        # exactly on one would divide 0/0 -> NaN; the same multiple is
+        # always carried by the adjacent nonzero segment at t=0 / t=1)
+        c.filter(F.col("seg_len") > 0.0)
+        .select(
             "arc_id",
             "seg_i",
             "ax",

@@ -76,6 +76,30 @@ def test_interpolated_backward_sequence_guard(spark):
     ]
 
 
+def test_degenerate_zero_length_guards(spark):
+    # zero-length segments must never produce NaN: an arc with a
+    # doubled vertex (and one entirely degenerate point-arc) keeps
+    # exact coordinates in every mode
+    lines = topology.arcs_df(
+        spark,
+        [
+            # doubled vertex mid-arc; L = 4, midpoint on the dup vertex
+            {"arc_id": 0, "xs": [0.0, 2.0, 2.0, 4.0], "ys": [0.0] * 4},
+            # all vertices identical: L = 0
+            {"arc_id": 1, "xs": [5.0, 5.0, 5.0], "ys": [7.0, 7.0, 7.0]},
+        ],
+    )
+    mid = {r["arc_id"]: (r["px"], r["py"])
+           for r in points_op.points_midpoints(lines).collect()}
+    assert mid[0] == (2.0, 0.0)
+    assert mid[1] == (5.0, 7.0)  # midpoint of a point is the point
+    interp = [(r["arc_id"], r["k"], r["px"], r["py"])
+              for r in points_op.points_interpolated(lines, 2.0).collect()]
+    assert sorted(interp) == [
+        (0, 0, 0.0, 0.0), (0, 1, 2.0, 0.0), (0, 2, 4.0, 0.0)
+    ]  # arc 1 has no nonzero segment -> no rows, never NaN
+
+
 def test_endpoints_goldens(spark, divide_lines):
     rows = {
         (r["arc_id"], r["end_idx"]): (r["px"], r["py"])
