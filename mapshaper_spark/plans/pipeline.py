@@ -68,6 +68,17 @@ def load_source(spark: SparkSession, src: dict) -> DataFrame:
         return testdata.load(spark, src["sf_dir"], src["table"])
     if kind == "images":
         return fixtures.images_df(spark, src.get("n", 10_000), src.get("partitions", 32))
+    if kind == "buffer_lines":  # fixture polyline layer (feature_id, key, xs, ys)
+        return spark.createDataFrame(
+            fixtures.buffer_lines_pdf(),
+            schema="feature_id int, key string, xs array<double>, ys array<double>",
+        )
+    if kind == "holed_features":  # multi-ring fixture layer
+        return testdata.holed_features(spark)
+    if kind == "divide_lines":  # dyadic polyline fixture (arc_id, xs, ys)
+        from ..operators import topology
+
+        return topology.arcs_df(spark, fixtures.DIVIDE_LINES)
     raise ValueError(f"unknown source kind {kind!r}")
 
 
@@ -169,6 +180,107 @@ def _checkpoint(spark, df, o):
     out = spark.read.parquet(o["out"]).drop("_bucket", "_stage")
     out._lineage_metrics = m  # surfaced for callers/tests
     return out
+
+
+@op("dissolve2_rings")
+def _dissolve2_rings(spark, df, o):
+    """-dissolve2 with ring-geometry output (tiled emitter); input is a
+    ring layer (key, feature_id, xs, ys)."""
+    from ..operators import overlay as overlay_op
+
+    return overlay_op.dissolve2_rings_tiled(
+        df,
+        res=o.get("res", 4),
+        max_rep_cells=o.get("max_rep_cells", 8),
+        chunked=o.get("chunked", False),
+    )
+
+
+@op("clean_rings")
+def _clean_rings(spark, df, o):
+    """-clean ring-geometry output (tiled emitter)."""
+    from ..operators import overlay as overlay_op
+
+    return overlay_op.clean_rings_tiled(
+        df,
+        res=o.get("res", 4),
+        max_rep_cells=o.get("max_rep_cells", 8),
+        chunked=o.get("chunked", False),
+    )
+
+
+@op("buffer")
+def _buffer(spark, df, o):
+    """-buffer quads: kind = points|polylines|polygons. Emits the quad
+    rings (plus the original rings for polygons); merge per key with
+    dissolve2/dissolve2_rings downstream, exactly like the upstream
+    -buffer ... -dissolve2 composition."""
+    from ..operators import points as points_op
+
+    kind = o.get("kind", "polylines")
+    r = float(o["radius"])
+    if kind == "points":
+        return points_op.buffer_points(df, r, k=o.get("k", 4))
+    if kind == "polylines":
+        return points_op.buffer_polylines(df, r)
+    if kind == "polygons":
+        return points_op.buffer_polygons(df, r)
+    raise ValueError(f"unknown buffer kind {kind!r}")
+
+
+@op("points_mode")
+def _points_mode(spark, df, o):
+    """-points vertices|vertices2|endpoints|midpoints|interpolated over
+    a polyline/ring layer."""
+    from ..operators import points as points_op
+
+    mode = o["mode"]
+    if mode == "vertices":
+        return points_op.points_vertices(df, unique=True)
+    if mode == "vertices2":
+        return points_op.points_vertices(df, unique=False)
+    if mode == "endpoints":
+        return points_op.points_endpoints(df)
+    if mode == "midpoints":
+        return points_op.points_midpoints(df)
+    if mode == "interpolated":
+        return points_op.points_interpolated(df, float(o["interval"]))
+    raise ValueError(f"unknown -points mode {mode!r}")
+
+
+@op("project")
+def _project(spark, df, o):
+    """-proj on a ring-array layer: projection by NAME from
+    functions/proj.py (any fwd function appending two columns), through
+    project_layer's explode -> codegen -> positional regroup."""
+    from ..functions import proj as proj_fn
+
+    name = o["name"]
+    out = tuple(o.get("out", ("px", "py")))
+    keys = tuple(o.get("keys", ("poly_id", "ring_idx")))
+    fwd = getattr(proj_fn, name, None)
+    if fwd is None or not callable(fwd):
+        raise ValueError(f"unknown projection {name!r}")
+    kwargs = o.get("args", {})
+    return proj_fn.project_layer(
+        df, lambda d: fwd(d, **kwargs), out=out, keys=keys
+    )
+
+
+@op("rotate")
+def _rotate(spark, df, o):
+    """-rotate a ring-array layer by Euler angles (spherical,
+    d3 convention) through project_layer."""
+    from ..functions import proj as proj_fn
+
+    angles = tuple(float(a) for a in o["angles"])
+    keys = tuple(o.get("keys", ("poly_id", "ring_idx")))
+    return proj_fn.project_layer(
+        df,
+        lambda d: proj_fn.rotate_sphere(d, angles, out=("rx", "ry")),
+        out=("rx", "ry"),
+        keys=keys,
+    )
 
 
 # ---------------------------------------------------------------- runner ---
