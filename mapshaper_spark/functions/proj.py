@@ -1374,3 +1374,144 @@ def rotate_sphere_inverse(
             F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), k2)))
         ),
     )
+
+
+def _aitoff_xy(f, dl):
+    """Aitoff forward pair in R=1 units (public formulas — Snyder):
+    a = acos(cos φ cos(Δλ/2)), sinc a guarded at 0;
+    x = 2 cos φ sin(Δλ/2)/sinc a, y = sin φ / sinc a. The same
+    component :func:`_wt_xy` averages with equirectangular."""
+    half = dl * F.lit(0.5)
+    ca = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.cos(f) * F.cos(half)))
+    a = F.acos(ca)
+    sinc = F.when(a > F.lit(1e-12), F.sin(a) / a).otherwise(F.lit(1.0))
+    x = F.lit(2.0) * F.cos(f) * F.sin(half) / sinc
+    y = F.sin(f) / sinc
+    return x, y
+
+
+def aitoff(
+    df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Aitoff [UPSTREAM -proj aitoff — in mapshaper's bundled
+    projection set; the azimuthal-equidistant-stretch world map whose
+    mean with equirectangular is Winkel Tripel]. Pure codegen column
+    math; appends (atx, aty)."""
+    f = F.radians(F.col(lat))
+    dl = F.radians(F.col(lon) - F.lit(lon0))
+    x, y = _aitoff_xy(f, dl)
+    return df.withColumn("atx", F.lit(R) * x).withColumn("aty", F.lit(R) * y)
+
+
+def aitoff_inverse(
+    df: DataFrame, lon0: float = 0.0, atx: str = "atx", aty: str = "aty"
+) -> DataFrame:
+    """Inverse Aitoff — no closed form; the same fixed-count 2D Newton
+    with a forward-difference Jacobian as :func:`winkel_tripel_inverse`
+    (every intermediate rebound through withColumn, degenerate
+    Jacobians skip the step, iterates clamp to the chart box). Initial
+    guesses are EXACT on the axes: y = φ on the central meridian,
+    x = Δλ on the equator."""
+    X = F.col(atx) / F.lit(R)
+    Y = F.col(aty) / F.lit(R)
+    out = df.withColumn(
+        "_at_f",
+        F.least(F.lit(math.pi / 2.0), F.greatest(F.lit(-math.pi / 2.0), Y)),
+    ).withColumn(
+        "_at_l",
+        F.least(F.lit(math.pi), F.greatest(F.lit(-math.pi), X)),
+    )
+    for _ in range(_WT_ITERS):
+        f, l = F.col("_at_f"), F.col("_at_l")
+        x0, y0 = _aitoff_xy(f, l)
+        out = out.withColumn("_at_x0", x0).withColumn("_at_y0", y0)
+        xf, yf = _aitoff_xy(f + F.lit(_WT_EPS), l)
+        out = out.withColumn("_at_xf", xf).withColumn("_at_yf", yf)
+        xl, yl = _aitoff_xy(f, l + F.lit(_WT_EPS))
+        out = out.withColumn("_at_xl", xl).withColumn("_at_yl", yl)
+        j00 = (F.col("_at_xf") - F.col("_at_x0")) / F.lit(_WT_EPS)
+        j01 = (F.col("_at_xl") - F.col("_at_x0")) / F.lit(_WT_EPS)
+        j10 = (F.col("_at_yf") - F.col("_at_y0")) / F.lit(_WT_EPS)
+        j11 = (F.col("_at_yl") - F.col("_at_y0")) / F.lit(_WT_EPS)
+        out = out.withColumn("_at_det", j00 * j11 - j01 * j10)
+        r0 = X - F.col("_at_x0")
+        r1 = Y - F.col("_at_y0")
+        ok = F.abs(F.col("_at_det")) > F.lit(1e-300)
+        df_step = F.when(
+            ok, (j11 * r0 - j01 * r1) / F.col("_at_det")
+        ).otherwise(F.lit(0.0))
+        dl_step = F.when(
+            ok, (j00 * r1 - j10 * r0) / F.col("_at_det")
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(
+            "_at_f2",
+            F.least(
+                F.lit(math.pi / 2.0),
+                F.greatest(F.lit(-math.pi / 2.0), F.col("_at_f") + df_step),
+            ),
+        ).withColumn(
+            "_at_l2",
+            F.least(
+                F.lit(math.pi),
+                F.greatest(F.lit(-math.pi), F.col("_at_l") + dl_step),
+            ),
+        )
+        out = (
+            out.drop("_at_f", "_at_l")
+            .withColumnRenamed("_at_f2", "_at_f")
+            .withColumnRenamed("_at_l2", "_at_l")
+        )
+    return (
+        out.withColumn("lat2", F.degrees(F.col("_at_f")))
+        .withColumn("lon2", F.degrees(F.col("_at_l")) + F.lit(lon0))
+        .drop(*[c for c in out.columns if c.startswith("_at_")])
+    )
+
+
+def hammer(
+    df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Hammer (Hammer–Aitoff) [UPSTREAM -proj hammer — the EQUAL-AREA
+    world ellipse in mapshaper's bundled set]: public formulas —
+    den = sqrt(1 + cos φ cos(Δλ/2)),
+    x = 2√2 cos φ sin(Δλ/2)/den, y = √2 sin φ/den. Pure codegen
+    column math; appends (hmx, hmy); the equal-area quad pytest pins
+    the defining property."""
+    f = F.radians(F.col(lat))
+    half = F.radians(F.col(lon) - F.lit(lon0)) * F.lit(0.5)
+    den = F.sqrt(F.lit(1.0) + F.cos(f) * F.cos(half))
+    return df.withColumn(
+        "hmx", F.lit(R) * F.lit(2.0 * math.sqrt(2.0)) * F.cos(f) * F.sin(half) / den
+    ).withColumn("hmy", F.lit(R) * F.lit(math.sqrt(2.0)) * F.sin(f) / den)
+
+
+def hammer_inverse(
+    df: DataFrame, lon0: float = 0.0, hmx: str = "hmx", hmy: str = "hmy"
+) -> DataFrame:
+    """CLOSED-FORM Hammer inverse (public formulas):
+    z = sqrt(1 − (X/4)² − (Y/2)²), λ = 2 atan2(zX, 2(2z² − 1)),
+    φ = asin(zY), with X = x/R, Y = y/R exactly as the forward emits
+    them (the 2√2/√2 amplitudes already place the map boundary on
+    X²/16 + Y²/4 = 1 — date line at X = 2√2 gives z² = 1/2 and
+    λ = 2·atan2(2, 0) = π; a √2 rescale here would collapse z to 0
+    and wrap the date line to 2π). The asin argument clamps for pole
+    rows at the roundoff boundary."""
+    X = F.col(hmx) / F.lit(R)
+    Y = F.col(hmy) / F.lit(R)
+    z2 = F.lit(1.0) - (X / F.lit(4.0)) * (X / F.lit(4.0)) - (
+        Y / F.lit(2.0)
+    ) * (Y / F.lit(2.0))
+    z = F.sqrt(F.greatest(F.lit(0.0), z2))
+    return df.withColumn(
+        "lon2",
+        F.degrees(
+            F.lit(2.0)
+            * F.atan2(z * X, F.lit(2.0) * (F.lit(2.0) * z * z - F.lit(1.0)))
+        )
+        + F.lit(lon0),
+    ).withColumn(
+        "lat2",
+        F.degrees(
+            F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), z * Y)))
+        ),
+    )

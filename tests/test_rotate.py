@@ -116,3 +116,74 @@ def test_layer_path(spark):
     )
     assert out["xs"] == list(want.rx.values)
     assert out["ys"] == list(want.ry.values)
+
+
+def test_hammer_roundtrip_nodes_equal_area(spark):
+    """Hammer (r5 continuation): CLOSED-FORM inverse roundtrip over the
+    full graticule incl. poles and the date line, boundary nodes
+    (equator date-line x = 2√2·R, pole y = √2·R), and the DEFINING
+    equal-area quad check."""
+    R = proj_fn.R
+    pts = [(0.0, 0.0), (45.0, 30.0), (-120.0, -55.0), (179.0, 80.0),
+           (180.0, 0.0), (-180.0, 0.0), (13.0, 89.99), (60.0, 90.0),
+           (60.0, -90.0), (-179.5, -89.5)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.hammer_inverse(proj_fn.hammer(df)).collect()
+    for r in out:
+        assert abs(r["lat2"] - r["lat"]) < 1e-7, r
+        if abs(r["lat"]) < 90.0:  # pole meridians collapse (x = 0)
+            dlon = (r["lon2"] - r["lon"] + 180.0) % 360.0 - 180.0
+            assert abs(dlon) < 1e-7, r
+    got = {(r["lon"], r["lat"]): (r["hmx"], r["hmy"])
+           for r in proj_fn.hammer(df).collect()}
+    assert abs(got[(180.0, 0.0)][0] - 2.0 * math.sqrt(2.0) * R) < 1e-6
+    assert abs(got[(60.0, 90.0)][1] - math.sqrt(2.0) * R) < 1e-6
+    assert got[(0.0, 0.0)] == (0.0, 0.0)
+    # equal-area: a small quad's planar area equals its spherical area
+    d, lon_c, lat_c = 0.05, 33.0, -48.0
+    quad = [(lon_c - d, lat_c - d), (lon_c + d, lat_c - d),
+            (lon_c + d, lat_c + d), (lon_c - d, lat_c + d)]
+    qdf = spark.createDataFrame(quad, schema="lon double, lat double")
+    prj = {(r["lon"], r["lat"]): (r["hmx"], r["hmy"])
+           for r in proj_fn.hammer(qdf).collect()}
+    xs = [prj[p][0] for p in quad]
+    ys = [prj[p][1] for p in quad]
+    planar = 0.5 * abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                           for i in range(4)))
+    spherical = (R ** 2) * (2.0 * math.radians(d)) * (
+        math.sin(math.radians(lat_c + d)) - math.sin(math.radians(lat_c - d)))
+    assert abs(planar - spherical) < 2e-5 * spherical
+
+
+def test_aitoff_roundtrip_and_winkel_mean_identity(spark):
+    """Aitoff (r5 continuation): fixed-count 2D-Newton inverse
+    roundtrip over the graticule (same machinery as Winkel Tripel),
+    exact axes (y = R·φ on the central meridian, x = R·Δλ on the
+    equator), and the STRUCTURAL identity Winkel Tripel ==
+    (equirectangular(φ1) + Aitoff)/2 — the two implementations share
+    _wt_xy/_aitoff_xy only up to the mean, so this cross-pins both."""
+    R = proj_fn.R
+    pts = [(lo, la) for lo in (-179.0, -120.0, -45.0, 0.0, 60.0, 150.0, 179.0)
+           for la in (-85.0, -40.0, 0.0, 33.0, 70.0, 89.0)]
+    df = spark.createDataFrame(pts, schema="lon double, lat double")
+    out = proj_fn.aitoff_inverse(proj_fn.aitoff(df)).collect()
+    for r in out:
+        assert abs(r["lat2"] - r["lat"]) < 1e-8, r
+        dlon = (r["lon2"] - r["lon"] + 180.0) % 360.0 - 180.0
+        assert abs(dlon) < 1e-8, r
+    # exact axes
+    ax = spark.createDataFrame([(0.0, 37.0), (98.0, 0.0)],
+                               schema="lon double, lat double")
+    got = {(r["lon"], r["lat"]): (r["atx"], r["aty"])
+           for r in proj_fn.aitoff(ax).collect()}
+    assert abs(got[(0.0, 37.0)][1] - R * math.radians(37.0)) < 1e-9
+    assert abs(got[(0.0, 37.0)][0]) < 1e-9
+    assert abs(got[(98.0, 0.0)][0] - R * math.radians(98.0)) < 1e-9
+    # Winkel Tripel = mean of equirect(phi1) and Aitoff, exactly
+    both = proj_fn.winkel_tripel(proj_fn.aitoff(df)).collect()
+    f1 = math.acos(2.0 / math.pi)
+    for r in both:
+        ex = R * math.radians(r["lon"]) * math.cos(f1)
+        ey = R * math.radians(r["lat"])
+        assert abs(r["wtx"] - 0.5 * (ex + r["atx"])) < 1e-9 * max(1.0, abs(r["wtx"]))
+        assert abs(r["wty"] - 0.5 * (ey + r["aty"])) < 1e-9 * max(1.0, abs(r["wty"]))
