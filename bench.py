@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     # round-trip are dim-fixture-bound and stay out, same rule as
     # -divide/-dashlines)
     "pii_scrub_redaction",
+    # continuation part 5: corpus-level paragraph dedup (content-
+    # partitioned window + idx-sorted document reassembly — data-scaled
+    # over documents)
+    "paragraph_dedup_refinedweb",
 ]
 
 

@@ -25,20 +25,36 @@ R = 6378137.0  # WGS84 spherical radius (WebMercator convention)
 MAX_LAT = 85.05112878  # WebMercator latitude clamp
 
 
+def webmercator_xy(lon, lat):
+    """EPSG:4326 → EPSG:3857 as a COLUMN-PAIR builder: takes (lon, lat)
+    Columns (or zip_with lambda variables) and returns the (x, y)
+    expression pair. :func:`to_webmercator` and the zero-shuffle
+    :func:`project_layer_inplace` both build from this, so the two
+    paths evaluate the identical IEEE expression tree."""
+    lat_c = F.least(F.lit(MAX_LAT), F.greatest(F.lit(-MAX_LAT), lat))
+    x = F.lit(R) * F.radians(lon)
+    y = F.lit(R) * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat_c) / 2.0))
+    return x, y
+
+
+def webmercator_inv_xy(mx, my):
+    """EPSG:3857 → EPSG:4326 inverse as a column-pair builder."""
+    lon = F.degrees(mx / F.lit(R))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(my / F.lit(R))) - F.lit(math.pi / 2.0)
+    )
+    return lon, lat
+
+
 def to_webmercator(df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
     """EPSG:4326 → EPSG:3857: x = R·λ, y = R·ln(tan(π/4 + φ/2))."""
-    lat_c = F.least(F.lit(MAX_LAT), F.greatest(F.lit(-MAX_LAT), F.col(lat)))
-    x = F.lit(R) * F.radians(F.col(lon))
-    y = F.lit(R) * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat_c) / 2.0))
+    x, y = webmercator_xy(F.col(lon), F.col(lat))
     return df.withColumn("mx", x).withColumn("my", y)
 
 
 def from_webmercator(df: DataFrame, mx: str = "mx", my: str = "my") -> DataFrame:
     """EPSG:3857 → EPSG:4326 inverse."""
-    lon = F.degrees(F.col(mx) / F.lit(R))
-    lat = F.degrees(
-        F.lit(2.0) * F.atan(F.exp(F.col(my) / F.lit(R))) - F.lit(math.pi / 2.0)
-    )
+    lon, lat = webmercator_inv_xy(F.col(mx), F.col(my))
     return df.withColumn("lon2", lon).withColumn("lat2", lat)
 
 
@@ -1280,6 +1296,48 @@ def project_layer(
     )
 
 
+def project_layer_inplace(
+    features: DataFrame,
+    fxy,
+    xs: str = "xs",
+    ys: str = "ys",
+) -> DataFrame:
+    """ZERO-SHUFFLE layer reprojection for closed-form projections: the
+    projection's column math runs INSIDE the vertex arrays as zip_with
+    lambdas — no posexplode, no regroup, no exchange anywhere in the
+    plan. :func:`project_layer`'s regroup shuffle dominates its cost
+    (BENCH/proj_probe.json: 10M vertices round-trip in 55 s, almost all
+    of it the two collect_list exchanges); this path is a pure map
+    stage, so at 100 TB it scales as a scan.
+
+    ``fxy`` is a COLUMN-PAIR builder ``(lon, lat) -> (x, y)``
+    (:func:`webmercator_xy`, :func:`webmercator_inv_xy`,
+    :func:`rotate_sphere_xy`) — the same expression trees the
+    point-table functions build, so values match the explode path
+    BITWISE (pinned in pytest). Each output array gets its own
+    zip_with lambda and only that coordinate's expression enters the
+    plan (the discarded half of the tuple never materializes).
+
+    Newton-solve projections (Mollweide, Eckert IV, Winkel Tripel, …)
+    stay on :func:`project_layer`: their fixed-count iterations rebind
+    through withColumn to keep the expression tree LINEAR, which a
+    lambda body cannot express — inlining a 30-step Newton into one
+    expression duplicates the iterate subtree exponentially.
+
+    All non-vertex columns pass through untouched (passthrough shape —
+    no slim-ids join needed since nothing shuffles)."""
+    new_xs = F.zip_with(F.col(xs), F.col(ys), lambda a, b: fxy(a, b)[0])
+    new_ys = F.zip_with(F.col(xs), F.col(ys), lambda a, b: fxy(a, b)[1])
+    return features.select(
+        *[
+            new_xs.alias(xs)
+            if c == xs
+            else (new_ys.alias(ys) if c == ys else F.col(c))
+            for c in features.columns
+        ]
+    )
+
+
 def rotate_sphere(
     df: DataFrame,
     angles: tuple[float, float, float],
@@ -1306,25 +1364,31 @@ def rotate_sphere(
     (great-circle distances are preserved — the property pytest pins
     it). Not hash-oracled: trig is not ULP-portable across libm
     [SURVEY.md §5.2], same as every -proj row."""
-    dl, dp, dg = (math.radians(a) for a in angles)
-    l = F.radians(F.col(lon)) + F.lit(dl)
-    p = F.radians(F.col(lat))
-    x = F.cos(l) * F.cos(p)
-    y = F.sin(l) * F.cos(p)
-    z = F.sin(p)
-    k = z * F.lit(math.cos(dp)) + x * F.lit(math.sin(dp))
     olon, olat = out
-    return df.withColumn(
-        olon,
-        F.degrees(
+    lon_c, lat_c = rotate_sphere_xy(angles)(F.col(lon), F.col(lat))
+    return df.withColumn(olon, lon_c).withColumn(olat, lat_c)
+
+
+def rotate_sphere_xy(angles: tuple[float, float, float]):
+    """:func:`rotate_sphere` as a column-pair builder (for the
+    zero-shuffle ring-array path): returns ``fxy(lon, lat) ->
+    (lon', lat')`` with the identical expression tree."""
+    dl, dp, dg = (math.radians(a) for a in angles)
+
+    def fxy(lon_col, lat_col):
+        l = F.radians(lon_col) + F.lit(dl)
+        p = F.radians(lat_col)
+        x = F.cos(l) * F.cos(p)
+        y = F.sin(l) * F.cos(p)
+        z = F.sin(p)
+        k = z * F.lit(math.cos(dp)) + x * F.lit(math.sin(dp))
+        olon = F.degrees(
             F.atan2(
                 y * F.lit(math.cos(dg)) - k * F.lit(math.sin(dg)),
                 x * F.lit(math.cos(dp)) - z * F.lit(math.sin(dp)),
             )
-        ),
-    ).withColumn(
-        olat,
-        F.degrees(
+        )
+        olat = F.degrees(
             F.asin(
                 F.greatest(
                     F.lit(-1.0),
@@ -1333,8 +1397,10 @@ def rotate_sphere(
                     ),
                 )
             )
-        ),
-    )
+        )
+        return olon, olat
+
+    return fxy
 
 
 def rotate_sphere_inverse(

@@ -2670,6 +2670,77 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exactly 10 words — one full chunk, so EVERY doc's paragraph 0 is the
+# same boilerplate and dedups corpus-wide (the classic removal target)
+_PARA_BOILER = "please subscribe to our newsletter for all the latest updates"
+
+
+@query(
+    "paragraph_dedup_refinedweb",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      string_split('{_PARA_BOILER} ' || text, ' ') AS words
+               FROM documents),
+    p AS (SELECT doc_id, i AS idx,
+                 array_to_string(words[(i*10+1):(i*10+10)], ' ') AS para
+          FROM w, UNNEST(generate_series(0, (len(words) + 9) // 10 - 1)) AS t(i)),
+    r AS (SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+          FROM p)
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                               ORDER BY idx), '') AS scrubbed
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level EXACT dedup [task brief: training-data dedup —
+    the RefinedWeb/CCNet pass that removes paragraphs repeated across
+    the corpus (boilerplate, navigation, licenses) from every doc but
+    the first occurrence, keeping the documents themselves].
+    Paragraphs are deterministic 10-word chunks (the fixture text has
+    no newlines); a 10-word boilerplate line is prepended to every doc
+    so chunk 0 dedups corpus-wide, and the fixture carries ~150
+    natural duplicate chunks on top. First occurrence = min (doc_id,
+    idx) via a row_number window PARTITIONED BY PARAGRAPH CONTENT —
+    the 100-TB shape shuffles on the paragraph value (at scale, its
+    xxhash64 with the collision-check pattern), never on the corpus;
+    reassembly is one groupBy(doc_id) with an idx-sorted collect_list.
+    Output hash-pins the full scrubbed text, not just counts (exact
+    string ops on both engines)."""
+    d = testdata.load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.split(F.concat(F.lit(_PARA_BOILER + " "), F.col("text")), " ").alias("words"),
+    )
+    p = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, (size(words) + 9) DIV 10 - 1),"
+                " i -> array_join(slice(words, i*10+1, 10), ' '))"
+            )
+        ).alias("idx", "para"),
+    )
+    r = p.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("para").orderBy("doc_id", "idx")),
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN rn = 1"
+                " THEN struct(idx, para) END)), s -> s.para)"
+            ),
+            " ",
+        ).alias("scrubbed"),
+    )
+
+
 @query(
     "jaccard_ngram_pairs",
     """
@@ -4734,7 +4805,15 @@ _DRIVER_WINDOW = [
     "language_id_stopword",
     "simhash16_docs",
     "ann_ivf_bucketed_topk",
-    "embedding_near_dup_pairs",
+    # r5 continuation part 5: the NEW distinct operator
+    # paragraph_dedup_refinedweb (corpus-level paragraph removal — a
+    # row_number window PARTITIONED BY PARAGRAPH CONTENT plus an
+    # idx-sorted document reassembly, a plan shape nothing else in the
+    # window runs) displaces embedding_near_dup_pairs — a plan-variant
+    # of the in-window ann_cosine_topk (both exact integer-cosine pair
+    # scans; the ANN family keeps cosine_topk + ivf_bucketed in-window;
+    # the near-dup row is r2-green x3 and stays in parity).
+    "paragraph_dedup_refinedweb",
     "images_meta_cells",
     "images_phash_near_dup",
     "token_bpe_regex",

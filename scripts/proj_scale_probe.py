@@ -90,6 +90,43 @@ def run(spark, n: int) -> dict:
     out["rotate_sec"] = round(time.time() - t0, 2)
     assert agg.c == n, agg
     out["rotate_vertices_per_sec"] = int(10 * n / max(out["rotate_sec"], 1e-9))
+
+    # --- zero-shuffle in-place path (closed-form projections as
+    # zip_with lambdas; project_layer_inplace) — same expression
+    # trees, no explode, no regroup exchange
+    t0 = time.time()
+    fwd_ip = proj_fn.project_layer_inplace(rings, proj_fn.webmercator_xy)
+    back_ip = proj_fn.project_layer_inplace(fwd_ip, proj_fn.webmercator_inv_xy)
+    err = back_ip.join(
+        rings.withColumnRenamed("xs", "oxs").withColumnRenamed("ys", "oys"),
+        ["poly_id", "ring_idx"],
+    ).select(
+        F.expr(
+            "aggregate(zip_with(xs, oxs, (a, b) -> abs(a - b)),"
+            " CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v))"
+        ).alias("ex"),
+        F.expr(
+            "aggregate(zip_with(ys, oys, (a, b) -> abs(a - b)),"
+            " CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v))"
+        ).alias("ey"),
+    ).agg(F.max("ex").alias("ex"), F.max("ey").alias("ey")).first()
+    out["webmercator_roundtrip_inplace_sec"] = round(time.time() - t0, 2)
+    assert err.ex < 1e-9 and err.ey < 1e-9, err
+    out["roundtrip_inplace_max_err_deg"] = max(err.ex, err.ey)
+
+    t0 = time.time()
+    rot_ip = proj_fn.project_layer_inplace(
+        rings, proj_fn.rotate_sphere_xy((110.0, -35.0, 20.0))
+    )
+    agg = rot_ip.agg(
+        F.count("*").alias("c"),
+        F.sum(F.expr("xs[0] + ys[0]")).alias("s"),
+    ).first()
+    out["rotate_inplace_sec"] = round(time.time() - t0, 2)
+    assert agg.c == n, agg
+    out["rotate_inplace_vertices_per_sec"] = int(
+        10 * n / max(out["rotate_inplace_sec"], 1e-9)
+    )
     return out
 
 

@@ -1307,3 +1307,44 @@ def test_project_layer_roundtrip_and_orientation(spark):
         mxs, mys = merc_rows[k]
         s_merc = geometry.shoelace_area(np.asarray(mxs), np.asarray(mys))
         assert (s_orig > 0) == (s_merc > 0)
+
+
+def test_project_layer_inplace_bitwise_and_shuffle_free(spark):
+    """project_layer_inplace (closed-form projections as zip_with
+    lambdas over the vertex arrays) matches the explode->regroup path
+    BITWISE — the column-pair builders and the point-table functions
+    share one expression tree — with NO exchange anywhere in the
+    physical plan, and non-vertex columns pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from mapshaper_spark.sources import testdata
+
+    feats = testdata.holed_features(spark).withColumn("tag", F.lit("t"))
+
+    for fxy, df_fn, out in (
+        (proj_fn.webmercator_xy, proj_fn.to_webmercator, ("mx", "my")),
+        (
+            proj_fn.rotate_sphere_xy((110.0, -35.0, 20.0)),
+            lambda d: proj_fn.rotate_sphere(d, (110.0, -35.0, 20.0), out=("rx", "ry")),
+            ("rx", "ry"),
+        ),
+    ):
+        ip = proj_fn.project_layer_inplace(feats, fxy)
+        ex = proj_fn.project_layer(feats.drop("tag"), df_fn, out=out)
+        got = {(r.poly_id, r.ring_idx): (list(r.xs), list(r.ys)) for r in ip.collect()}
+        want = {(r.poly_id, r.ring_idx): (list(r.xs), list(r.ys)) for r in ex.collect()}
+        assert got == want  # exact float equality — same IEEE tree
+        plan = ip._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    # column order + passthrough survive; inverse builder restores
+    ip = proj_fn.project_layer_inplace(feats, proj_fn.webmercator_xy)
+    assert ip.columns == feats.columns
+    back = proj_fn.project_layer_inplace(ip, proj_fn.webmercator_inv_xy)
+    orig = {(r.poly_id, r.ring_idx): (list(r.xs), list(r.ys)) for r in feats.collect()}
+    got = {(r.poly_id, r.ring_idx): (list(r.xs), list(r.ys)) for r in back.collect()}
+    import numpy as np
+
+    for k, (oxs, oys) in orig.items():
+        assert np.allclose(got[k][0], oxs, atol=1e-9)
+        assert np.allclose(got[k][1], oys, atol=1e-9)
