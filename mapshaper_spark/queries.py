@@ -2741,6 +2741,185 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_G8_SPARK = (
+    "concat(t[i], ' ', t[i + 1], ' ', t[i + 2], ' ', t[i + 3], ' ',"
+    " t[i + 4], ' ', t[i + 5], ' ', t[i + 6], ' ', t[i + 7])"
+)
+_DECON_G8_DUCK = (
+    "t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||"
+    " t[i + 4] || ' ' || t[i + 5] || ' ' || t[i + 6] || ' ' || t[i + 7]"
+)
+
+
+@query(
+    "decontaminate_eval_overlap",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 8
+                  THEN list_transform(generate_series(1, len(t) - 7),
+                                      i -> {_DECON_G8_DUCK})
+                  ELSE [] END)) AS gram
+          FROM d),
+    ev AS (SELECT doc_id AS eval_id, t[11:25] AS t FROM d
+           WHERE doc_id % 50 = 0 AND len(t) >= 25),
+    eg AS (SELECT eval_id, unnest(list_distinct(
+             list_transform(generate_series(1, 8), i -> {_DECON_G8_DUCK})))
+             AS gram
+           FROM ev),
+    h AS (SELECT g.doc_id,
+                 count(DISTINCT g.gram) AS n_hit_grams,
+                 count(DISTINCT eg.eval_id) AS n_eval_items
+          FROM g JOIN eg USING (gram) GROUP BY g.doc_id)
+    SELECT d0.doc_id,
+           coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+           coalesce(h.n_eval_items, 0) AS n_eval_items,
+           coalesce(h.n_hit_grams, 0) >= 3 AS contaminated
+    FROM documents d0 LEFT JOIN h USING (doc_id)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION [task brief: training-data pipeline —
+    the n-gram overlap gate (GPT-3 appendix C / open pretraining
+    pipelines) that flags training documents sharing long n-grams with
+    an evaluation set, so eval leakage is dropped before training].
+    The eval set is synthesized deterministically from the fixture
+    (every 50th doc contributes words 11-25 as a 15-word "benchmark
+    item"), so origin docs are guaranteed hits and both engines build
+    the identical set. Word 8-grams on both sides; a doc is
+    contaminated when >= 3 distinct eval grams appear in it. Shape:
+    the eval-gram table is benchmark-sized METADATA — it BROADCASTS to
+    the corpus gram scan (no shuffle of the corpus by gram value, the
+    one structural difference from cross_doc_ngram_overlap's
+    document-frequency join); per-doc hit counts then group on doc_id.
+    LEFT join pins the zero rows too. Parity tail: the gram-overlap
+    family keeps cross_doc_ngram_overlap in the driver window."""
+    d = testdata.load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    spark_g8 = _DECON_G8_SPARK.replace("[i", "[i - 1")  # 0-based arrays
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(t) >= 8 THEN transform("
+                    f"sequence(1, size(t) - 7), i -> {spark_g8})"
+                    " ELSE array() END"
+                )
+            )
+        ).alias("gram"),
+    )
+    ev = d.filter((F.col("doc_id") % 50 == 0) & (F.size("t") >= 25)).select(
+        F.col("doc_id").alias("eval_id"), F.slice("t", 11, 15).alias("t")
+    )
+    eg = ev.select(
+        "eval_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, 8), i -> {spark_g8})")
+            )
+        ).alias("gram"),
+    )
+    h = (
+        g.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.countDistinct("eval_id").alias("n_eval_items"),
+        )
+    )
+    return (
+        testdata.load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(h, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_grams", F.lit(0).cast("bigint")).alias("n_hit_grams"),
+            F.coalesce("n_eval_items", F.lit(0).cast("bigint")).alias("n_eval_items"),
+            (F.coalesce("n_hit_grams", F.lit(0).cast("bigint")) >= 3).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+@query(
+    "seqpack_offsets",
+    """
+    WITH d AS (SELECT doc_id,
+                      (length(text) - length(replace(text, ' ', '')) + 1)
+                          AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum
+          FROM d)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           (cum - n) // 256 AS first_seq,
+           (cum - 1) // 256 AS last_seq,
+           (cum - 1) // 256 - (cum - n) // 256 + 1 AS n_seqs,
+           (cum - n) % 256 AS offset_in_first
+    FROM c
+    """,
+)
+def q_seqpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING offsets [task brief: training-data pipeline —
+    the concatenate-and-chunk layout (GPT-style packing) that maps
+    every document onto fixed-length training sequences: docs
+    concatenate in doc_id order and split at 256-token boundaries;
+    each doc reports its first/last sequence id, how many sequences it
+    spans, and its offset inside the first one]. The global token
+    prefix sum is DISTRIBUTED, not a single-task window: docs bucket
+    by doc_id DIV 4096, the cumulative sum runs per-bucket (shuffle
+    keyed on bucket), bucket totals form a corpus/4096-sized METADATA
+    table whose own prefix sum is one narrow window (at 1B docs that
+    is ~244k rows — bounded; recurse the same split if ever not), and
+    the bucket offsets broadcast back. Integer sums are
+    order-independent, so the two-level form is bit-identical to the
+    oracle's plain global window. Whitespace token counts keep the
+    whole thing exact-integer (hash-exact)."""
+    d = testdata.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    b = d.withColumn("bucket", F.expr("doc_id DIV 4096"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cb = b.withColumn("cum_b", F.sum("n").over(w))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bo = (
+        b.groupBy("bucket")
+        .agg(F.sum("n").alias("bt"))
+        .withColumn("boff", F.sum("bt").over(wb) - F.col("bt"))
+        .select("bucket", "boff")
+    )
+    j = cb.join(F.broadcast(bo), "bucket").withColumn(
+        "cum", F.col("boff") + F.col("cum_b")
+    )
+    return j.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.expr("(cum - n) DIV 256").alias("first_seq"),
+        F.expr("(cum - 1) DIV 256").alias("last_seq"),
+        F.expr("(cum - 1) DIV 256 - (cum - n) DIV 256 + 1").alias("n_seqs"),
+        F.expr("(cum - n) % 256").alias("offset_in_first"),
+    )
+
+
 @query(
     "jaccard_ngram_pairs",
     """
@@ -4654,6 +4833,13 @@ def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> 
 _DRIVER_WINDOW = [
     # graded spatial core (kept exemplars — every family retains at
     # least one hard driver row while twice-green variants rotate out)
+    # r5 continuation part 5: decontaminate_eval_overlap and
+    # seqpack_offsets register in the PARITY TAIL deliberately — their
+    # plan families are already exemplified in-window
+    # (cross_doc_ngram_overlap carries the gram-overlap join;
+    # events_sessionize carries the windowed cumulative sum that
+    # seqpack's distributed prefix sum decomposes) — recorded here per
+    # the window invariant rather than falling past slot 50 silently.
     # r5 continuation: the three new -points modes (midpoints /
     # interpolated / vertices) register in the PARITY TAIL deliberately
     # — their plan families are already exemplified in-window

@@ -1,12 +1,15 @@
-"""Scale probe for ring-layer reprojection (`project_layer`): N
-synthetic 10-vertex rings built by pure column math, reprojected
-lonlat -> WebMercator -> back, with the roundtrip identity checked as
-a distributed aggregate (max abs error over every vertex).
+"""Scale probe for ring-layer reprojection: the explode->regroup
+`project_layer` path vs the zero-shuffle `project_layer_inplace`
+(zip_with lambdas) path, on N synthetic 10-vertex rings built by pure
+column math.
 
-The plan under test is the real -proj layer path: posexplode ->
-codegen trig per vertex -> positional regroup (one shuffle on the
-ring keys). Also times the d3-convention spherical rotation through
-the same path.
+Measurement discipline (BENCH/BASELINE.md lessons — this host swings
+±40% minute to minute): the two paths are timed INTERLEAVED in the
+same session, min-of-3 per path, with the identity/bitwise
+verification done ONCE outside the timed region (the verification
+join shuffles two full vertex tables and would dominate the timing).
+Consumers aggregate real VALUES (count + sum(xs[0] + ys[0])) so
+Catalyst cannot prune the projection math.
 
 Usage: python scripts/proj_scale_probe.py [N ...]   (default: 100000 1000000)
 Writes BENCH/proj_probe.json.
@@ -26,6 +29,8 @@ from pyspark.sql import functions as F
 from mapshaper_spark.functions import proj as proj_fn
 from mapshaper_spark.session import get_spark
 
+TRIALS = 3
+
 
 def synth_rings(spark, n: int):
     # 10-vertex rings scattered on a lon/lat lattice (poles excluded)
@@ -43,90 +48,85 @@ def synth_rings(spark, n: int):
     )
 
 
+def _consume(df) -> None:
+    row = df.agg(
+        F.count("*").alias("c"),
+        F.sum(F.expr("xs[0] + ys[0]")).alias("s"),
+    ).first()
+    assert row.c > 0
+
+
+def _max_abs_diff(a, b) -> float:
+    """Max |Δ| over every vertex between two ring layers (distributed)."""
+    j = a.join(
+        b.withColumnRenamed("xs", "oxs").withColumnRenamed("ys", "oys"),
+        ["poly_id", "ring_idx"],
+    )
+    row = (
+        j.select(
+            F.expr(
+                "aggregate(zip_with(xs, oxs, (a, b) -> abs(a - b)),"
+                " CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v))"
+            ).alias("ex"),
+            F.expr(
+                "aggregate(zip_with(ys, oys, (a, b) -> abs(a - b)),"
+                " CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v))"
+            ).alias("ey"),
+        )
+        .agg(F.max("ex").alias("ex"), F.max("ey").alias("ey"))
+        .first()
+    )
+    return max(row.ex, row.ey)
+
+
 def run(spark, n: int) -> dict:
     rings = synth_rings(spark, n).localCheckpoint()
-    out: dict = {"n_rings": n, "n_vertices": 10 * n}
+    out: dict = {"n_rings": n, "n_vertices": 10 * n, "trials": TRIALS}
 
-    t0 = time.time()
-    fwd = proj_fn.project_layer(
-        rings, proj_fn.to_webmercator, out=("mx", "my")
-    )
-    back = proj_fn.project_layer(
-        # project_layer names the exploded vertex columns lon/lat
-        # whatever they hold — here they carry the Mercator meters
-        fwd,
-        lambda d: proj_fn.from_webmercator(d, mx="lon", my="lat"),
-        out=("lon2", "lat2"),
-    )
-    # roundtrip identity as one distributed aggregate over every vertex
-    err = back.join(rings.withColumnRenamed("xs", "oxs").withColumnRenamed("ys", "oys"),
-                    ["poly_id", "ring_idx"]).select(
-        F.expr(
-            "aggregate(zip_with(xs, oxs, (a, b) -> abs(a - b)),"
-            " CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v))"
-        ).alias("ex"),
-        F.expr(
-            "aggregate(zip_with(ys, oys, (a, b) -> abs(a - b)),"
-            " CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v))"
-        ).alias("ey"),
-    ).agg(F.max("ex").alias("ex"), F.max("ey").alias("ey")).first()
-    out["webmercator_roundtrip_sec"] = round(time.time() - t0, 2)
-    assert err.ex < 1e-9 and err.ey < 1e-9, err
-    out["roundtrip_max_err_deg"] = max(err.ex, err.ey)
+    angles = (110.0, -35.0, 20.0)
+    paths = {
+        "webmercator_explode": lambda: proj_fn.project_layer(
+            rings, proj_fn.to_webmercator, out=("mx", "my")
+        ),
+        "webmercator_inplace": lambda: proj_fn.project_layer_inplace(
+            rings.drop("ring_idx").withColumn("ring_idx", F.lit(0)),
+            proj_fn.webmercator_xy,
+        ),
+        "rotate_explode": lambda: proj_fn.project_layer(
+            rings,
+            lambda d: proj_fn.rotate_sphere(d, angles, out=("rx", "ry")),
+            out=("rx", "ry"),
+        ),
+        "rotate_inplace": lambda: proj_fn.project_layer_inplace(
+            rings.drop("ring_idx").withColumn("ring_idx", F.lit(0)),
+            proj_fn.rotate_sphere_xy(angles),
+        ),
+    }
+    # NOTE: the inplace inputs re-derive ring_idx so both paths read the
+    # same checkpointed blocks; the extra lit(0) column is free.
 
-    t0 = time.time()
-    rot = proj_fn.project_layer(
-        rings,
-        lambda d: proj_fn.rotate_sphere(d, (110.0, -35.0, 20.0), out=("rx", "ry")),
-        out=("rx", "ry"),
+    # --- verification (once, untimed): the two paths agree BITWISE and
+    # the WebMercator round trip restores the layer
+    assert _max_abs_diff(paths["webmercator_explode"](), paths["webmercator_inplace"]()) == 0.0
+    assert _max_abs_diff(paths["rotate_explode"](), paths["rotate_inplace"]()) == 0.0
+    back = proj_fn.project_layer_inplace(
+        paths["webmercator_inplace"](), proj_fn.webmercator_inv_xy
     )
-    # consume the VALUES — a bare count() after the groupBy lets
-    # Catalyst prune the collect_list + trig entirely (measured 1.0 s
-    # for 10M vertices = nothing ran)
-    agg = rot.agg(
-        F.count("*").alias("c"),
-        F.sum(F.expr("xs[0] + ys[0]")).alias("s"),
-    ).first()
-    out["rotate_sec"] = round(time.time() - t0, 2)
-    assert agg.c == n, agg
-    out["rotate_vertices_per_sec"] = int(10 * n / max(out["rotate_sec"], 1e-9))
+    err = _max_abs_diff(back, rings)
+    assert err < 1e-9, err
+    out["roundtrip_max_err_deg"] = err
 
-    # --- zero-shuffle in-place path (closed-form projections as
-    # zip_with lambdas; project_layer_inplace) — same expression
-    # trees, no explode, no regroup exchange
-    t0 = time.time()
-    fwd_ip = proj_fn.project_layer_inplace(rings, proj_fn.webmercator_xy)
-    back_ip = proj_fn.project_layer_inplace(fwd_ip, proj_fn.webmercator_inv_xy)
-    err = back_ip.join(
-        rings.withColumnRenamed("xs", "oxs").withColumnRenamed("ys", "oys"),
-        ["poly_id", "ring_idx"],
-    ).select(
-        F.expr(
-            "aggregate(zip_with(xs, oxs, (a, b) -> abs(a - b)),"
-            " CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v))"
-        ).alias("ex"),
-        F.expr(
-            "aggregate(zip_with(ys, oys, (a, b) -> abs(a - b)),"
-            " CAST(0.0 AS DOUBLE), (m, v) -> greatest(m, v))"
-        ).alias("ey"),
-    ).agg(F.max("ex").alias("ex"), F.max("ey").alias("ey")).first()
-    out["webmercator_roundtrip_inplace_sec"] = round(time.time() - t0, 2)
-    assert err.ex < 1e-9 and err.ey < 1e-9, err
-    out["roundtrip_inplace_max_err_deg"] = max(err.ex, err.ey)
-
-    t0 = time.time()
-    rot_ip = proj_fn.project_layer_inplace(
-        rings, proj_fn.rotate_sphere_xy((110.0, -35.0, 20.0))
-    )
-    agg = rot_ip.agg(
-        F.count("*").alias("c"),
-        F.sum(F.expr("xs[0] + ys[0]")).alias("s"),
-    ).first()
-    out["rotate_inplace_sec"] = round(time.time() - t0, 2)
-    assert agg.c == n, agg
-    out["rotate_inplace_vertices_per_sec"] = int(
-        10 * n / max(out["rotate_inplace_sec"], 1e-9)
-    )
+    # --- interleaved min-of-N timing
+    times: dict[str, list[float]] = {k: [] for k in paths}
+    for _ in range(TRIALS):
+        for name, build in paths.items():
+            t0 = time.time()
+            _consume(build())
+            times[name].append(round(time.time() - t0, 2))
+    for name, ts in times.items():
+        out[f"{name}_sec"] = min(ts)
+        out[f"{name}_trials"] = ts
+        out[f"{name}_vertices_per_sec"] = int(10 * n / max(min(ts), 1e-9))
     return out
 
 
