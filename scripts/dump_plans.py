@@ -46,6 +46,9 @@ NAMES = (
     "points_interpolated",
     "source_quality_gate",
     "rotate_world_roundtrip",
+    "paragraph_dedup_refinedweb",
+    "decontaminate_eval_overlap",
+    "seqpack_offsets",
 )
 
 
