@@ -385,15 +385,26 @@ def lambert_azimuthal_inverse(
     ).withColumn("lat2", F.when(at_center, F.lit(lat0)).otherwise(lat_gen))
 
 
+def sinusoidal_xy(lon0: float = 0.0):
+    """:func:`sinusoidal` as a column-pair builder (zero-shuffle
+    ring-array path)."""
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        x = F.lit(R) * F.radians(lon_col - F.lit(lon0)) * F.cos(f)
+        return x, F.lit(R) * f
+
+    return fxy
+
+
 def sinusoidal(
     df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
 ) -> DataFrame:
     """Sinusoidal (Sanson-Flamsteed) pseudocylindrical — equal-area,
     equally-spaced parallels: x = R dl cos f, y = R f. The classic
     public form (Snyder 1987 eq. 30-1); one codegen stage."""
-    f = F.radians(F.col(lat))
-    x = F.lit(R) * F.radians(F.col(lon) - F.lit(lon0)) * F.cos(f)
-    return df.withColumn("sx", x).withColumn("sy", F.lit(R) * f)
+    x, y = sinusoidal_xy(lon0)(F.col(lon), F.col(lat))
+    return df.withColumn("sx", x).withColumn("sy", y)
 
 
 def sinusoidal_inverse(
@@ -1581,3 +1592,20 @@ def hammer_inverse(
             F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), z * Y)))
         ),
     )
+
+
+# Closed-form projections with COLUMN-PAIR builders: callers (the
+# pipeline runner's `project`/`rotate` ops) route these through the
+# zero-shuffle :func:`project_layer_inplace`. Values are factories
+# taking the projection's parameter kwargs and returning the
+# ``fxy(lon, lat) -> (x, y)`` pair builder. Newton-solve projections
+# are deliberately absent (see project_layer_inplace's docstring);
+# any other closed-form projection joins by the same mechanical
+# refactor (share the expression tree between the point-table
+# function and the builder, as webmercator/sinusoidal/rotate do).
+XY_BUILDERS = {
+    "to_webmercator": lambda: webmercator_xy,
+    "from_webmercator": lambda: webmercator_inv_xy,
+    "sinusoidal": sinusoidal_xy,
+    "rotate_sphere": rotate_sphere_xy,
+}

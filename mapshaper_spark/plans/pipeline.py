@@ -251,17 +251,31 @@ def _points_mode(spark, df, o):
 @op("project")
 def _project(spark, df, o):
     """-proj on a ring-array layer: projection by NAME from
-    functions/proj.py (any fwd function appending two columns), through
-    project_layer's explode -> codegen -> positional regroup."""
+    functions/proj.py (any fwd function appending two columns).
+    Closed-form projections with a column-pair builder
+    (proj_fn.XY_BUILDERS) run ZERO-SHUFFLE through
+    project_layer_inplace (bitwise-identical values, pinned in
+    pytest); everything else (the Newton solves) takes project_layer's
+    explode -> codegen -> positional regroup."""
     from ..functions import proj as proj_fn
 
     name = o["name"]
     out = tuple(o.get("out", ("px", "py")))
     keys = tuple(o.get("keys", ("poly_id", "ring_idx")))
+    kwargs = o.get("args", {})
+    factory = proj_fn.XY_BUILDERS.get(name)
+    if factory is not None:
+        try:
+            fxy = factory(**kwargs)
+        except TypeError:
+            fxy = None  # kwargs the builder doesn't take -> explode path
+        if fxy is not None:
+            return proj_fn.project_layer_inplace(df, fxy).select(
+                *keys, "xs", "ys"
+            )
     fwd = getattr(proj_fn, name, None)
     if fwd is None or not callable(fwd):
         raise ValueError(f"unknown projection {name!r}")
-    kwargs = o.get("args", {})
     return proj_fn.project_layer(
         df, lambda d: fwd(d, **kwargs), out=out, keys=keys
     )
@@ -270,17 +284,14 @@ def _project(spark, df, o):
 @op("rotate")
 def _rotate(spark, df, o):
     """-rotate a ring-array layer by Euler angles (spherical,
-    d3 convention) through project_layer."""
+    d3 convention) — zero-shuffle through project_layer_inplace."""
     from ..functions import proj as proj_fn
 
     angles = tuple(float(a) for a in o["angles"])
     keys = tuple(o.get("keys", ("poly_id", "ring_idx")))
-    return proj_fn.project_layer(
-        df,
-        lambda d: proj_fn.rotate_sphere(d, angles, out=("rx", "ry")),
-        out=("rx", "ry"),
-        keys=keys,
-    )
+    return proj_fn.project_layer_inplace(
+        df, proj_fn.rotate_sphere_xy(angles)
+    ).select(*keys, "xs", "ys")
 
 
 # ---------------------------------------------------------------- runner ---

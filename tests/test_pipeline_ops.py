@@ -86,6 +86,31 @@ def test_project_layer_spec_webmercator(spark):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_project_spec_routes_zero_shuffle(spark):
+    """Closed-form projections route through project_layer_inplace
+    (no exchange in the plan); builder kwargs (sinusoidal lon0) reach
+    the factory; Newton projections fall back to the explode path and
+    still match their project_layer form."""
+    feats = testdata.holed_features(spark)
+    # in-place route, with a projection parameter
+    got = pipeline.OPS["project"](
+        spark, feats, {"name": "sinusoidal", "args": {"lon0": 10.0}}
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    want = proj_fn.project_layer(
+        feats, lambda d: proj_fn.sinusoidal(d, lon0=10.0), out=("sx", "sy")
+    )
+    cols = ["poly_id", "ring_idx", "xs", "ys"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # Newton solve (no builder) -> explode path, unchanged
+    got = pipeline.OPS["project"](
+        spark, feats, {"name": "mollweide", "out": ["wx", "wy"]}
+    )
+    want = proj_fn.project_layer(feats, proj_fn.mollweide, out=("wx", "wy"))
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_unknown_names_raise(spark):
     lines = pipeline.load_source(spark, {"kind": "divide_lines"})
     try:
