@@ -493,6 +493,45 @@ _MOLL_ITERS = 30  # Newton on 2θ + sin 2θ = π sin φ: quadratic away
 # 10 leave 4e-2° at 89.99° (exact-pole rows take the closed form)
 
 
+def mollweide_xy(lon0: float = 0.0):
+    """:func:`mollweide` as a column-pair builder for the zero-shuffle
+    ring-array path — the Newton solve runs as ``aggregate(sequence(1,
+    N), θ0, step)``: the SAME fixed-count iteration, but executed at
+    RUNTIME inside the lambda instead of unrolled through withColumn,
+    so the expression tree stays O(one step) while the point-table
+    form's tree is O(N steps). Each step evaluates the identical IEEE
+    expression in the identical order, so values match the explode
+    path BITWISE (pinned in pytest). The same pattern (a struct
+    accumulator) extends to 2D Newton solves (Winkel/Aitoff) if ever
+    needed."""
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        tgt = F.lit(math.pi) * F.sin(f)
+
+        def step(th, _i):
+            den = F.lit(2.0) + F.lit(2.0) * F.cos(F.lit(2.0) * th)
+            return F.when(
+                den > F.lit(0.0),
+                th
+                - (F.lit(2.0) * th + F.sin(F.lit(2.0) * th) - tgt) / den,
+            ).otherwise(th)
+
+        th = F.aggregate(
+            F.sequence(F.lit(1), F.lit(_MOLL_ITERS)), f, step
+        )
+        at_pole = F.abs(lat_col) >= F.lit(90.0 - 1e-9)
+        theta = F.when(
+            at_pole, F.lit(math.pi / 2.0) * F.signum(lat_col)
+        ).otherwise(th)
+        dl = F.radians(lon_col - F.lit(lon0))
+        x = F.lit(R * 2.0 * math.sqrt(2.0) / math.pi) * dl * F.cos(theta)
+        y = F.lit(R * math.sqrt(2.0)) * F.sin(theta)
+        return x, y
+
+    return fxy
+
+
 def mollweide(
     df: DataFrame, lon0: float = 0.0, lon: str = "lon", lat: str = "lat"
 ) -> DataFrame:
@@ -580,6 +619,40 @@ _ECK4_ITERS = 30  # Newton on t + sin t cos t + 2 sin t = (2+pi/2) sin f:
 _ECK4_C = 2.0 + math.pi / 2.0
 _ECK4_XM = 2.0 / math.sqrt(4.0 * math.pi + math.pi * math.pi)
 _ECK4_YM = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+
+
+def eckert4_xy(lon0: float = 0.0):
+    """:func:`eckert4` as a column-pair builder (zero-shuffle ring-array
+    path) — the Newton solve runs at RUNTIME via aggregate(sequence),
+    the :func:`mollweide_xy` pattern; bitwise-identical to the
+    withColumn-unrolled point-table form."""
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        tgt = F.lit(_ECK4_C) * F.sin(f)
+
+        def step(t, _i):
+            den = F.lit(2.0) * F.cos(t) * (F.lit(1.0) + F.cos(t))
+            return F.when(
+                den > F.lit(0.0),
+                t
+                - (t + F.sin(t) * F.cos(t) + F.lit(2.0) * F.sin(t) - tgt)
+                / den,
+            ).otherwise(t)
+
+        t = F.aggregate(
+            F.sequence(F.lit(1), F.lit(_ECK4_ITERS)), f / F.lit(2.0), step
+        )
+        at_pole = F.abs(lat_col) >= F.lit(90.0 - 1e-9)
+        t = F.when(
+            at_pole, F.lit(math.pi / 2.0) * F.signum(lat_col)
+        ).otherwise(t)
+        dl = F.radians(lon_col - F.lit(lon0))
+        x = F.lit(_ECK4_XM * R) * dl * (F.lit(1.0) + F.cos(t))
+        y = F.lit(_ECK4_YM * R) * F.sin(t)
+        return x, y
+
+    return fxy
 
 
 def eckert4(
@@ -1329,11 +1402,14 @@ def project_layer_inplace(
     zip_with lambda and only that coordinate's expression enters the
     plan (the discarded half of the tuple never materializes).
 
-    Newton-solve projections (Mollweide, Eckert IV, Winkel Tripel, …)
-    stay on :func:`project_layer`: their fixed-count iterations rebind
-    through withColumn to keep the expression tree LINEAR, which a
-    lambda body cannot express — inlining a 30-step Newton into one
-    expression duplicates the iterate subtree exponentially.
+    Newton-solve projections CAN take this path too — not by inlining
+    the unrolled iteration into the lambda (that duplicates the iterate
+    subtree exponentially), but by running the fixed-count iteration at
+    RUNTIME via ``aggregate(sequence(1, N), x0, step)``
+    (:func:`mollweide_xy`, :func:`eckert4_xy` — bitwise-identical to
+    their withColumn-unrolled point-table forms, pinned). 2D Newton
+    solves (Winkel/Aitoff) would need a struct accumulator and stay on
+    :func:`project_layer` for now.
 
     All non-vertex columns pass through untouched (passthrough shape —
     no slim-ids join needed since nothing shuffles)."""
@@ -1608,4 +1684,10 @@ XY_BUILDERS = {
     "from_webmercator": lambda: webmercator_inv_xy,
     "sinusoidal": sinusoidal_xy,
     "rotate_sphere": rotate_sphere_xy,
+    # Newton solves ARE expressible zero-shuffle after all: the
+    # fixed-count iteration runs at RUNTIME via aggregate(sequence(1,
+    # N), x0, step) — O(one step) expression tree, bitwise-identical
+    # values to the withColumn-unrolled point-table forms (pinned).
+    "mollweide": mollweide_xy,
+    "eckert4": eckert4_xy,
 }

@@ -252,11 +252,12 @@ def _points_mode(spark, df, o):
 def _project(spark, df, o):
     """-proj on a ring-array layer: projection by NAME from
     functions/proj.py (any fwd function appending two columns).
-    Closed-form projections with a column-pair builder
-    (proj_fn.XY_BUILDERS) run ZERO-SHUFFLE through
-    project_layer_inplace (bitwise-identical values, pinned in
-    pytest); everything else (the Newton solves) takes project_layer's
-    explode -> codegen -> positional regroup."""
+    Projections with a column-pair builder (proj_fn.XY_BUILDERS —
+    closed forms plus the aggregate(sequence)-iterated 1D Newton
+    solves) run ZERO-SHUFFLE through project_layer_inplace
+    (bitwise-identical values, pinned in pytest); the rest (2D Newton
+    solves) take project_layer's explode -> codegen -> positional
+    regroup."""
     from ..functions import proj as proj_fn
 
     name = o["name"]

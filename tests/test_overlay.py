@@ -1328,6 +1328,10 @@ def test_project_layer_inplace_bitwise_and_shuffle_free(spark):
             lambda d: proj_fn.rotate_sphere(d, (110.0, -35.0, 20.0), out=("rx", "ry")),
             ("rx", "ry"),
         ),
+        # the 1D Newton solves via the aggregate(sequence) runtime
+        # iteration — same fixed-count step expression, so bitwise too
+        (proj_fn.mollweide_xy(), proj_fn.mollweide, ("wx", "wy")),
+        (proj_fn.eckert4_xy(), proj_fn.eckert4, ("ekx", "eky")),
     ):
         ip = proj_fn.project_layer_inplace(feats, fxy)
         ex = proj_fn.project_layer(feats.drop("tag"), df_fn, out=out)

@@ -103,11 +103,19 @@ def test_project_spec_routes_zero_shuffle(spark):
     )
     cols = ["poly_id", "ring_idx", "xs", "ys"]
     assert _rows(got, cols) == _rows(want, cols)
-    # Newton solve (no builder) -> explode path, unchanged
+    # 1D Newton solve -> in-place route (aggregate(sequence) iteration),
+    # still bitwise-identical to its project_layer form
     got = pipeline.OPS["project"](
         spark, feats, {"name": "mollweide", "out": ["wx", "wy"]}
     )
+    assert "Exchange" not in got._jdf.queryExecution().executedPlan().toString()
     want = proj_fn.project_layer(feats, proj_fn.mollweide, out=("wx", "wy"))
+    assert _rows(got, cols) == _rows(want, cols)
+    # 2D Newton solve (no builder) -> explode path, unchanged
+    got = pipeline.OPS["project"](
+        spark, feats, {"name": "winkel_tripel", "out": ["wtx", "wty"]}
+    )
+    want = proj_fn.project_layer(feats, proj_fn.winkel_tripel, out=("wtx", "wty"))
     assert _rows(got, cols) == _rows(want, cols)
 
 
