@@ -86,15 +86,29 @@ def albers(
     parallels). Forward: n = (sin f1 + sin f2)/2, C = cos^2 f1 +
     2 n sin f1, rho = R sqrt(C - 2 n sin f)/n, th = n (lam - lam0);
     x = rho sin th, y = rho0 - rho cos th. Pure codegen column math."""
+    x, y = albers_xy(lat1, lat2, lon0, lat0)(F.col(lon), F.col(lat))
+    return df.withColumn("ax", x).withColumn("ay", y)
+
+
+def albers_xy(
+    lat1: float = 29.5,
+    lat2: float = 45.5,
+    lon0: float = -96.0,
+    lat0: float = 23.0,
+):
+    """:func:`albers` as a column-pair builder (zero-shuffle layer
+    path; same expression tree)."""
     f1, f2 = math.radians(lat1), math.radians(lat2)
     n = (math.sin(f1) + math.sin(f2)) / 2.0
     c = math.cos(f1) ** 2 + 2.0 * n * math.sin(f1)
     rho0 = R * math.sqrt(c - 2.0 * n * math.sin(math.radians(lat0))) / n
-    rho = F.lit(R) * F.sqrt(F.lit(c) - F.lit(2.0 * n) * F.sin(F.radians(F.col(lat)))) / F.lit(n)
-    th = F.lit(n) * F.radians(F.col(lon) - F.lit(lon0))
-    return df.withColumn("ax", rho * F.sin(th)).withColumn(
-        "ay", F.lit(rho0) - rho * F.cos(th)
-    )
+
+    def fxy(lon_col, lat_col):
+        rho = F.lit(R) * F.sqrt(F.lit(c) - F.lit(2.0 * n) * F.sin(F.radians(lat_col))) / F.lit(n)
+        th = F.lit(n) * F.radians(lon_col - F.lit(lon0))
+        return rho * F.sin(th), F.lit(rho0) - rho * F.cos(th)
+
+    return fxy
 
 
 def albers_inverse(
@@ -131,19 +145,32 @@ def lambert_cc(
 ) -> DataFrame:
     """Spherical Lambert conformal conic. n from the two standard
     parallels, rho = R Fc / tan^n(pi/4 + f/2)."""
+    x, y = lambert_cc_xy(lat1, lat2, lon0, lat0)(F.col(lon), F.col(lat))
+    return df.withColumn("lx", x).withColumn("ly", y)
+
+
+def lambert_cc_xy(
+    lat1: float = 33.0,
+    lat2: float = 45.0,
+    lon0: float = -96.0,
+    lat0: float = 39.0,
+):
+    """:func:`lambert_cc` as a column-pair builder."""
     f1, f2 = math.radians(lat1), math.radians(lat2)
     n = math.log(math.cos(f1) / math.cos(f2)) / math.log(
         math.tan(math.pi / 4.0 + f2 / 2.0) / math.tan(math.pi / 4.0 + f1 / 2.0)
     )
     fc = math.cos(f1) * math.tan(math.pi / 4.0 + f1 / 2.0) ** n / n
     rho0 = R * fc / math.tan(math.pi / 4.0 + math.radians(lat0) / 2.0) ** n
-    rho = F.lit(R * fc) / F.pow(
-        F.tan(F.lit(math.pi / 4.0) + F.radians(F.col(lat)) / 2.0), F.lit(n)
-    )
-    th = F.lit(n) * F.radians(F.col(lon) - F.lit(lon0))
-    return df.withColumn("lx", rho * F.sin(th)).withColumn(
-        "ly", F.lit(rho0) - rho * F.cos(th)
-    )
+
+    def fxy(lon_col, lat_col):
+        rho = F.lit(R * fc) / F.pow(
+            F.tan(F.lit(math.pi / 4.0) + F.radians(lat_col) / 2.0), F.lit(n)
+        )
+        th = F.lit(n) * F.radians(lon_col - F.lit(lon0))
+        return rho * F.sin(th), F.lit(rho0) - rho * F.cos(th)
+
+    return fxy
 
 
 def lambert_cc_inverse(
@@ -183,12 +210,24 @@ def transverse_mercator(
     public spherical form). B = cos f sin(lam-lam0); x = k0 R atanh(B);
     y = k0 R atan2(tan f, cos(lam-lam0)). Conformal — the property the
     tests pin. Pure codegen column math."""
-    dl = F.radians(F.col(lon) - F.lit(lon0))
-    f = F.radians(F.col(lat))
-    b = F.cos(f) * F.sin(dl)
-    x = F.lit(k0 * R * 0.5) * F.log((F.lit(1.0) + b) / (F.lit(1.0) - b))
-    y = F.lit(k0 * R) * F.atan2(F.tan(f), F.cos(dl))
+    x, y = transverse_mercator_xy(lon0, k0)(F.col(lon), F.col(lat))
     return df.withColumn("tx", x).withColumn("ty", y)
+
+
+def transverse_mercator_xy(lon0: float = -93.0, k0: float = 1.0):
+    """:func:`transverse_mercator` as a column-pair builder (fixed
+    central meridian; the per-row-zone :func:`utm` stays on the point
+    path — its zone/hemisphere outputs are metadata beyond (x, y))."""
+
+    def fxy(lon_col, lat_col):
+        dl = F.radians(lon_col - F.lit(lon0))
+        f = F.radians(lat_col)
+        b = F.cos(f) * F.sin(dl)
+        x = F.lit(k0 * R * 0.5) * F.log((F.lit(1.0) + b) / (F.lit(1.0) - b))
+        y = F.lit(k0 * R) * F.atan2(F.tan(f), F.cos(dl))
+        return x, y
+
+    return fxy
 
 
 def transverse_mercator_inverse(
@@ -282,20 +321,30 @@ def robinson(df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
     exactly, between-node values differ <0.1%). x = 0.8487 R X(|f|) lam,
     y = 1.3523 R Y(|f|) sign(f). Table lookup is element_at over array
     literals — still one codegen stage, no UDF."""
-    xarr = F.array(*[F.lit(v) for v in ROBINSON_X])
-    yarr = F.array(*[F.lit(v) for v in ROBINSON_Y])
-    alat = F.least(F.lit(90.0), F.abs(F.col(lat)))
-    idx = F.least(F.lit(17), F.floor(alat / 5.0).cast("int"))
-    frac = alat / 5.0 - idx.cast("double")
-    lo_x = F.element_at(xarr, idx + 1)
-    hi_x = F.element_at(xarr, idx + 2)
-    lo_y = F.element_at(yarr, idx + 1)
-    hi_y = F.element_at(yarr, idx + 2)
-    px = lo_x + frac * (hi_x - lo_x)
-    py = lo_y + frac * (hi_y - lo_y)
-    x = F.lit(_ROB_XM * R) * px * F.radians(F.col(lon))
-    y = F.lit(_ROB_YM * R) * py * F.signum(F.col(lat))
+    x, y = robinson_xy()(F.col(lon), F.col(lat))
     return df.withColumn("rx", x).withColumn("ry", y)
+
+
+def robinson_xy():
+    """:func:`robinson` as a column-pair builder."""
+
+    def fxy(lon_col, lat_col):
+        xarr = F.array(*[F.lit(v) for v in ROBINSON_X])
+        yarr = F.array(*[F.lit(v) for v in ROBINSON_Y])
+        alat = F.least(F.lit(90.0), F.abs(lat_col))
+        idx = F.least(F.lit(17), F.floor(alat / 5.0).cast("int"))
+        frac = alat / 5.0 - idx.cast("double")
+        lo_x = F.element_at(xarr, idx + 1)
+        hi_x = F.element_at(xarr, idx + 2)
+        lo_y = F.element_at(yarr, idx + 1)
+        hi_y = F.element_at(yarr, idx + 2)
+        px = lo_x + frac * (hi_x - lo_x)
+        py = lo_y + frac * (hi_y - lo_y)
+        x = F.lit(_ROB_XM * R) * px * F.radians(lon_col)
+        y = F.lit(_ROB_YM * R) * py * F.signum(lat_col)
+        return x, y
+
+    return fxy
 
 
 def robinson_inverse(df: DataFrame, rx: str = "rx", ry: str = "ry") -> DataFrame:
@@ -337,20 +386,30 @@ def lambert_azimuthal(
     dl). Equal-area — the property the tests pin. Pure codegen column
     math [SURVEY §7.5's -proj subset, grown per VERDICT r4 'missing'
     #3]."""
-    f0 = math.radians(lat0)
-    dl = F.radians(F.col(lon) - F.lit(lon0))
-    f = F.radians(F.col(lat))
-    cosc = (
-        F.lit(math.sin(f0)) * F.sin(f)
-        + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
-    )
-    kp = F.sqrt(F.lit(2.0) / (F.lit(1.0) + cosc))
-    x = F.lit(R) * kp * F.cos(f) * F.sin(dl)
-    y = F.lit(R) * kp * (
-        F.lit(math.cos(f0)) * F.sin(f)
-        - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
-    )
+    x, y = lambert_azimuthal_xy(lon0, lat0)(F.col(lon), F.col(lat))
     return df.withColumn("zx", x).withColumn("zy", y)
+
+
+def lambert_azimuthal_xy(lon0: float = 0.0, lat0: float = 52.0):
+    """:func:`lambert_azimuthal` as a column-pair builder."""
+    f0 = math.radians(lat0)
+
+    def fxy(lon_col, lat_col):
+        dl = F.radians(lon_col - F.lit(lon0))
+        f = F.radians(lat_col)
+        cosc = (
+            F.lit(math.sin(f0)) * F.sin(f)
+            + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
+        )
+        kp = F.sqrt(F.lit(2.0) / (F.lit(1.0) + cosc))
+        x = F.lit(R) * kp * F.cos(f) * F.sin(dl)
+        y = F.lit(R) * kp * (
+            F.lit(math.cos(f0)) * F.sin(f)
+            - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+        )
+        return x, y
+
+    return fxy
 
 
 def lambert_azimuthal_inverse(
@@ -437,22 +496,32 @@ def azimuthal_equidistant(
     it maps to the bounding circle in no unique direction. Pure codegen
     column math [SURVEY §7.5's -proj subset, grown per VERDICT r4
     'missing' #3]."""
-    f0 = math.radians(lat0)
-    dl = F.radians(F.col(lon) - F.lit(lon0))
-    f = F.radians(F.col(lat))
-    cosc = (
-        F.lit(math.sin(f0)) * F.sin(f)
-        + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
-    )
-    # rounding can push |cos c| a few ulp past 1 → NaN from acos
-    c = F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosc)))
-    kp = F.when(c == F.lit(0.0), F.lit(1.0)).otherwise(c / F.sin(c))
-    x = F.lit(R) * kp * F.cos(f) * F.sin(dl)
-    y = F.lit(R) * kp * (
-        F.lit(math.cos(f0)) * F.sin(f)
-        - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
-    )
+    x, y = azimuthal_equidistant_xy(lon0, lat0)(F.col(lon), F.col(lat))
     return df.withColumn("ax", x).withColumn("ay", y)
+
+
+def azimuthal_equidistant_xy(lon0: float = 0.0, lat0: float = 52.0):
+    """:func:`azimuthal_equidistant` as a column-pair builder."""
+    f0 = math.radians(lat0)
+
+    def fxy(lon_col, lat_col):
+        dl = F.radians(lon_col - F.lit(lon0))
+        f = F.radians(lat_col)
+        cosc = (
+            F.lit(math.sin(f0)) * F.sin(f)
+            + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
+        )
+        # rounding can push |cos c| a few ulp past 1 → NaN from acos
+        c = F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosc)))
+        kp = F.when(c == F.lit(0.0), F.lit(1.0)).otherwise(c / F.sin(c))
+        x = F.lit(R) * kp * F.cos(f) * F.sin(dl)
+        y = F.lit(R) * kp * (
+            F.lit(math.cos(f0)) * F.sin(f)
+            - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+        )
+        return x, y
+
+    return fxy
 
 
 def azimuthal_equidistant_inverse(
@@ -768,9 +837,19 @@ def natural_earth(
     the compromise projection designed for world maps; upstream reaches
     it as +proj=natearth). Pure codegen column math, no iteration in
     the forward direction."""
-    f = F.radians(F.col(lat))
-    x = F.lit(R) * F.radians(F.col(lon) - F.lit(lon0)) * _ne_len(f)
-    return df.withColumn("nex", x).withColumn("ney", F.lit(R) * _ne_y(f))
+    x, y = natural_earth_xy(lon0)(F.col(lon), F.col(lat))
+    return df.withColumn("nex", x).withColumn("ney", y)
+
+
+def natural_earth_xy(lon0: float = 0.0):
+    """:func:`natural_earth` as a column-pair builder."""
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        x = F.lit(R) * F.radians(lon_col - F.lit(lon0)) * _ne_len(f)
+        return x, F.lit(R) * _ne_y(f)
+
+    return fxy
 
 
 def natural_earth_inverse(
@@ -833,11 +912,21 @@ def equal_earth(
     published polynomial. Forward is closed-form codegen (the asin is
     exact); equal-area because x carries 1/(M dY/dt) — the Jacobian
     det is R^2 cos f exactly."""
-    f = F.radians(F.col(lat))
-    t = F.asin(F.lit(_EE_M) * F.sin(f))
-    dl = F.radians(F.col(lon) - F.lit(lon0))
-    x = F.lit(R) * dl * F.cos(t) / (F.lit(_EE_M) * _ee_dy(t))
-    return df.withColumn("eqx", x).withColumn("eqy", F.lit(R) * _ee_y(t))
+    x, y = equal_earth_xy(lon0)(F.col(lon), F.col(lat))
+    return df.withColumn("eqx", x).withColumn("eqy", y)
+
+
+def equal_earth_xy(lon0: float = 0.0):
+    """:func:`equal_earth` as a column-pair builder."""
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        t = F.asin(F.lit(_EE_M) * F.sin(f))
+        dl = F.radians(lon_col - F.lit(lon0))
+        x = F.lit(R) * dl * F.cos(t) / (F.lit(_EE_M) * _ee_dy(t))
+        return x, F.lit(R) * _ee_y(t)
+
+    return fxy
 
 
 def equal_earth_inverse(
@@ -877,20 +966,30 @@ def stereographic(
     sin f0 sin f + cos f0 cos f cos dl); x = k cos f sin dl; y =
     k (cos f0 sin f - sin f0 cos f cos dl). The antipode (k -> inf) is
     the projection's own singularity. Pure codegen column math."""
-    f0 = math.radians(lat0)
-    dl = F.radians(F.col(lon) - F.lit(lon0))
-    f = F.radians(F.col(lat))
-    cosc = (
-        F.lit(math.sin(f0)) * F.sin(f)
-        + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
-    )
-    k = F.lit(2.0 * R) / (F.lit(1.0) + cosc)
-    x = k * F.cos(f) * F.sin(dl)
-    y = k * (
-        F.lit(math.cos(f0)) * F.sin(f)
-        - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
-    )
+    x, y = stereographic_xy(lon0, lat0)(F.col(lon), F.col(lat))
     return df.withColumn("stx", x).withColumn("sty", y)
+
+
+def stereographic_xy(lon0: float = 0.0, lat0: float = 52.0):
+    """:func:`stereographic` as a column-pair builder."""
+    f0 = math.radians(lat0)
+
+    def fxy(lon_col, lat_col):
+        dl = F.radians(lon_col - F.lit(lon0))
+        f = F.radians(lat_col)
+        cosc = (
+            F.lit(math.sin(f0)) * F.sin(f)
+            + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
+        )
+        k = F.lit(2.0 * R) / (F.lit(1.0) + cosc)
+        x = k * F.cos(f) * F.sin(dl)
+        y = k * (
+            F.lit(math.cos(f0)) * F.sin(f)
+            - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+        )
+        return x, y
+
+    return fxy
 
 
 def stereographic_inverse(
@@ -946,16 +1045,32 @@ def orthographic(
         F.lit(math.sin(f0)) * F.sin(f)
         + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
     )
-    x = F.lit(R) * F.cos(f) * F.sin(dl)
-    y = F.lit(R) * (
-        F.lit(math.cos(f0)) * F.sin(f)
-        - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
-    )
+    x, y = orthographic_xy(lon0, lat0)(F.col(lon), F.col(lat))
     return (
         df.withColumn("orx", x)
         .withColumn("ory", y)
         .withColumn("ort_front", cosc >= F.lit(0.0))
     )
+
+
+def orthographic_xy(lon0: float = 0.0, lat0: float = 52.0):
+    """:func:`orthographic` as a column-pair builder — coordinates
+    only; the hemisphere flag (``ort_front``) is point-table metadata
+    neither layer path carries (project_layer's out= is the same two
+    columns)."""
+    f0 = math.radians(lat0)
+
+    def fxy(lon_col, lat_col):
+        dl = F.radians(lon_col - F.lit(lon0))
+        f = F.radians(lat_col)
+        x = F.lit(R) * F.cos(f) * F.sin(dl)
+        y = F.lit(R) * (
+            F.lit(math.cos(f0)) * F.sin(f)
+            - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+        )
+        return x, y
+
+    return fxy
 
 
 def orthographic_inverse(
@@ -1013,20 +1128,38 @@ def gnomonic(
         F.lit(math.sin(f0)) * F.sin(f)
         + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
     )
-    x = F.lit(R) * F.cos(f) * F.sin(dl) / cosc
-    y = (
-        F.lit(R)
-        * (
-            F.lit(math.cos(f0)) * F.sin(f)
-            - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
-        )
-        / cosc
-    )
+    x, y = gnomonic_xy(lon0, lat0)(F.col(lon), F.col(lat))
     return (
         df.withColumn("gnx", x)
         .withColumn("gny", y)
         .withColumn("gno_front", cosc > F.lit(0.0))
     )
+
+
+def gnomonic_xy(lon0: float = 0.0, lat0: float = 52.0):
+    """:func:`gnomonic` as a column-pair builder (coordinates only —
+    see :func:`orthographic_xy` on the hemisphere flag)."""
+    f0 = math.radians(lat0)
+
+    def fxy(lon_col, lat_col):
+        dl = F.radians(lon_col - F.lit(lon0))
+        f = F.radians(lat_col)
+        cosc = (
+            F.lit(math.sin(f0)) * F.sin(f)
+            + F.lit(math.cos(f0)) * F.cos(f) * F.cos(dl)
+        )
+        x = F.lit(R) * F.cos(f) * F.sin(dl) / cosc
+        y = (
+            F.lit(R)
+            * (
+                F.lit(math.cos(f0)) * F.sin(f)
+                - F.lit(math.sin(f0)) * F.cos(f) * F.cos(dl)
+            )
+            / cosc
+        )
+        return x, y
+
+    return fxy
 
 
 def gnomonic_inverse(
@@ -1074,12 +1207,22 @@ def cassini(
     x = the true great-circle distance to the central meridian, and
     exact scale along it (x = 0, y = R (f - f0) on the meridian — the
     historic cadastral-survey projection). Pure codegen column math."""
-    f0 = math.radians(lat0)
-    dl = F.radians(F.col(lon) - F.lit(lon0))
-    f = F.radians(F.col(lat))
-    x = F.lit(R) * F.asin(F.cos(f) * F.sin(dl))
-    y = F.lit(R) * (F.atan2(F.sin(f), F.cos(f) * F.cos(dl)) - F.lit(f0))
+    x, y = cassini_xy(lon0, lat0)(F.col(lon), F.col(lat))
     return df.withColumn("csx", x).withColumn("csy", y)
+
+
+def cassini_xy(lon0: float = 0.0, lat0: float = 0.0):
+    """:func:`cassini` as a column-pair builder."""
+    f0 = math.radians(lat0)
+
+    def fxy(lon_col, lat_col):
+        dl = F.radians(lon_col - F.lit(lon0))
+        f = F.radians(lat_col)
+        x = F.lit(R) * F.asin(F.cos(f) * F.sin(dl))
+        y = F.lit(R) * (F.atan2(F.sin(f), F.cos(f) * F.cos(dl)) - F.lit(f0))
+        return x, y
+
+    return fxy
 
 
 def cassini_inverse(
@@ -1113,10 +1256,20 @@ def cylindrical_equal_area(
     construction (the quad check pins it); parallels are straight
     lines whose spacing compresses as sin f. Pure codegen column
     math."""
-    cfs = math.cos(math.radians(lat_ts))
-    x = F.lit(R * cfs) * F.radians(F.col(lon) - F.lit(lon0))
-    y = F.lit(R / cfs) * F.sin(F.radians(F.col(lat)))
+    x, y = cylindrical_equal_area_xy(lat_ts, lon0)(F.col(lon), F.col(lat))
     return df.withColumn("cex", x).withColumn("cey", y)
+
+
+def cylindrical_equal_area_xy(lat_ts: float = 0.0, lon0: float = 0.0):
+    """:func:`cylindrical_equal_area` as a column-pair builder."""
+    cfs = math.cos(math.radians(lat_ts))
+
+    def fxy(lon_col, lat_col):
+        x = F.lit(R * cfs) * F.radians(lon_col - F.lit(lon0))
+        y = F.lit(R / cfs) * F.sin(F.radians(lat_col))
+        return x, y
+
+    return fxy
 
 
 def cylindrical_equal_area_inverse(
@@ -1143,11 +1296,21 @@ def miller(
     poles finite (y(90°) ≈ 1.832 R vs Mercator's infinity, the node
     the tests pin) while staying meridian-true. Neither equal-area nor
     conformal; pure codegen column math."""
-    x = F.lit(R) * F.radians(F.col(lon) - F.lit(lon0))
-    y = F.lit(1.25 * R) * F.log(
-        F.tan(F.lit(math.pi / 4.0) + F.lit(0.4) * F.radians(F.col(lat)))
-    )
+    x, y = miller_xy(lon0)(F.col(lon), F.col(lat))
     return df.withColumn("mlx", x).withColumn("mly", y)
+
+
+def miller_xy(lon0: float = 0.0):
+    """:func:`miller` as a column-pair builder."""
+
+    def fxy(lon_col, lat_col):
+        x = F.lit(R) * F.radians(lon_col - F.lit(lon0))
+        y = F.lit(1.25 * R) * F.log(
+            F.tan(F.lit(math.pi / 4.0) + F.lit(0.4) * F.radians(lat_col))
+        )
+        return x, y
+
+    return fxy
 
 
 def miller_inverse(
@@ -1179,14 +1342,22 @@ def bonne(
     radius cot f1 + f1 - f stays positive everywhere, so the only
     special point is the exact pole pair on the inverse. Pure codegen
     column math."""
+    x, y = bonne_xy(lat1, lon0)(F.col(lon), F.col(lat))
+    return df.withColumn("bnx", x).withColumn("bny", y)
+
+
+def bonne_xy(lat1: float = 45.0, lon0: float = 0.0):
+    """:func:`bonne` as a column-pair builder."""
     f1 = math.radians(lat1)
     cot1 = 1.0 / math.tan(f1)
-    f = F.radians(F.col(lat))
-    rho = F.lit(R) * (F.lit(cot1 + f1) - f)
-    e = F.lit(R) * F.radians(F.col(lon) - F.lit(lon0)) * F.cos(f) / rho
-    return df.withColumn("bnx", rho * F.sin(e)).withColumn(
-        "bny", F.lit(R * cot1) - rho * F.cos(e)
-    )
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        rho = F.lit(R) * (F.lit(cot1 + f1) - f)
+        e = F.lit(R) * F.radians(lon_col - F.lit(lon0)) * F.cos(f) / rho
+        return rho * F.sin(e), F.lit(R * cot1) - rho * F.cos(e)
+
+    return fxy
 
 
 def bonne_inverse(
@@ -1244,10 +1415,21 @@ def winkel_tripel(
     """Winkel Tripel [UPSTREAM -proj wintri — National Geographic's
     world-map projection since 1998]: the mean of equirectangular
     (φ1 = acos(2/π)) and Aitoff. Pure codegen column math."""
-    f = F.radians(F.col(lat))
-    dl = F.radians(F.col(lon) - F.lit(lon0))
-    x, y = _wt_xy(f, dl)
-    return df.withColumn("wtx", F.lit(R) * x).withColumn("wty", F.lit(R) * y)
+    x, y = winkel_tripel_xy(lon0)(F.col(lon), F.col(lat))
+    return df.withColumn("wtx", x).withColumn("wty", y)
+
+
+def winkel_tripel_xy(lon0: float = 0.0):
+    """:func:`winkel_tripel` as a column-pair builder (the forward is
+    closed-form; only the INVERSE needs the 2D Newton)."""
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        dl = F.radians(lon_col - F.lit(lon0))
+        x, y = _wt_xy(f, dl)
+        return F.lit(R) * x, F.lit(R) * y
+
+    return fxy
 
 
 def winkel_tripel_inverse(
@@ -1550,10 +1732,20 @@ def aitoff(
     projection set; the azimuthal-equidistant-stretch world map whose
     mean with equirectangular is Winkel Tripel]. Pure codegen column
     math; appends (atx, aty)."""
-    f = F.radians(F.col(lat))
-    dl = F.radians(F.col(lon) - F.lit(lon0))
-    x, y = _aitoff_xy(f, dl)
-    return df.withColumn("atx", F.lit(R) * x).withColumn("aty", F.lit(R) * y)
+    x, y = aitoff_xy(lon0)(F.col(lon), F.col(lat))
+    return df.withColumn("atx", x).withColumn("aty", y)
+
+
+def aitoff_xy(lon0: float = 0.0):
+    """:func:`aitoff` as a column-pair builder."""
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        dl = F.radians(lon_col - F.lit(lon0))
+        x, y = _aitoff_xy(f, dl)
+        return F.lit(R) * x, F.lit(R) * y
+
+    return fxy
 
 
 def aitoff_inverse(
@@ -1630,12 +1822,22 @@ def hammer(
     x = 2√2 cos φ sin(Δλ/2)/den, y = √2 sin φ/den. Pure codegen
     column math; appends (hmx, hmy); the equal-area quad pytest pins
     the defining property."""
-    f = F.radians(F.col(lat))
-    half = F.radians(F.col(lon) - F.lit(lon0)) * F.lit(0.5)
-    den = F.sqrt(F.lit(1.0) + F.cos(f) * F.cos(half))
-    return df.withColumn(
-        "hmx", F.lit(R) * F.lit(2.0 * math.sqrt(2.0)) * F.cos(f) * F.sin(half) / den
-    ).withColumn("hmy", F.lit(R) * F.lit(math.sqrt(2.0)) * F.sin(f) / den)
+    x, y = hammer_xy(lon0)(F.col(lon), F.col(lat))
+    return df.withColumn("hmx", x).withColumn("hmy", y)
+
+
+def hammer_xy(lon0: float = 0.0):
+    """:func:`hammer` as a column-pair builder."""
+
+    def fxy(lon_col, lat_col):
+        f = F.radians(lat_col)
+        half = F.radians(lon_col - F.lit(lon0)) * F.lit(0.5)
+        den = F.sqrt(F.lit(1.0) + F.cos(f) * F.cos(half))
+        x = F.lit(R) * F.lit(2.0 * math.sqrt(2.0)) * F.cos(f) * F.sin(half) / den
+        y = F.lit(R) * F.lit(math.sqrt(2.0)) * F.sin(f) / den
+        return x, y
+
+    return fxy
 
 
 def hammer_inverse(
@@ -1690,4 +1892,27 @@ XY_BUILDERS = {
     # values to the withColumn-unrolled point-table forms (pinned).
     "mollweide": mollweide_xy,
     "eckert4": eckert4_xy,
+    # every remaining FORWARD in the module (all closed-form; the
+    # point-table functions delegate to these same builders, so both
+    # paths share one expression tree). Not here: utm (per-row
+    # zone/hemisphere outputs are metadata beyond (x, y)) and the
+    # 2D-Newton inverses.
+    "albers": albers_xy,
+    "lambert_cc": lambert_cc_xy,
+    "lambert_azimuthal": lambert_azimuthal_xy,
+    "azimuthal_equidistant": azimuthal_equidistant_xy,
+    "stereographic": stereographic_xy,
+    "orthographic": orthographic_xy,
+    "gnomonic": gnomonic_xy,
+    "cassini": cassini_xy,
+    "cylindrical_equal_area": cylindrical_equal_area_xy,
+    "miller": miller_xy,
+    "bonne": bonne_xy,
+    "natural_earth": natural_earth_xy,
+    "equal_earth": equal_earth_xy,
+    "transverse_mercator": transverse_mercator_xy,
+    "robinson": robinson_xy,
+    "winkel_tripel": winkel_tripel_xy,
+    "aitoff": aitoff_xy,
+    "hammer": hammer_xy,
 }

@@ -1321,18 +1321,47 @@ def test_project_layer_inplace_bitwise_and_shuffle_free(spark):
 
     feats = testdata.holed_features(spark).withColumn("tag", F.lit("t"))
 
-    for fxy, df_fn, out in (
-        (proj_fn.webmercator_xy, proj_fn.to_webmercator, ("mx", "my")),
+    # EVERY forward in XY_BUILDERS sweeps against its point-table form
+    # (one shared expression tree per pair -> must be bitwise), incl.
+    # the aggregate(sequence)-iterated 1D Newton solves
+    outs = {
+        "to_webmercator": ("mx", "my"),
+        "sinusoidal": ("sx", "sy"),
+        "mollweide": ("wx", "wy"),
+        "eckert4": ("ekx", "eky"),
+        "albers": ("ax", "ay"),
+        "lambert_cc": ("lx", "ly"),
+        "lambert_azimuthal": ("zx", "zy"),
+        "azimuthal_equidistant": ("ax", "ay"),
+        "stereographic": ("stx", "sty"),
+        "orthographic": ("orx", "ory"),
+        "gnomonic": ("gnx", "gny"),
+        "cassini": ("csx", "csy"),
+        "cylindrical_equal_area": ("cex", "cey"),
+        "miller": ("mlx", "mly"),
+        "bonne": ("bnx", "bny"),
+        "natural_earth": ("nex", "ney"),
+        "equal_earth": ("eqx", "eqy"),
+        "transverse_mercator": ("tx", "ty"),
+        "robinson": ("rx", "ry"),
+        "winkel_tripel": ("wtx", "wty"),
+        "aitoff": ("atx", "aty"),
+        "hammer": ("hmx", "hmy"),
+    }
+    assert set(outs) == set(proj_fn.XY_BUILDERS) - {
+        "from_webmercator",  # inverse — covered by the roundtrip below
+        "rotate_sphere",  # takes angles — covered in the cases below
+    }
+    cases = [
+        (proj_fn.XY_BUILDERS[n](), getattr(proj_fn, n), outs[n]) for n in outs
+    ] + [
         (
             proj_fn.rotate_sphere_xy((110.0, -35.0, 20.0)),
             lambda d: proj_fn.rotate_sphere(d, (110.0, -35.0, 20.0), out=("rx", "ry")),
             ("rx", "ry"),
         ),
-        # the 1D Newton solves via the aggregate(sequence) runtime
-        # iteration — same fixed-count step expression, so bitwise too
-        (proj_fn.mollweide_xy(), proj_fn.mollweide, ("wx", "wy")),
-        (proj_fn.eckert4_xy(), proj_fn.eckert4, ("ekx", "eky")),
-    ):
+    ]
+    for fxy, df_fn, out in cases:
         ip = proj_fn.project_layer_inplace(feats, fxy)
         ex = proj_fn.project_layer(feats.drop("tag"), df_fn, out=out)
         got = {(r.poly_id, r.ring_idx): (list(r.xs), list(r.ys)) for r in ip.collect()}

@@ -111,11 +111,21 @@ def test_project_spec_routes_zero_shuffle(spark):
     assert "Exchange" not in got._jdf.queryExecution().executedPlan().toString()
     want = proj_fn.project_layer(feats, proj_fn.mollweide, out=("wx", "wy"))
     assert _rows(got, cols) == _rows(want, cols)
-    # 2D Newton solve (no builder) -> explode path, unchanged
+    # winkel's forward is closed-form -> in-place route too
     got = pipeline.OPS["project"](
         spark, feats, {"name": "winkel_tripel", "out": ["wtx", "wty"]}
     )
+    assert "Exchange" not in got._jdf.queryExecution().executedPlan().toString()
     want = proj_fn.project_layer(feats, proj_fn.winkel_tripel, out=("wtx", "wty"))
+    assert _rows(got, cols) == _rows(want, cols)
+    # kwargs the builder doesn't take (column names are a point-table
+    # concern) -> TypeError fallback to the explode path, same values
+    got = pipeline.OPS["project"](
+        spark,
+        feats,
+        {"name": "to_webmercator", "out": ["mx", "my"], "args": {"lon": "lon"}},
+    )
+    want = proj_fn.project_layer(feats, proj_fn.to_webmercator, out=("mx", "my"))
     assert _rows(got, cols) == _rows(want, cols)
 
 
