@@ -1,0 +1,154 @@
+"""Scale probe for the part-5 text ops — paragraph_dedup_refinedweb,
+seqpack_offsets, decontaminate_eval_overlap — at N synthetic documents
+(default 1M). The probe synthesizes a documents.parquet with the
+driver-table schema in /tmp (pure column math: 50 hash-picked words
+per doc from a 20-word vocab, plus a SHARED 10-word chunk injected
+into every 10th doc so the dedup window sees a genuinely hot paragraph
+key of N/10 copies), then drives the REAL registered queries against
+it and checks closed-form invariants:
+
+- paragraph dedup: every doc emits 6 chunks (the query prepends its
+  10-word boilerplate to the 50 synthesized words), Σ n_kept ==
+  distinct-paragraph count (each distinct paragraph survives exactly
+  once), and the boilerplate + hot chunks dedup to single survivors.
+- seqpack: cum totals — max(last_seq) == (Σ tokens - 1) // 256 and
+  Σ n_tokens == 50 N — the distributed two-level prefix sum agrees
+  with the closed form.
+- decontamination: every eval-origin doc (doc_id % 50 == 0) is
+  contaminated (it contains its own snippet).
+
+Usage: python scripts/textops_scale_probe.py [N]   (default 1000000)
+Writes BENCH/textops_probe.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mapshaper_spark import queries as Q
+from mapshaper_spark.session import get_spark
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch window "
+    "spark order data column join small line"
+).split()
+HOT = "the quick brown fox jumps over the lazy dog again"  # 10 words
+
+
+def synth_documents(spark, n: int, path: str) -> None:
+    vocab = ", ".join(f"'{w}'" for w in VOCAB)
+    base = (
+        f"concat_ws(' ', transform(sequence(0, 49), j -> "
+        f"element_at(array({vocab}), CAST(pmod(hash(id, j), 20) AS INT) + 1)))"
+    )
+    # every 10th doc: words 20-29 replaced by the HOT shared chunk,
+    # splicing at word boundaries so the chunk lands chunk-ALIGNED
+    # after the query's own 10-word boilerplate prefix
+    words = (
+        f"CASE WHEN id % 10 = 0 THEN concat_ws(' ', "
+        f"array_join(slice(split({base}, ' '), 1, 20), ' '), '{HOT}', "
+        f"array_join(slice(split({base}, ' '), 31, 20), ' ')) "
+        f"ELSE {base} END"
+    )
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(words).alias("text"),
+        F.lit("en").alias("lang"),
+        F.expr("concat('src', CAST(id % 97 AS STRING))").alias("source"),
+    )
+    df = df.withColumn("n_chars", F.length("text"))
+    df.write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+
+
+def run(spark, n: int, tmp: str) -> dict:
+    out: dict = {"n_docs": n}
+    synth_documents(spark, n, tmp)
+
+    t0 = time.time()
+    pd_df = Q.QUERIES["paragraph_dedup_refinedweb"](spark, tmp)
+    agg = pd_df.agg(
+        F.count("*").alias("rows"),
+        F.sum("n_paras").alias("paras"),
+        F.sum("n_kept").alias("kept"),
+    ).first()
+    out["paragraph_dedup_sec"] = round(time.time() - t0, 2)
+    assert agg.rows == n, agg
+    assert agg.paras == 6 * n, agg  # 10 boiler + 50 synth words = 6 chunks
+    out["paragraph_dedup_docs_per_sec"] = int(n / max(out["paragraph_dedup_sec"], 1e-9))
+    out["paras_total"] = int(agg.paras)
+    out["paras_kept"] = int(agg.kept)
+    # each distinct paragraph survives exactly once
+    distinct_paras = (
+        Q.testdata.load(spark, tmp, "documents")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, (size(split(concat("
+                    f"'{Q._PARA_BOILER} ', text), ' ')) + 9) DIV 10 - 1),"
+                    " i -> array_join(slice(split(concat("
+                    f"'{Q._PARA_BOILER} ', text), ' '), i*10+1, 10), ' '))"
+                )
+            ).alias("p")
+        )
+        .agg(F.countDistinct("p"))
+        .first()[0]
+    )
+    assert agg.kept == distinct_paras, (agg.kept, distinct_paras)
+    out["paras_distinct"] = int(distinct_paras)
+
+    t0 = time.time()
+    sp = Q.QUERIES["seqpack_offsets"](spark, tmp)
+    agg = sp.agg(
+        F.sum("n_tokens").alias("tok"), F.max("last_seq").alias("last")
+    ).first()
+    out["seqpack_sec"] = round(time.time() - t0, 2)
+    # raw docs carry 50 words (the boilerplate exists only inside the
+    # paragraph-dedup query's own augmentation)
+    assert agg.tok == 50 * n, agg
+    assert agg.last == (agg.tok - 1) // 256, agg
+    out["seqpack_docs_per_sec"] = int(n / max(out["seqpack_sec"], 1e-9))
+
+    t0 = time.time()
+    dc = Q.QUERIES["decontaminate_eval_overlap"](spark, tmp)
+    agg = dc.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("contaminated").cast("int")).alias("bad"),
+        F.sum(
+            F.when((F.col("doc_id") % 50 == 0) & ~F.col("contaminated"), 1).otherwise(0)
+        ).alias("missed_origins"),
+    ).first()
+    out["decontaminate_sec"] = round(time.time() - t0, 2)
+    assert agg.rows == n and agg.missed_origins == 0, agg
+    out["decontaminate_docs_per_sec"] = int(n / max(out["decontaminate_sec"], 1e-9))
+    out["contaminated_docs"] = int(agg.bad)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    tmp = f"/tmp/mapshaper_spark_textops_{n}"
+    spark = get_spark("textops-probe", cpus=32, shuffle_partitions=32)
+    try:
+        result = run(spark, n, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH",
+        "textops_probe.json",
+    )
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
