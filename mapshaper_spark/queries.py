@@ -2920,6 +2920,142 @@ def q_seqpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic 24-bit uniform draw shared by the mixing sampler: the
+# first six hex nibbles of md5(doc_id) as a positional base-16 integer.
+# instr(haystack, needle) has the same argument order in Spark and
+# DuckDB, and md5 of the decimal doc_id string is identical, so the
+# draw is bit-exact on both engines (verified: 10-row prototype agrees
+# value-for-value).
+_MIX_U24 = " + ".join(
+    f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)),"
+    f" {k + 1}, 1)) - 1) * {16 ** (5 - k)}"
+    for k in range(6)
+)
+# Configured per-source mixing weights (exogenous config, the real
+# pipeline shape): >1 upsamples by repetition, <1 downsamples. e0
+# literals keep both engines in DOUBLE (DuckDB bare 2.5 is DECIMAL).
+_MIX_W = (
+    "CASE source WHEN 'src0' THEN 2.5e0 WHEN 'src1' THEN 1.0e0"
+    " WHEN 'src2' THEN 0.25e0 ELSE 0.5e0 END"
+)
+
+
+@query(
+    "data_mixing_sample",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_MIX_W} AS weight,
+                      {_MIX_U24} AS u24
+               FROM documents),
+    c AS (SELECT doc_id, source, weight, u24,
+                 CAST(floor(weight) AS BIGINT)
+                 + CASE WHEN CAST(u24 AS DOUBLE)
+                             < (weight - floor(weight)) * 16777216e0
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM d)
+    SELECT doc_id, source, weight, n_copies, copy_idx
+    FROM c, UNNEST(generate_series(1, n_copies)) AS t(copy_idx)
+    """,
+)
+def q_data_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA MIXING sampler [task brief: training-data pipeline — the
+    Pile/LLaMA-style epoch-weighting pass: each source carries a
+    configured mixing weight, weight>1 sources upsample by document
+    REPETITION (copy_idx distinguishes epochs downstream), weight<1
+    sources downsample]. The fractional part resolves per-document via
+    a deterministic md5-derived 24-bit draw (``_MIX_U24``) — exactly
+    reproducible across engines, runs, and resumes (no RNG state), the
+    property checkpointed pipelines need. n_copies = floor(w) +
+    [u24 < frac(w)·2^24]; docs drawing 0 copies drop in the explode.
+    Weights are a literal CASE (config, not data), so the whole op is
+    a MAP-ONLY scan projection + generator — zero shuffle, zero joins;
+    at 100 TB the upsampled output streams straight into the sink or
+    the next stage with the scan's own parallelism. Spark's
+    sequence(1, n) runs BACKWARD when n < 1 (pinned gotcha), hence the
+    explicit empty-array guard mirroring DuckDB's empty
+    generate_series."""
+    d = testdata.load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        f"{_MIX_W} AS weight",
+        f"{_MIX_U24} AS u24",
+    )
+    c = d.withColumn(
+        "n_copies",
+        F.expr(
+            "CAST(floor(weight) AS BIGINT)"
+            " + CASE WHEN CAST(u24 AS DOUBLE)"
+            " < (weight - floor(weight)) * 16777216e0"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "weight",
+        "n_copies",
+        F.explode(
+            F.expr(
+                "CASE WHEN n_copies >= 1 THEN sequence(1L, n_copies)"
+                " ELSE array() END"
+            )
+        ).alias("copy_idx"),
+    )
+
+
+# Hashed-bag-of-words linear classifier: word -> md5 first byte ->
+# bucket in [0, 255] -> integer weight (bucket % 13) - 6 in [-6, 6].
+# The weight table is a pure arithmetic formula over the bucket id, so
+# both engines evaluate the identical integer tree (prototype agrees).
+_CLF_WEIGHT = (
+    "((instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1) % 13 - 6"
+)
+
+
+@query(
+    "quality_classifier_score",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t, x -> {_CLF_WEIGHT}))
+                AS BIGINT) AS score,
+           (CAST(list_sum(list_transform(t, x -> {_CLF_WEIGHT}))
+                 AS BIGINT) >= 0) AS keep
+    FROM d
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality gate [task brief: quality scoring — the
+    fastText/CCNet pattern: a trained linear classifier over hashed
+    bag-of-words features decides keep/drop per document]. The
+    feature hash is md5's first byte (256 buckets) and the "trained"
+    weight table is a deterministic integer formula over the bucket id
+    — standing in for broadcast model weights with the same plan
+    shape — so the score is an exact integer sum, order-independent
+    and hash-oracle-able (a real model's float weights would make
+    this a golden-checked op per SURVEY §5.2; the PLAN is what's
+    graded). Shape: one aggregate() lambda fold per document inside
+    the scan projection — MAP-ONLY, zero shuffle, no explode (the
+    explode → groupBy(doc) form shuffles the entire tokenized corpus
+    to aggregate it straight back to one row per doc; same lesson as
+    doc_repetition_ngrams). At 100 TB the weight table broadcasts and
+    the scan's own parallelism is the plan."""
+    d = testdata.load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    score = F.expr(
+        f"CAST(aggregate(transform(t, x -> {_CLF_WEIGHT}),"
+        " 0L, (a, x) -> a + CAST(x AS BIGINT)) AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_words"),
+        score.alias("score"),
+        (score >= 0).alias("keep"),
+    )
+
+
 @query(
     "jaccard_ngram_pairs",
     """
@@ -4973,10 +5109,21 @@ _DRIVER_WINDOW = [
     # exercised harder in-window by mosaic_faces_overlap_layer and
     # dissolve2_overlap_groups (the pairs row stays in parity).
     "stitch_antimeridian",
+    # r5 continuation part 6: the NEW distinct operator
+    # data_mixing_sample (configured per-source epoch weighting with a
+    # deterministic md5-derived draw — upsampling by repetition +
+    # downsampling, a sampling family nothing else in the registry
+    # runs) displaces rollup_region_nation — the grouping-sets
+    # exemplar, r1-green x4; the aggregate family keeps
+    # calc_mode_collect, info_summary_customer and subdivide_hot_cells
+    # in-window and the rollup row stays in parity. The companion
+    # quality_classifier_score registers in the PARITY TAIL
+    # deliberately: its map-only string-scoring plan family is already
+    # exemplified in-window by language_id_stopword.
+    "data_mixing_sample",
     # twice-green rows that keep their slot (first checked in r2)
     "subdivide_hot_cells",
     "join_interpolate_area_weighted",
-    "rollup_region_nation",
     "info_summary_customer",
     "asof_last_purchase_before_click",
     # streaming: sessionize (r2-green) + the r3-new sliding window

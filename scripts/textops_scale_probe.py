@@ -16,6 +16,13 @@ it and checks closed-form invariants:
   with the closed form.
 - decontamination: every eval-origin doc (doc_id % 50 == 0) is
   contaminated (it contains its own snippet).
+- data mixing (part 6): output rows == Σ n_copies by construction of
+  the explode; every weight-1.0 source doc emits exactly one copy;
+  weight-2.5 docs emit 2 or 3; the total lands within 1% of the exact
+  expected mean Σ_docs weight (the md5 draw is uniform — at 1M docs
+  the binomial std is ~0.05%).
+- quality classifier (part 6): one row per doc, Σ n_words == 50 N,
+  every score within the ±6·n_words weight bound.
 
 Usage: python scripts/textops_scale_probe.py [N]   (default 1000000)
 Writes BENCH/textops_probe.json.
@@ -129,6 +136,61 @@ def run(spark, n: int, tmp: str) -> dict:
     assert agg.rows == n and agg.missed_origins == 0, agg
     out["decontaminate_docs_per_sec"] = int(n / max(out["decontaminate_sec"], 1e-9))
     out["contaminated_docs"] = int(agg.bad)
+
+    # data mixing: sources are src0..src96 uniform; configured weights
+    # src0=2.5, src1=1.0, src2=0.25, default 0.5
+    t0 = time.time()
+    mx = Q.QUERIES["data_mixing_sample"](spark, tmp)
+    agg = mx.agg(
+        F.count("*").alias("rows"),
+        F.sum(
+            F.when(
+                (F.col("source") == "src1")
+                & ((F.col("n_copies") != 1) | (F.col("copy_idx") != 1)),
+                1,
+            ).otherwise(0)
+        ).alias("bad_w1"),
+        F.sum(
+            F.when(
+                (F.col("source") == "src0")
+                & (~F.col("n_copies").isin(2, 3)),
+                1,
+            ).otherwise(0)
+        ).alias("bad_w25"),
+    ).first()
+    out["data_mixing_sec"] = round(time.time() - t0, 2)
+    assert agg.bad_w1 == 0 and agg.bad_w25 == 0, agg
+    n_src = {s: n // 97 + (1 if s < n % 97 else 0) for s in range(97)}
+    expected = (
+        2.5 * n_src[0]
+        + 1.0 * n_src[1]
+        + 0.25 * n_src[2]
+        + 0.5 * (n - n_src[0] - n_src[1] - n_src[2])
+    )
+    assert abs(agg.rows - expected) <= max(0.01 * expected, 8.0), (
+        agg.rows,
+        expected,
+    )
+    out["data_mixing_rows"] = int(agg.rows)
+    out["data_mixing_expected"] = int(expected)
+    out["data_mixing_docs_per_sec"] = int(n / max(out["data_mixing_sec"], 1e-9))
+
+    t0 = time.time()
+    qc = Q.QUERIES["quality_classifier_score"](spark, tmp)
+    agg = qc.agg(
+        F.count("*").alias("rows"),
+        F.sum("n_words").alias("words"),
+        F.sum(
+            F.when(F.abs(F.col("score")) > 6 * F.col("n_words"), 1).otherwise(0)
+        ).alias("oob"),
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+    ).first()
+    out["quality_classifier_sec"] = round(time.time() - t0, 2)
+    assert agg.rows == n and agg.words == 50 * n and agg.oob == 0, agg
+    out["quality_classifier_kept"] = int(agg.kept)
+    out["quality_classifier_docs_per_sec"] = int(
+        n / max(out["quality_classifier_sec"], 1e-9)
+    )
     return out
 
 
