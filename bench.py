@@ -129,6 +129,15 @@ BENCH_QUERIES = [
     # partitioned window + idx-sorted document reassembly — data-scaled
     # over documents)
     "paragraph_dedup_refinedweb",
+    # continuation part 7: DSIR-style importance weighting (two corpus
+    # passes: a 256-bucket wordcount shuffle + a broadcast-map scoring
+    # scan), tokenizer-training pair counts (wordcount-shaped), and
+    # SemDeDup (cluster-scoped semantic dedup over the 2000-vector
+    # embeddings table at sf0.1 — the cluster-keyed pair join is the
+    # measured stage)
+    "importance_weights_hashed",
+    "bpe_pair_counts",
+    "semdedup_cluster_scoped",
 ]
 
 
