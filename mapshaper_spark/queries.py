@@ -3120,18 +3120,21 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tgt_b"),
     )
-    tot = cnt.agg(
-        F.sum("raw_b").cast("bigint").alias("rt"),
-        F.sum("tgt_b").cast("bigint").alias("tt"),
-    )
-    wmap = (
-        cnt.crossJoin(F.broadcast(tot))
-        .select("b", (F.col("tgt_b") * F.col("rt") - F.col("raw_b") * F.col("tt")).alias("wgt"))
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("b"), F.collect_list("wgt")
-            ).alias("wmap")
-        )
+    # totals fold into the SAME terminal aggregate that builds the map:
+    # a separate tot-crossJoin makes Spark recompute the whole bucket-
+    # count branch per consumer (three corpus scans, verified in the
+    # formatted plan — the union-recompute gotcha from BASELINE.md).
+    wmap = cnt.agg(
+        F.collect_list("b").alias("bs"),
+        F.collect_list("raw_b").alias("rs"),
+        F.collect_list("tgt_b").alias("ts"),
+        F.sum("raw_b").alias("rt"),
+        F.sum("tgt_b").alias("tt"),
+    ).select(
+        F.expr(
+            "map_from_arrays(bs, zip_with(ts, rs,"
+            " (t, r) -> t * rt - r * tt))"
+        ).alias("wmap")
     )
     scored = d.crossJoin(F.broadcast(wmap))
     score = F.expr(

@@ -23,6 +23,11 @@ it and checks closed-form invariants:
   the binomial std is ~0.05%).
 - quality classifier (part 6): one row per doc, Σ n_words == 50 N,
   every score within the ±6·n_words weight bound.
+- importance weighting (part 7): rows == N, Σ n_words == 50 N, and the
+  exact identity Σ_docs score == Σ_b raw_b·w(b) recomputed through an
+  independent explode+join route.
+- BPE pair counts (part 7): 20 ranked rows, counts non-increasing,
+  doc frequency ≤ count ≤ N, #1 count == independent global max.
 
 Usage: python scripts/textops_scale_probe.py [N]   (default 1000000)
 Writes BENCH/textops_probe.json.
@@ -191,6 +196,80 @@ def run(spark, n: int, tmp: str) -> dict:
     out["quality_classifier_docs_per_sec"] = int(
         n / max(out["quality_classifier_sec"], 1e-9)
     )
+
+    # importance weighting (part 7): rows == n, Σ n_words == 50 N, and
+    # the exact global identity Σ_docs score == Σ_b raw_b · w(b) — the
+    # right side recomputed through the probe's own explode+join route
+    # (a different expression tree than the query's broadcast-map
+    # lookup; both must land on the same BIGINT).
+    t0 = time.time()
+    iw = Q.QUERIES["importance_weights_hashed"](spark, tmp)
+    agg = iw.agg(
+        F.count("*").alias("rows"),
+        F.sum("n_words").alias("words"),
+        F.sum("score").alias("total"),
+    ).first()
+    out["importance_sec"] = round(time.time() - t0, 2)
+    assert agg.rows == n and agg.words == 50 * n, agg
+    tb = (
+        Q.testdata.load(spark, tmp, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("x"))
+        .select("source", F.expr(Q._DSIR_BUCKET).alias("b"))
+    )
+    cnt = tb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_b"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("tgt_b"),
+    )
+    check = (
+        cnt.crossJoin(
+            cnt.agg(
+                F.sum("raw_b").alias("rt"), F.sum("tgt_b").alias("tt")
+            )
+        )
+        .select(
+            F.sum(
+                F.col("raw_b")
+                * (F.col("tgt_b") * F.col("rt") - F.col("raw_b") * F.col("tt"))
+            ).alias("total")
+        )
+        .first()
+    )
+    assert agg.total == check.total, (agg.total, check.total)
+    out["importance_total_score"] = int(agg.total)
+    out["importance_docs_per_sec"] = int(n / max(out["importance_sec"], 1e-9))
+
+    # BPE pair counts (part 7): exactly 20 ranked rows, counts
+    # non-increasing in rank, doc frequency bounded by count and N,
+    # and the #1 count equals an independently computed global max.
+    t0 = time.time()
+    bp = Q.QUERIES["bpe_pair_counts"](spark, tmp).orderBy("rank").collect()
+    out["bpe_sec"] = round(time.time() - t0, 2)
+    assert len(bp) == 20 and [r["rank"] for r in bp] == list(range(1, 21)), bp
+    assert all(
+        bp[i]["cnt"] >= bp[i + 1]["cnt"] for i in range(19)
+    ), [r["cnt"] for r in bp]
+    assert all(r["n_docs"] <= r["cnt"] and r["n_docs"] <= n for r in bp), bp
+    max_cnt = (
+        Q.testdata.load(spark, tmp, "documents")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> concat(element_at(split(text, ' '), i), ' ',"
+                    " element_at(split(text, ' '), i + 1)))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert bp[0]["cnt"] == max_cnt, (bp[0]["cnt"], max_cnt)
+    out["bpe_top_pair_cnt"] = int(max_cnt)
+    out["bpe_docs_per_sec"] = int(n / max(out["bpe_sec"], 1e-9))
     return out
 
 
