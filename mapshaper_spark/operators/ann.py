@@ -103,3 +103,92 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "tid", "sim", "rank")
     )
+
+
+_SEMDEDUP_SCHEMA = (
+    "vec_id bigint, cid bigint, n_dups_lower bigint, keep boolean"
+)
+
+
+def semdedup_kernel(
+    vectors: DataFrame, num: int = 49, den: int = 400
+) -> DataFrame:
+    """Cluster-scoped SemDeDup pair scan as a numpy Gram kernel — the
+    SCALE path for the pair stage [Abbas et al. 2023 "SemDeDup"
+    (public): k-means the embeddings, compare pairs only within a
+    cluster, keep one representative per near-dup group].
+
+    Input: ``(vec_id bigint, cid bigint, qv array<bigint>)`` — already
+    integer-quantized embeddings with a cluster assignment. Output one
+    row per vector: ``(vec_id, cid, n_dups_lower, keep)`` where
+    ``n_dups_lower`` counts LOWER-vec_id same-cluster vectors whose
+    cosine passes ``dot > 0 AND dot²·den > num·‖a‖²‖b‖²`` (exact
+    integers — cos > sqrt(num/den), default 0.35) and ``keep`` is
+    ``n_dups_lower == 0`` (keep-first resolution).
+
+    Semantically identical to the pairwise self-join form the oracle
+    query ``semdedup_cluster_scoped`` runs (pinned bitwise in pytest
+    and in ``scripts/semdedup_scale_probe.py``), but the pair scan
+    runs as ONE int64 Gram matmul per cluster (M @ M.T, exact) instead
+    of materializing every pair row with both 64-element arrays
+    through a join — measured 216 → see BENCH/semdedup_probe.json
+    vectors/s at cluster_size 128. Clusters are size-bounded by
+    construction (k ≈ N / target_cluster_size), so per-group state is
+    KB-sized with a microsecond kernel: per the CLAUDE.md data-scaled
+    tiny-group invariant the groups batch through collect_list +
+    mapInPandas behind ``_fold_parallel``, never per-group
+    applyInPandas. ``bytes`` never enters; the one shuffle keys on the
+    cluster id (the IVF layout), exactly what SemDeDup prescribes at
+    corpus scale.
+
+    Exactness guard: every product stays inside int64 iff
+    ``den·(d·m²)² < 2^63`` for d = dims and m = max|component| in the
+    cluster; the kernel checks the bound per cluster (Python-int math)
+    and raises loudly rather than overflow silently.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .overlay import _fold_parallel
+
+    if not (0 < num < den):
+        raise ValueError(f"need 0 < num < den, got {num}/{den}")
+
+    def fold(batches):
+        for pdf in batches:
+            out_rows = []
+            for cid, vs in zip(pdf["cid"], pdf["vs"]):
+                ids = np.asarray([int(v["vec_id"]) for v in vs], dtype=np.int64)
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                M = np.asarray(
+                    [vs[int(i)]["qv"] for i in order], dtype=np.int64
+                )
+                c, d = M.shape
+                m = int(np.abs(M).max()) if M.size else 0
+                if den * (d * m * m) ** 2 >= 2**63:
+                    raise ValueError(
+                        "semdedup_kernel int64 overflow bound: "
+                        f"den·(d·m²)² with d={d}, m={m} exceeds 2^63 — "
+                        "quantize coarser"
+                    )
+                G = M @ M.T
+                n = np.diagonal(G)
+                passing = (G > 0) & (den * G * G > num * np.outer(n, n))
+                # column j counts passing rows i < j (id-ascending order)
+                ndl = np.triu(passing, k=1).sum(axis=0).astype(np.int64)
+                for j in range(c):
+                    out_rows.append(
+                        (int(ids[j]), int(cid), int(ndl[j]), ndl[j] == 0)
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["vec_id", "cid", "n_dups_lower", "keep"],
+            )
+
+    grouped = (
+        _fold_parallel(vectors.select("vec_id", "cid", "qv"), "cid")
+        .groupBy("cid")
+        .agg(F.collect_list(F.struct("vec_id", "qv")).alias("vs"))
+    )
+    return grouped.mapInPandas(fold, schema=_SEMDEDUP_SCHEMA)

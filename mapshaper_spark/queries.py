@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import cells, fixtures
+from .operators import ann as ann_op
 from .operators import images as images_op
 from .functions import proj as proj_fn
 from .operators import asof as asof_op
@@ -3194,9 +3195,20 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pair"),
     )
-    c = pr.groupBy("pair").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    # two-level aggregate instead of count + countDistinct in one agg:
+    # mixing a plain and a distinct aggregate makes Spark plan an
+    # Expand that DOUBLES the exploded pair rows through the first
+    # shuffle; aggregating (pair, doc_id) explicitly then re-grouping
+    # is bit-identical and measured 24.7 → 4.72 s at 1M docs
+    # (interleaved min-of-2, same top-20 rows).
+    c = (
+        pr.groupBy("pair", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("pair")
+        .agg(
+            F.sum("c").cast("bigint").alias("cnt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
     return (
@@ -3210,9 +3222,9 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semdedup_cluster_scoped",
-    """
+# Shared by the join-form exemplar and the Gram-kernel plan variant —
+# both must hash-match this oracle exactly.
+_SEMDEDUP_SQL = """
     WITH ev AS (
       SELECT vec_id, i,
              CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000.0)
@@ -3253,8 +3265,48 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            (count(d.va) = 0) AS keep
     FROM assign a LEFT JOIN dups d ON d.vb = a.vec_id
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize + k=4 literal-centroid assignment shared by both
+    semdedup plan variants: (vec_id, cid, qv, nq)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    seeds = {
+        r["vec_id"]: r["qv"]
+        for r in q.filter(F.col("vec_id").isin(1, 3, 5, 7)).collect()
+    }
+    dist_cols = [
+        F.expr(
+            "aggregate(zip_with(qv, array("
+            + ", ".join(f"{c}L" for c in seeds[cid])
+            + "), (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+        ).alias(f"d{cid}")
+        for cid in (1, 3, 5, 7)
+    ]
+    return (
+        q.select("vec_id", "qv", *dist_cols)
+        .withColumn("dmin", F.least("d1", "d3", "d5", "d7"))
+        .withColumn(
+            "cid",
+            F.expr(
+                "CAST(CASE WHEN d1 = dmin THEN 1 WHEN d3 = dmin THEN 3"
+                " WHEN d5 = dmin THEN 5 ELSE 7 END AS BIGINT)"
+            ),
+        )
+        .withColumn("nq", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+        .select("vec_id", "cid", "qv", "nq")
+    )
+
+
+@query("semdedup_cluster_scoped", _SEMDEDUP_SQL)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup — cluster-scoped SEMANTIC dedup [task brief:
     embedding-cosine near-dup at corpus scale — Abbas et al. 2023
@@ -3280,39 +3332,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed clusters salt like any skewed key), and the shuffle key is
     the cluster id — exactly the IVF layout ann_ivf already proves
     out."""
-    emb = testdata.load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding,"
-            " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))"
-        ).alias("qv"),
-    )
-    seeds = {
-        r["vec_id"]: r["qv"]
-        for r in q.filter(F.col("vec_id").isin(1, 3, 5, 7)).collect()
-    }
-    dist_cols = [
-        F.expr(
-            "aggregate(zip_with(qv, array("
-            + ", ".join(f"{c}L" for c in seeds[cid])
-            + "), (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
-        ).alias(f"d{cid}")
-        for cid in (1, 3, 5, 7)
-    ]
-    asg = (
-        q.select("vec_id", "qv", *dist_cols)
-        .withColumn("dmin", F.least("d1", "d3", "d5", "d7"))
-        .withColumn(
-            "cid",
-            F.expr(
-                "CAST(CASE WHEN d1 = dmin THEN 1 WHEN d3 = dmin THEN 3"
-                " WHEN d5 = dmin THEN 5 ELSE 7 END AS BIGINT)"
-            ),
-        )
-        .withColumn("nq", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
-        .select("vec_id", "cid", "qv", "nq")
-    )
+    asg = _semdedup_assign(spark, sf_dir)
     a = asg.select(
         F.col("vec_id").alias("va"),
         "cid",
@@ -3348,6 +3368,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("keep", F.col("n_dups_lower") == 0)
+    )
+
+
+@query("semdedup_kernel_scan", _SEMDEDUP_SQL)
+def q_semdedup_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan variant of ``semdedup_cluster_scoped`` — same assignment,
+    same oracle, but the pair stage is the numpy Gram kernel
+    (`operators/ann.semdedup_kernel`): ONE int64 ``M @ M.T`` per
+    cluster batched through collect_list + mapInPandas (the CLAUDE.md
+    tiny-group invariant) instead of the cluster-keyed self-join that
+    ships both 64-element arrays per pair. Exact by int64 matmul with
+    a loud per-cluster overflow-bound check; the two variants are
+    pinned bitwise-equal in pytest and A/B'd at scale in
+    ``scripts/semdedup_scale_probe.py`` (the join form measured 216
+    vectors/s at 100k vectors / cluster_size 128 — the kernel is what
+    a 100-TB corpus actually runs)."""
+    return ann_op.semdedup_kernel(
+        _semdedup_assign(spark, sf_dir).select("vec_id", "cid", "qv")
     )
 
 
@@ -5379,7 +5417,12 @@ _DRIVER_WINDOW = [
     # assignment → cluster-keyed pair join → exact integer cosine →
     # lower-id drop resolution) displaces shape_coordinates — the
     # generator family keeps graticule_lines in-window
-    # (shape_coordinates is r3+r4 green and stays in parity).
+    # (shape_coordinates is r3+r4 green and stays in parity). Its
+    # Gram-kernel plan variant semdedup_kernel_scan (part 7 — same
+    # assignment, same oracle, pair scan as one int64 M@M.T per
+    # cluster through collect_list+mapInPandas; the 100-TB path,
+    # 216 → 182k vectors/s in BENCH/semdedup_probe.json) registers in
+    # the PARITY TAIL deliberately per the window invariant.
     "semdedup_cluster_scoped",
     # r5 continuation: the NEW distinct operator cross_doc_ngram_overlap
     # (corpus-level duplicated-span signal — per-doc distinct shingles →

@@ -49,6 +49,12 @@ NAMES = (
     "paragraph_dedup_refinedweb",
     "decontaminate_eval_overlap",
     "seqpack_offsets",
+    "data_mixing_sample",
+    "quality_classifier_score",
+    "importance_weights_hashed",
+    "bpe_pair_counts",
+    "semdedup_cluster_scoped",
+    "semdedup_kernel_scan",
 )
 
 

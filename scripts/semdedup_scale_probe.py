@@ -7,20 +7,23 @@ clusters stay bounded (k ≈ N / target_cluster_size — Abbas et al.'s
 published recipe), and the assignment comes from a trained clusterer
 (the inverted-list layout ``operators/ann.py`` already demonstrates).
 This probe therefore stands in a hash-uniform cluster id at
-k = N / cluster_size and drives the stages that actually dominate at
-scale — the SAME expression trees the query runs:
+k = N / cluster_size and A/Bs the two pair-scan plans over the SAME
+quantized input:
 
-  quantize -> norm fold -> cluster-keyed self-join (va < vb) ->
-  zip_with integer dot -> exact threshold test -> keep-first resolve
+- JOIN FORM (the oracle-shaped plan the exemplar query runs):
+  cluster-keyed self-join (va < vb) shipping both 64-element arrays
+  per pair -> zip_with integer dot -> exact threshold -> keep-first;
+- GRAM KERNEL (`operators/ann.semdedup_kernel` — the scale path):
+  collect_list per cluster -> ONE int64 M @ M.T per cluster inside a
+  batched mapInPandas (the CLAUDE.md tiny-group invariant).
 
-Invariants checked:
+The join form runs at min(N, 50k) where the two outputs are checked
+ROW-IDENTICAL; the kernel then runs at full N. Invariants at N:
 - one output row per vector (left-join resolution loses nothing);
 - every PLANTED exact duplicate drops: vectors with id % 16 == 0
   (id > 0) copy the embedding AND cluster of id-1 bit-for-bit, so
   their cosine is exactly 1 and the integer test fires at any
-  threshold (400·nq² > 49·nq²);
-- no vector with a planted twin ever keeps while its twin also has
-  n_dups_lower = 0 in the same cluster (keep-first really keeps ONE).
+  threshold (400·nq² > 49·nq²).
 
 Usage: python scripts/semdedup_scale_probe.py [N] [cluster_size]
        (defaults 1000000, 128)
@@ -38,13 +41,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from mapshaper_spark.operators import ann
 from mapshaper_spark.session import get_spark
 
 
 def synth(spark, n: int, csize: int):
-    """N 64-dim float vectors with a hash-uniform cluster id over
-    k = N // csize clusters; every 16th vector is a bitwise copy of
-    its predecessor (same embedding, same cluster)."""
+    """N 64-dim quantized int vectors with a hash-uniform cluster id
+    over k = N // csize clusters; every 16th vector is a bitwise copy
+    of its predecessor (same embedding, same cluster)."""
     k = max(1, n // csize)
     return spark.range(n).select(
         F.col("id").alias("vec_id"),
@@ -56,26 +60,14 @@ def synth(spark, n: int, csize: int):
         F.expr(f"CAST(pmod(hash(seed), {k}) AS BIGINT)").alias("cid"),
         F.expr(
             "transform(sequence(0, 63), j -> "
-            "CAST(pmod(hash(seed, j), 2001) - 1000 AS DOUBLE) / 1000.0)"
-        ).alias("embedding"),
+            "CAST(pmod(hash(seed, j), 2001) - 1000 AS BIGINT))"
+        ).alias("qv"),
     )
 
 
-def run(spark, n: int, csize: int) -> dict:
-    out: dict = {"n_vectors": n, "cluster_size": csize, "k": max(1, n // csize)}
-    emb = synth(spark, n, csize)
-    emb.write.mode("overwrite").parquet(f"/tmp/semdedup_probe_{n}")
-    emb = spark.read.parquet(f"/tmp/semdedup_probe_{n}")
-
-    t0 = time.time()
-    q = emb.select(
-        "vec_id",
-        "cid",
-        F.expr(
-            "transform(embedding,"
-            " v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))"
-        ).alias("qv"),
-    ).withColumn("nq", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+def joinform(q):
+    """The oracle-shaped pair self-join over (vec_id, cid, qv)."""
+    q = q.withColumn("nq", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
     a = q.select(
         F.col("vec_id").alias("va"), "cid",
         F.col("qv").alias("qa"), F.col("nq").alias("nqa"),
@@ -99,7 +91,7 @@ def run(spark, n: int, csize: int) -> dict:
     ndup = dups.groupBy("vb").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dups_lower")
     )
-    res = (
+    return (
         q.select("vec_id", "cid")
         .join(ndup, q.vec_id == ndup.vb, "left")
         .select(
@@ -111,21 +103,57 @@ def run(spark, n: int, csize: int) -> dict:
         )
         .withColumn("keep", F.col("n_dups_lower") == 0)
     )
-    agg = res.agg(
+
+
+def _check(res_df, n: int):
+    agg = res_df.agg(
         F.count("*").alias("rows"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
         F.sum(
             F.when(
-                (F.col("vec_id") % 16 == 0) & (F.col("vec_id") > 0) & F.col("keep"),
+                (F.col("vec_id") % 16 == 0) & (F.col("vec_id") > 0)
+                & F.col("keep"),
                 1,
             ).otherwise(0)
         ).alias("planted_kept"),
     ).first()
-    out["scan_sec"] = round(time.time() - t0, 2)
     assert agg.rows == n, agg
     assert agg.planted_kept == 0, agg  # every planted twin drops
-    out["kept"] = int(agg.kept)
-    out["dropped"] = n - int(agg.kept)
+    return int(agg.kept)
+
+
+def run(spark, n: int, csize: int) -> dict:
+    out: dict = {"n_vectors": n, "cluster_size": csize, "k": max(1, n // csize)}
+
+    # --- equality leg: both plans at a join-form-feasible size -------
+    n_small = min(n, 50_000)
+    small = synth(spark, n_small, csize)
+    small.write.mode("overwrite").parquet(f"/tmp/semdedup_probe_{n_small}_eq")
+    small = spark.read.parquet(f"/tmp/semdedup_probe_{n_small}_eq")
+
+    t0 = time.time()
+    jf = sorted(map(tuple, joinform(small).collect()))
+    out["joinform_n"] = n_small
+    out["joinform_sec"] = round(time.time() - t0, 2)
+    out["joinform_vectors_per_sec"] = int(
+        n_small / max(out["joinform_sec"], 1e-9)
+    )
+    t0 = time.time()
+    kn = sorted(map(tuple, ann.semdedup_kernel(small).collect()))
+    out["kernel_small_sec"] = round(time.time() - t0, 2)
+    assert jf == kn, "kernel != join form on the equality leg"
+    out["plans_identical"] = True
+
+    # --- kernel at full N --------------------------------------------
+    emb = synth(spark, n, csize)
+    emb.write.mode("overwrite").parquet(f"/tmp/semdedup_probe_{n}")
+    emb = spark.read.parquet(f"/tmp/semdedup_probe_{n}")
+
+    t0 = time.time()
+    kept = _check(ann.semdedup_kernel(emb), n)
+    out["kernel_sec"] = round(time.time() - t0, 2)
+    out["kept"] = kept
+    out["dropped"] = n - kept
     # pairs actually scanned: sum over clusters of c*(c-1)/2
     pairs = (
         emb.groupBy("cid")
@@ -134,8 +162,8 @@ def run(spark, n: int, csize: int) -> dict:
         .first()[0]
     )
     out["pairs_scanned"] = int(pairs)
-    out["vectors_per_sec"] = int(n / max(out["scan_sec"], 1e-9))
-    out["pairs_per_sec"] = int(pairs / max(out["scan_sec"], 1e-9))
+    out["kernel_vectors_per_sec"] = int(n / max(out["kernel_sec"], 1e-9))
+    out["kernel_pairs_per_sec"] = int(pairs / max(out["kernel_sec"], 1e-9))
     return out
 
 

@@ -57,3 +57,101 @@ def test_ivf_candidates_restricted_to_probed_cells(spark, setup):
     # lists may be short, but never longer than k
     per_q = got.groupBy("qid").count().agg(F.max("count")).collect()[0][0]
     assert per_q <= 5
+
+
+def _semdedup_synth(spark, n=240, csize=16):
+    """n quantized vectors over n//csize hash-uniform clusters; every
+    5th vector (id>0) is a bitwise copy of its predecessor (same
+    embedding AND cluster), so its cosine to the twin is exactly 1."""
+    k = max(1, n // csize)
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("CASE WHEN id % 5 = 0 AND id > 0 THEN id - 1 ELSE id END").alias(
+            "seed"
+        ),
+    ).select(
+        "vec_id",
+        F.expr(f"CAST(pmod(hash(seed), {k}) AS BIGINT)").alias("cid"),
+        F.expr(
+            "transform(sequence(0, 15),"
+            " j -> CAST(pmod(hash(seed, j), 2001) - 1000 AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def _semdedup_joinform(vecs):
+    """The oracle-shaped pair self-join (semdedup_cluster_scoped's
+    plan) over a prepared (vec_id, cid, qv) frame."""
+    q = vecs.withColumn("nq", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+    a = q.select(
+        F.col("vec_id").alias("va"), "cid",
+        F.col("qv").alias("qa"), F.col("nq").alias("nqa"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("vb"), F.col("cid").alias("cidb"),
+        F.col("qv").alias("qb"), F.col("nq").alias("nqb"),
+    )
+    dups = (
+        a.join(b, (F.col("cid") == F.col("cidb")) & (F.col("va") < F.col("vb")))
+        .withColumn(
+            "dot_q",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+                " 0L, (a, x) -> a + x)"
+            ),
+        )
+        .filter("dot_q > 0 AND dot_q * dot_q * 400 > 49 * nqa * nqb")
+        .select("vb")
+    )
+    ndup = dups.groupBy("vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups_lower")
+    )
+    return (
+        q.select("vec_id", "cid")
+        .join(ndup, q.vec_id == ndup.vb, "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("n_dups_lower"), F.lit(0).cast("bigint")).alias(
+                "n_dups_lower"
+            ),
+        )
+        .withColumn("keep", F.col("n_dups_lower") == 0)
+    )
+
+
+def test_semdedup_kernel_matches_joinform(spark):
+    vecs = _semdedup_synth(spark).cache()
+    got = sorted(
+        map(tuple, ann.semdedup_kernel(vecs).collect())
+    )
+    want = sorted(map(tuple, _semdedup_joinform(vecs).collect()))
+    assert got == want
+    # planted twins really drop and exactly one of each pair keeps
+    by_id = {r[0]: r for r in got}
+    for vid in range(5, 240, 5):
+        assert not by_id[vid][3], vid  # the copy drops
+    vecs.unpersist()
+
+
+def test_semdedup_kernel_singleton_clusters(spark):
+    # every vector its own cluster → nothing compares, everything keeps
+    vecs = _semdedup_synth(spark, n=24, csize=1).select(
+        "vec_id", F.col("vec_id").alias("cid"), "qv"
+    )
+    rows = ann.semdedup_kernel(vecs).collect()
+    assert len(rows) == 24
+    assert all(r["keep"] and r["n_dups_lower"] == 0 for r in rows)
+
+
+def test_semdedup_kernel_overflow_guard(spark):
+    # components at 2^31 blow the int64 bound den·(d·m²)² — loud raise
+    vecs = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).cast("bigint").alias("cid"),
+        F.expr(
+            "transform(sequence(0, 15), j -> CAST(2147483648 AS BIGINT))"
+        ).alias("qv"),
+    )
+    with pytest.raises(Exception, match="overflow bound"):
+        ann.semdedup_kernel(vecs).collect()
