@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "importance_weights_hashed",
     "bpe_pair_counts",
     "semdedup_cluster_scoped",
+    # the Gram-kernel plan variant of the row above (same oracle, pair
+    # scan as one int64 M@M.T per cluster) — benched side-by-side so
+    # the recording shows the scale path's win on identical input
+    "semdedup_kernel_scan",
 ]
 
 
