@@ -142,6 +142,12 @@ BENCH_QUERIES = [
     # scan as one int64 M@M.T per cluster) — benched side-by-side so
     # the recording shows the scale path's win on identical input
     "semdedup_kernel_scan",
+    # continuation part 8: ExactSubstr span dedup (positioned-gram
+    # occurrence counts + per-doc interval-merge windows — data-scaled
+    # over documents) and the CCNet familiarity tiers (reference-split
+    # bigram model broadcast to the corpus scan)
+    "exact_substring_spans",
+    "lm_familiarity_buckets",
 ]
 
 

@@ -28,6 +28,15 @@ it and checks closed-form invariants:
   independent explode+join route.
 - BPE pair counts (part 7): 20 ranked rows, counts non-increasing,
   doc frequency ≤ count ≤ N, #1 count == independent global max.
+- exact-substring spans (part 8): at N ≥ 100k the 20-word vocab makes
+  every 4-gram occur far more than once (λ = 50N/160k ≥ 30 expected
+  copies), so the closed form is total saturation — every doc exactly
+  one merged span covering all 50 words, dup_frac == 1.0.
+- LM familiarity (part 8): at N ≥ 100k every bigram is covered by the
+  doc_id%10 reference split (matched == n_bigrams corpus-wide,
+  Σ n_bigrams == 49N), and the exact global identity Σ_docs ref_mass
+  == Σ_g corpus_cnt(g)·ref_cnt(g) recomputed through an independent
+  two-groupBy join route.
 
 Usage: python scripts/textops_scale_probe.py [N]   (default 1000000)
 Writes BENCH/textops_probe.json.
@@ -270,6 +279,81 @@ def run(spark, n: int, tmp: str) -> dict:
     assert bp[0]["cnt"] == max_cnt, (bp[0]["cnt"], max_cnt)
     out["bpe_top_pair_cnt"] = int(max_cnt)
     out["bpe_docs_per_sec"] = int(n / max(out["bpe_sec"], 1e-9))
+
+    # exact-substring spans (part 8): the 20-word vocab saturates every
+    # 4-gram at N ≥ 100k (expected copies λ = 50N/160k ≥ 30; singleton
+    # probability ~160k·λ·e^-λ < 1e-6), so the closed form is one
+    # merged span per doc covering all 50 words.
+    t0 = time.time()
+    es = Q.QUERIES["exact_substring_spans"](spark, tmp)
+    agg = es.agg(
+        F.count("*").alias("rows"),
+        F.sum("dup_words").alias("dw"),
+        F.sum(
+            F.when(
+                (F.col("dup_spans") != 1)
+                | (F.col("dup_words") != F.col("n_words")),
+                1,
+            ).otherwise(0)
+        ).alias("unsaturated"),
+    ).first()
+    out["substring_spans_sec"] = round(time.time() - t0, 2)
+    assert agg.rows == n, agg
+    if n >= 100_000:
+        assert agg.unsaturated == 0 and agg.dw == 50 * n, agg
+    out["substring_spans_docs_per_sec"] = int(
+        n / max(out["substring_spans_sec"], 1e-9)
+    )
+
+    # LM familiarity (part 8): full reference coverage at N ≥ 100k,
+    # plus the exact global mass identity through an independent route
+    # (two groupBys joined on the gram value — a different expression
+    # tree than the query's broadcast-map lookup).
+    t0 = time.time()
+    lf = Q.QUERIES["lm_familiarity_buckets"](spark, tmp)
+    agg = lf.agg(
+        F.count("*").alias("rows"),
+        F.sum("n_bigrams").alias("nb"),
+        F.sum("ref_mass").alias("mass"),
+        F.sum(
+            F.when(F.col("matched") != F.col("n_bigrams"), 1).otherwise(0)
+        ).alias("unmatched_docs"),
+    ).first()
+    out["lm_familiarity_sec"] = round(time.time() - t0, 2)
+    assert agg.rows == n and agg.nb == 49 * n, agg
+    if n >= 100_000:
+        assert agg.unmatched_docs == 0, agg
+    big = (
+        Q.testdata.load(spark, tmp, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> concat(element_at(split(text, ' '), i), ' ',"
+                    " element_at(split(text, ' '), i + 1)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    corpus_cnt = big.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ref_cnt = (
+        big.where(F.col("doc_id") % 10 == 0)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    check = (
+        corpus_cnt.join(ref_cnt, "gram")
+        .agg(F.sum(F.col("c") * F.col("r")).alias("mass"))
+        .first()
+    )
+    assert agg.mass == check.mass, (agg.mass, check.mass)
+    out["lm_familiarity_mass"] = int(agg.mass)
+    out["lm_familiarity_docs_per_sec"] = int(
+        n / max(out["lm_familiarity_sec"], 1e-9)
+    )
     return out
 
 

@@ -1,0 +1,89 @@
+"""Independent references for the part-8 text ops — the DuckDB parity
+suite already cross-checks both engines; these tests re-derive the
+expected answers in pure Python straight from the parquet, so a shared
+misreading of the spec on both SQL sides cannot pass silently."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from mapshaper_spark import queries as Q
+
+from .conftest import SF_SMOKE
+
+L = 4  # span gram length pinned in exact_substring_spans
+
+
+def _spans_reference(texts: dict[int, list[str]]):
+    """Pure-Python ExactSubstr spans: positioned L-grams, occurrence
+    counts, per-doc interval merge of [p, p+L-1] windows."""
+    occ: dict[str, int] = {}
+    pos: dict[int, list[int]] = {}
+    for doc, t in texts.items():
+        ps = []
+        for i in range(max(len(t) - L + 1, 0)):
+            g = " ".join(t[i : i + L])
+            occ[g] = occ.get(g, 0) + 1
+            ps.append((i, g))
+        pos[doc] = ps
+    out = {}
+    for doc, t in texts.items():
+        dup = [i for i, g in pos[doc] if occ[g] >= 2]
+        spans = []
+        for p in dup:
+            # merge when the new window [p, p+L-1] overlaps or touches
+            # the running span (gap between starts <= L)
+            if spans and p - spans[-1][1] <= L:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        dup_words = sum(e - s + L for s, e in spans)
+        out[doc] = (len(t), len(spans), dup_words)
+    return out
+
+
+def test_exact_substring_spans_matches_python_reference(spark):
+    raw = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    texts = {
+        int(r.doc_id): r.text.split(" ") for r in raw.itertuples()
+    }
+    want = _spans_reference(texts)
+    got = (
+        Q.QUERIES["exact_substring_spans"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(want)
+    multi = 0
+    for doc, (n_words, n_spans, dup_words) in want.items():
+        row = got.loc[doc]
+        assert int(row.n_words) == n_words, doc
+        assert int(row.dup_spans) == n_spans, doc
+        assert int(row.dup_words) == dup_words, doc
+        assert row.dup_frac == dup_words / n_words, doc
+        if n_spans >= 2:
+            multi += 1
+    # the fixture must actually exercise the island-break branch
+    assert multi >= 50
+
+
+def test_lm_familiarity_reference_split_and_monotone_buckets(spark):
+    got = Q.QUERIES["lm_familiarity_buckets"](spark, SF_SMOKE).toPandas()
+    # every doc scored, all three tiers populated on the fixture
+    assert set(got.bucket) == {"head", "middle", "tail"}
+    # bucket assignment is exactly the documented literal thresholds
+    for r in got.itertuples():
+        want = (
+            "head"
+            if r.mean_ref_cnt >= 3.1
+            else "middle" if r.mean_ref_cnt >= 2.9 else "tail"
+        )
+        assert r.bucket == want
+    # reference-split docs score against a model containing every one
+    # of their own bigrams: matched_frac == 1.0 exactly there
+    ref = got[got.doc_id % 10 == 0]
+    assert (ref.matched_frac == 1.0).all()
+    assert (got.matched <= got.n_bigrams).all()
