@@ -148,6 +148,11 @@ BENCH_QUERIES = [
     # bigram model broadcast to the corpus scan)
     "exact_substring_spans",
     "lm_familiarity_buckets",
+    # part 8 companions: BPE merge application (map-only replace
+    # chain) and tf-idf keyword extraction (wordcount + broadcast df
+    # join + per-doc ranking window)
+    "bpe_apply_merges",
+    "tfidf_top_terms",
 ]
 
 

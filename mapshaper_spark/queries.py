@@ -3431,6 +3431,156 @@ def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ranked merge list applied by bpe_apply_merges — fixed literals (the
+# way a trained tokenizer ships its merges file), chosen to occur in
+# the fixture at both graded SFs; the self-adjacent 'order order'
+# merge pins the left-to-right non-overlapping scan semantics both
+# engines must share ('order order order' -> 'order@order order').
+_BPE_MERGES = [
+    ("part", "filter"),
+    ("order", "order"),
+    ("table", "hash"),
+]
+
+
+@query(
+    "bpe_apply_merges",
+    """
+    WITH m AS (SELECT doc_id,
+                 trim(replace(replace(replace(' ' || text || ' ',
+                   ' part filter ', ' part@filter '),
+                   ' order order ', ' order@order '),
+                   ' table hash ', ' table@hash ')) AS merged,
+                 (length(text) - length(replace(text, ' ', '')) + 1)
+                     AS n_before
+               FROM documents)
+    SELECT doc_id, merged,
+           CAST(n_before AS BIGINT) AS n_tokens_before,
+           CAST(length(merged) - length(replace(merged, ' ', '')) + 1
+                AS BIGINT) AS n_tokens_after,
+           CAST(n_before - (length(merged)
+                - length(replace(merged, ' ', '')) + 1)
+                AS BIGINT) AS n_merges
+    FROM m
+    """,
+)
+def q_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer merge APPLICATION [task brief: token counting / BPE —
+    the encode half of BPE (Sennrich et al. 2016): apply a ranked
+    merge list to the corpus, the step that follows the
+    bpe_pair_counts statistics job in every training round]. Each
+    merge is one space-delimited replace over the space-wrapped text —
+    a single left-to-right non-overlapping scan, exactly the greedy
+    pass both Java's String.replace and DuckDB's replace() implement,
+    so the FULL merged string hash-checks (the self-adjacent
+    'order order' merge exists to pin that scan contract; note the
+    space-delimited form's documented artifact — the scan consumes
+    the shared delimiter, so a run of 4 repeats fires one merge and a
+    run of 5 fires two, identically in both engines, pinned in
+    tests/test_text_dedup.py). Emits the merged text plus
+    before/after token counts and the merge count.
+    Map-only, no shuffle — at 100 TB this is a scan-stage projection,
+    and the iterative training loop alternates this job with the
+    pair-count job one merge rank at a time."""
+    d = testdata.load(spark, sf_dir, "documents")
+    merged = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    for a, b in _BPE_MERGES:
+        merged = F.replace(
+            merged, F.lit(f" {a} {b} "), F.lit(f" {a}@{b} ")
+        )
+    merged = F.trim(merged)
+    n_words = (
+        lambda c: F.length(c)
+        - F.length(F.replace(c, F.lit(" "), F.lit("")))
+        + 1
+    )
+    n_before = n_words(F.col("text"))
+    return d.select(
+        "doc_id",
+        merged.alias("merged"),
+        n_before.cast("bigint").alias("n_tokens_before"),
+        n_words(F.col("merged")).cast("bigint").alias("n_tokens_after"),
+        (n_before - n_words(F.col("merged")))
+        .cast("bigint")
+        .alias("n_merges"),
+    ).select(
+        "doc_id",
+        "merged",
+        "n_tokens_before",
+        "n_tokens_after",
+        "n_merges",
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+          FROM tf JOIN df USING (term))
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score
+    FROM (SELECT doc_id, term, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC)
+                     AS rnk
+          FROM s) z
+    WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction by tf-idf ranking [task brief:
+    text analysis — the classic feature-extraction pass (Salton's
+    tf-idf) corpora run for topic tagging and search indexing]. The
+    idf is the RATIONAL form tf/df (the corpus-size factor N is
+    rank-invariant per doc and the log is banned from checked columns
+    by the oracle contract — dropping both keeps the ranking
+    identical); top-3 terms per doc by (score DESC, term ASC), a
+    deterministic total order. Shape: wordcount groupBy(doc, term) →
+    document-frequency groupBy(term) (vocab-sized metadata that
+    BROADCASTS back, the corpus never reshuffles by term) → per-doc
+    row_number window over the doc's own distinct terms. Parity tail:
+    the wordcount-join family keeps cross_doc_ngram_overlap
+    in-window."""
+    w = testdata.load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = w.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    s = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df").cast("double")).alias(
+            "score"
+        ),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        s.select(
+            "doc_id",
+            F.row_number().over(win).cast("bigint").alias("rnk"),
+            "term",
+            "tf",
+            "df",
+            "score",
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 # Shared by the join-form exemplar and the Gram-kernel plan variant —
 # both must hash-match this oracle exactly.
 _SEMDEDUP_SQL = """
@@ -5712,11 +5862,13 @@ _DRIVER_WINDOW = [
     # the registry runs) displaces simhash16_docs — a map-only
     # per-doc signature plan-variant of the in-window
     # minhash_signatures (same split -> lambda-fold -> signature
-    # shape; r2-green x3, stays in parity). The companion
-    # lm_familiarity_buckets (CCNet head/middle/tail tiering)
-    # registers in the PARITY TAIL deliberately: the corpus-derived-
+    # shape; r2-green x3, stays in parity). The companions register in
+    # the PARITY TAIL deliberately per the window invariant:
+    # lm_familiarity_buckets (CCNet tiering — the corpus-derived-
     # broadcast-model family keeps importance_weights_hashed
-    # in-window.
+    # in-window), bpe_apply_merges (the token family keeps
+    # token_bpe_regex in-window), and tfidf_top_terms (the
+    # wordcount-join family keeps cross_doc_ngram_overlap in-window).
     "exact_substring_spans",
     "ann_ivf_bucketed_topk",
     # r5 continuation part 5: the NEW distinct operator

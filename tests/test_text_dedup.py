@@ -70,6 +70,52 @@ def test_exact_substring_spans_matches_python_reference(spark):
     assert multi >= 50
 
 
+def test_bpe_merge_scan_contract(spark):
+    """The merge pass is one left-to-right non-overlapping scan — the
+    cross-engine contract bpe_apply_merges leans on, checked directly
+    against both engines' replace kernels on the pathological
+    self-adjacent run."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("order order order", "order@order order"),
+        # the scan consumes the shared delimiter space, so a run of 4
+        # fires only ONE merge (the second pair has lost its leading
+        # space) — and a run of 5 realigns and fires a second one.
+        # Both engines implement exactly this; the expectation pins it.
+        ("order order order order", "order@order order order"),
+        (
+            "order order order order order",
+            "order@order order order@order",
+        ),
+        ("a order order b", "a order@order b"),
+        ("order orderx order order", "order orderx order@order"),
+    ]
+    for text, want in cases:
+        got_spark = (
+            spark.range(1)
+            .select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.lit(text), F.lit(" ")),
+                        F.lit(" order order "),
+                        F.lit(" order@order "),
+                    )
+                ).alias("m")
+            )
+            .first()[0]
+        )
+        got_duck = duckdb.sql(
+            "SELECT trim(replace(' ' || ? || ' ', ' order order ',"
+            " ' order@order '))",
+            params=[text],
+        ).fetchone()[0]
+        assert got_spark == want, (text, got_spark)
+        assert got_duck == want, (text, got_duck)
+
+
 def test_lm_familiarity_reference_split_and_monotone_buckets(spark):
     got = Q.QUERIES["lm_familiarity_buckets"](spark, SF_SMOKE).toPandas()
     # every doc scored, all three tiers populated on the fixture
