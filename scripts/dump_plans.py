@@ -55,6 +55,10 @@ NAMES = (
     "bpe_pair_counts",
     "semdedup_cluster_scoped",
     "semdedup_kernel_scan",
+    "exact_substring_spans",
+    "lm_familiarity_buckets",
+    "bpe_apply_merges",
+    "tfidf_top_terms",
 )
 
 
