@@ -3222,9 +3222,9 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "exact_substring_spans",
-    """
+# Shared by the reference form and the hash-prefilter plan variant —
+# both must hash-match this oracle exactly.
+_SUBSTRING_SPANS_SQL = """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words FROM d),
     g AS (SELECT doc_id, i,
@@ -3254,30 +3254,12 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(pd.dup_words, 0) AS DOUBLE)
                / CAST(b.n_words AS DOUBLE) AS dup_frac
     FROM base b LEFT JOIN pd USING (doc_id)
-    """,
-)
-def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicated-substring SPAN detection [task brief: deduplication;
-    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
-    Better" (ExactSubstr), public] — the suffix-array dedup semantics
-    at word granularity: every maximal run of >= L consecutive words
-    (L=4) whose every L-gram occurs at least twice in the corpus
-    (cross-document OR a within-document repeat, exactly ExactSubstr's
-    criterion) is a removable duplicated span. Distributed shape, no
-    suffix array needed: positioned L-gram explode -> occurrence-count
-    groupBy(gram) -> semi-join back the duplicated positions -> per-doc
-    gaps-and-islands interval merge (lag + running-sum windows over
-    ONLY the duplicated positions, a tiny fraction of the corpus) ->
-    per-span min/max. Emits per doc: word count, merged span count,
-    duplicated word total, duplicated fraction (int/int double divide,
-    bit-identical both engines).
+    """
 
-    PLAN at 100 TB: the gram shuffle keys on the gram value (shipped
-    as collision-checked xxhash64 ids at scale, same as the TopoJSON
-    arc dedup); the window stages run per doc_id over duplicated
-    positions only; nothing global. The island break (gap > L between
-    consecutive duplicated positions) is exercised by the fixture at
-    both graded SFs (174 multi-span docs at sf0.01)."""
+
+def _substring_grams(spark: SparkSession, sf_dir: str):
+    """(base, g) for the span-dedup family: per-doc word counts and
+    positioned 4-grams."""
     d = testdata.load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -3292,12 +3274,12 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    occ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
-    dp = (
-        g.join(occ, "gram")
-        .where(F.col("n_occ") >= 2)
-        .select("doc_id", "pos")
-    )
+    return base, g
+
+
+def _substring_span_tail(base: DataFrame, dp: DataFrame) -> DataFrame:
+    """Gaps-and-islands interval merge over duplicated positions dp
+    (doc_id, pos) → the per-doc span stats both plan forms emit."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.when(prev.isNull() | ((F.col("pos") - prev) > 4), 1).otherwise(0)
@@ -3326,6 +3308,88 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_words").cast("double")
         ).alias("dup_frac"),
     )
+
+
+@query("exact_substring_spans", _SUBSTRING_SPANS_SQL)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring SPAN detection [task brief: deduplication;
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" (ExactSubstr), public] — the suffix-array dedup semantics
+    at word granularity: every maximal run of >= L consecutive words
+    (L=4) whose every L-gram occurs at least twice in the corpus
+    (cross-document OR a within-document repeat, exactly ExactSubstr's
+    criterion) is a removable duplicated span. Distributed shape, no
+    suffix array needed: positioned L-gram explode -> occurrence-count
+    groupBy(gram) -> semi-join back the duplicated positions -> per-doc
+    gaps-and-islands interval merge (lag + running-sum windows over
+    ONLY the duplicated positions, a tiny fraction of the corpus) ->
+    per-span min/max. Emits per doc: word count, merged span count,
+    duplicated word total, duplicated fraction (int/int double divide,
+    bit-identical both engines).
+
+    PLAN at 100 TB: the gram shuffle keys on the gram value; the
+    window stages run per doc_id over duplicated positions only;
+    nothing global. This form is ALSO the measured winner at probe
+    scale — the hash-prefilter plan variant
+    exact_substring_spans_hashed (same oracle) trades gram-string
+    shuffle bytes for an extra aggregation pass, and the 1M-doc
+    sparse A/B (BENCH/substring_sparse_probe.json) shows the
+    aggregation is group-count-dominated here, not bytes-dominated
+    (ref 32.7 s vs hashed 47.5 s, min-of-2 interleaved). The island
+    break (gap > L between consecutive duplicated positions) is
+    exercised by the fixture at both graded SFs (174 multi-span docs
+    at sf0.01)."""
+    base, g = _substring_grams(spark, sf_dir)
+    occ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
+    dp = (
+        g.join(occ, "gram")
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _substring_span_tail(base, dp)
+
+
+@query("exact_substring_spans_hashed", _SUBSTRING_SPANS_SQL)
+def q_exact_substring_spans_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-prefilter plan variant of exact_substring_spans — same
+    oracle. Two rounds: (1) the corpus-wide occurrence count groups
+    on xxhash64(gram) — the shuffle ships 8-byte ids, never the gram
+    strings; (2) only positions whose id bucket holds >= 2
+    occurrences (a tiny fraction of a real corpus) re-verify on the
+    EXACT gram string. A hash collision can only ADMIT a candidate
+    into round 2 (where the string count rejects it), never drop one
+    — so the output is exact with no collision tolerance and no
+    collision assert needed, unlike the content-addressing pattern
+    where the hash IS the identity.
+
+    MEASURED VERDICT (1M-doc sparse A/B, min-of-2 interleaved,
+    BENCH/substring_sparse_probe.json): the reference string form
+    WINS at this scale (32.7 s vs 47.5 s) — with 27-byte grams the
+    occurrence aggregation is dominated by its 47M-group hash table,
+    which both forms pay, and the prefilter's extra pass costs more
+    than the string bytes save. The variant stays registered as the
+    bytes-bound lever: it pays off when gram strings are long
+    (sentence-level shingles) or the shuffle is network-bound — and
+    its two-round exact-verify shape is the template for that regime.
+    Parity tail; the reference form keeps the driver-window slot."""
+    base, g = _substring_grams(spark, sf_dir)
+    gh = g.select("doc_id", "pos", "gram", F.xxhash64("gram").alias("gid"))
+    cand_gids = (
+        gh.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("n_occ_h"))
+        .where(F.col("n_occ_h") >= 2)
+        .select("gid")
+    )
+    cand = gh.join(cand_gids, "gid").select("doc_id", "pos", "gram")
+    occ = cand.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
+    dp = (
+        cand.join(occ, "gram")
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _substring_span_tail(base, dp)
 
 
 @query(
