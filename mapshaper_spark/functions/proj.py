@@ -1589,9 +1589,11 @@ def project_layer_inplace(
     subtree exponentially), but by running the fixed-count iteration at
     RUNTIME via ``aggregate(sequence(1, N), x0, step)``
     (:func:`mollweide_xy`, :func:`eckert4_xy` — bitwise-identical to
-    their withColumn-unrolled point-table forms, pinned). 2D Newton
-    solves (Winkel/Aitoff) would need a struct accumulator and stay on
-    :func:`project_layer` for now.
+    their withColumn-unrolled point-table forms, pinned). The 2D
+    Newton solves (Winkel/Aitoff inverses) ride the same pattern with
+    a STRUCT accumulator carrying the (φ, λ) iterate
+    (:func:`_newton2d_inverse_xy` — bitwise vs the point-table forms,
+    pinned).
 
     All non-vertex columns pass through untouched (passthrough shape —
     no slim-ids join needed since nothing shuffles)."""
@@ -1872,15 +1874,105 @@ def hammer_inverse(
     )
 
 
+def _newton2d_inverse_xy(fwd_unit, lam0_scale: float):
+    """Zero-shuffle column-pair builders for the 2D-Newton inverses
+    (Winkel Tripel, Aitoff) — the struct-accumulator pattern
+    :func:`mollweide_xy`'s docstring promised: the fixed-count Newton
+    iteration runs at RUNTIME via ``aggregate(sequence(1, N),
+    struct(f0, l0), step)``, carrying the (φ, λ) iterate as a struct.
+    The expression tree is O(one step) — inlining the unrolled 16-step
+    iteration into a lambda would grow exponentially, which is why
+    these stayed point-path until now. Every step evaluates the
+    IDENTICAL IEEE expressions in the identical order as the
+    withColumn-unrolled point-table forms (same forward evaluations,
+    same forward-difference Jacobian, same degenerate-det skip, same
+    chart-box clamps), so values match BITWISE (pinned in pytest).
+
+    ``fwd_unit(f, l) -> (x, y)`` is the unit-sphere forward pair;
+    ``lam0_scale`` scales the initial λ guess (exact on the equator:
+    2/(1+cos φ1) for Winkel, 1 for Aitoff)."""
+
+    def make(lon0: float = 0.0):
+        def fxy(x_col, y_col):
+            X = x_col / F.lit(R)
+            Y = y_col / F.lit(R)
+            f0 = F.least(
+                F.lit(math.pi / 2.0), F.greatest(F.lit(-math.pi / 2.0), Y)
+            )
+            l0_raw = X if lam0_scale == 1.0 else X * F.lit(lam0_scale)
+            l0 = F.least(F.lit(math.pi), F.greatest(F.lit(-math.pi), l0_raw))
+            init = F.struct(f0.alias("f"), l0.alias("l"))
+
+            def step(acc, _i):
+                f, l = acc["f"], acc["l"]
+                x0, y0 = fwd_unit(f, l)
+                xf, yf = fwd_unit(f + F.lit(_WT_EPS), l)
+                xl, yl = fwd_unit(f, l + F.lit(_WT_EPS))
+                j00 = (xf - x0) / F.lit(_WT_EPS)
+                j01 = (xl - x0) / F.lit(_WT_EPS)
+                j10 = (yf - y0) / F.lit(_WT_EPS)
+                j11 = (yl - y0) / F.lit(_WT_EPS)
+                det = j00 * j11 - j01 * j10
+                r0 = X - x0
+                r1 = Y - y0
+                ok = F.abs(det) > F.lit(1e-300)
+                df_step = F.when(
+                    ok, (j11 * r0 - j01 * r1) / det
+                ).otherwise(F.lit(0.0))
+                dl_step = F.when(
+                    ok, (j00 * r1 - j10 * r0) / det
+                ).otherwise(F.lit(0.0))
+                f2 = F.least(
+                    F.lit(math.pi / 2.0),
+                    F.greatest(F.lit(-math.pi / 2.0), f + df_step),
+                )
+                l2 = F.least(
+                    F.lit(math.pi), F.greatest(F.lit(-math.pi), l + dl_step)
+                )
+                return F.struct(f2.alias("f"), l2.alias("l"))
+
+            acc = F.aggregate(
+                F.sequence(F.lit(1), F.lit(_WT_ITERS)), init, step
+            )
+            return (
+                F.degrees(acc["l"]) + F.lit(lon0),
+                F.degrees(acc["f"]),
+            )
+
+        return fxy
+
+    return make
+
+
+def winkel_tripel_inv_xy(lon0: float = 0.0):
+    """:func:`winkel_tripel_inverse` as a column-pair builder — the
+    2D-Newton struct-accumulator path; bitwise vs the point-table
+    form, pinned."""
+    return _newton2d_inverse_xy(
+        _wt_xy, 2.0 / (1.0 + math.cos(_WT_F1))
+    )(lon0)
+
+
+def aitoff_inv_xy(lon0: float = 0.0):
+    """:func:`aitoff_inverse` as a column-pair builder — the 2D-Newton
+    struct-accumulator path; bitwise vs the point-table form,
+    pinned."""
+    return _newton2d_inverse_xy(_aitoff_xy, 1.0)(lon0)
+
+
 # Closed-form projections with COLUMN-PAIR builders: callers (the
 # pipeline runner's `project`/`rotate` ops) route these through the
 # zero-shuffle :func:`project_layer_inplace`. Values are factories
 # taking the projection's parameter kwargs and returning the
-# ``fxy(lon, lat) -> (x, y)`` pair builder. Newton-solve projections
-# are deliberately absent (see project_layer_inplace's docstring);
-# any other closed-form projection joins by the same mechanical
-# refactor (share the expression tree between the point-table
-# function and the builder, as webmercator/sinusoidal/rotate do).
+# ``fxy(lon, lat) -> (x, y)`` pair builder. Every forward AND every
+# inverse that emits a plain coordinate pair is here — the 1D Newton
+# solves iterate at runtime via aggregate(sequence) and the 2D ones
+# via a struct accumulator (:func:`_newton2d_inverse_xy`); only
+# per-row-zone UTM stays out (its zone/hemisphere outputs are
+# metadata beyond (x, y)). Any other projection joins by the same
+# mechanical refactor (share the expression tree between the
+# point-table function and the builder, as webmercator/sinusoidal/
+# rotate do).
 XY_BUILDERS = {
     "to_webmercator": lambda: webmercator_xy,
     "from_webmercator": lambda: webmercator_inv_xy,
@@ -1915,4 +2007,7 @@ XY_BUILDERS = {
     "winkel_tripel": winkel_tripel_xy,
     "aitoff": aitoff_xy,
     "hammer": hammer_xy,
+    # the 2D-Newton inverses (struct-accumulator aggregate iteration)
+    "winkel_tripel_inverse": winkel_tripel_inv_xy,
+    "aitoff_inverse": aitoff_inv_xy,
 }

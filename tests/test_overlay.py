@@ -1351,6 +1351,10 @@ def test_project_layer_inplace_bitwise_and_shuffle_free(spark):
     assert set(outs) == set(proj_fn.XY_BUILDERS) - {
         "from_webmercator",  # inverse — covered by the roundtrip below
         "rotate_sphere",  # takes angles — covered in the cases below
+        # 2D-Newton inverses — covered by the struct-accumulator
+        # bitwise + roundtrip checks below
+        "winkel_tripel_inverse",
+        "aitoff_inverse",
     }
     cases = [
         (proj_fn.XY_BUILDERS[n](), getattr(proj_fn, n), outs[n]) for n in outs
@@ -1381,3 +1385,34 @@ def test_project_layer_inplace_bitwise_and_shuffle_free(spark):
     for k, (oxs, oys) in orig.items():
         assert np.allclose(got[k][0], oxs, atol=1e-9)
         assert np.allclose(got[k][1], oys, atol=1e-9)
+
+    # the 2D-Newton inverses (struct-accumulator aggregate iteration):
+    # bitwise vs their withColumn-unrolled point-table forms, no
+    # exchange, and the full fwd->inv layer roundtrip restores the
+    # originals to Newton precision
+    for fwd_name, inv_fn, inv_xy, cols in (
+        (
+            "winkel_tripel",
+            proj_fn.winkel_tripel_inverse,
+            proj_fn.winkel_tripel_inv_xy,
+            ("wtx", "wty"),
+        ),
+        ("aitoff", proj_fn.aitoff_inverse, proj_fn.aitoff_inv_xy, ("atx", "aty")),
+    ):
+        projd = proj_fn.project_layer_inplace(
+            feats.drop("tag"), proj_fn.XY_BUILDERS[fwd_name]()
+        )
+        ip = proj_fn.project_layer_inplace(projd, inv_xy())
+        ex = proj_fn.project_layer(
+            projd,
+            lambda d: inv_fn(d, **{cols[0]: "lon", cols[1]: "lat"}),
+            out=("lon2", "lat2"),
+        )
+        got = {(r.poly_id, r.ring_idx): (list(r.xs), list(r.ys)) for r in ip.collect()}
+        want = {(r.poly_id, r.ring_idx): (list(r.xs), list(r.ys)) for r in ex.collect()}
+        assert got == want  # exact float equality — same IEEE tree
+        plan = ip._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        for k, (oxs, oys) in orig.items():
+            assert np.allclose(got[k][0], oxs, atol=1e-9)
+            assert np.allclose(got[k][1], oys, atol=1e-9)
