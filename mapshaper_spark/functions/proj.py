@@ -2011,3 +2011,22 @@ XY_BUILDERS = {
     "winkel_tripel_inverse": winkel_tripel_inv_xy,
     "aitoff_inverse": aitoff_inv_xy,
 }
+
+# Builders whose lambda bodies ITERATE at runtime (the
+# aggregate(sequence) Newton solves). Higher-order-function lambdas
+# evaluate INTERPRETED — no whole-stage codegen — and the measured A/B
+# at 1M vertices says the codegen'd explode->regroup path beats them
+# despite paying its shuffle: mollweide 2.3 vs 6.3 s, eckert4 2.6 vs
+# 6.4 s, winkel inverse 8.1 vs 77.8 s (min-of-3 interleaved,
+# BENCH/proj_probe.json — for the cheap closed forms the ratio flips,
+# webmercator 0.22 vs 0.13 s, because there the regroup dominates).
+# The pipeline runner therefore routes these through project_layer by
+# default; the builders stay registered (bitwise-pinned) for callers
+# where avoiding the regroup shuffle matters more than per-vertex CPU
+# (network-bound clusters, fusion into a surrounding map stage).
+RUNTIME_ITERATED = {
+    "mollweide",
+    "eckert4",
+    "winkel_tripel_inverse",
+    "aitoff_inverse",
+}

@@ -252,12 +252,16 @@ def _points_mode(spark, df, o):
 def _project(spark, df, o):
     """-proj on a ring-array layer: projection by NAME from
     functions/proj.py (any fwd function appending two columns).
-    Projections with a column-pair builder (proj_fn.XY_BUILDERS —
-    closed forms plus the aggregate(sequence)-iterated 1D Newton
-    solves) run ZERO-SHUFFLE through project_layer_inplace
-    (bitwise-identical values, pinned in pytest); the rest (2D Newton
-    solves) take project_layer's explode -> codegen -> positional
-    regroup."""
+    CLOSED-FORM projections with a column-pair builder
+    (proj_fn.XY_BUILDERS) run ZERO-SHUFFLE through
+    project_layer_inplace (bitwise-identical values, pinned in
+    pytest). Runtime-ITERATED builders (proj_fn.RUNTIME_ITERATED —
+    the aggregate(sequence) Newton solves) default to project_layer's
+    explode -> codegen -> positional regroup instead: HOF lambdas
+    evaluate interpreted, and the measured A/B says codegen beats the
+    saved shuffle 2.7-9.6x there (see the RUNTIME_ITERATED note).
+    The spec key "inplace" overrides either way (true forces the
+    builder route, false forces explode)."""
     from ..functions import proj as proj_fn
 
     name = o["name"]
@@ -265,6 +269,11 @@ def _project(spark, df, o):
     keys = tuple(o.get("keys", ("poly_id", "ring_idx")))
     kwargs = o.get("args", {})
     factory = proj_fn.XY_BUILDERS.get(name)
+    inplace = o.get("inplace")
+    if inplace is False or (
+        inplace is not True and name in proj_fn.RUNTIME_ITERATED
+    ):
+        factory = None
     if factory is not None:
         try:
             fxy = factory(**kwargs)

@@ -103,13 +103,21 @@ def test_project_spec_routes_zero_shuffle(spark):
     )
     cols = ["poly_id", "ring_idx", "xs", "ys"]
     assert _rows(got, cols) == _rows(want, cols)
-    # 1D Newton solve -> in-place route (aggregate(sequence) iteration),
-    # still bitwise-identical to its project_layer form
+    # 1D Newton solve -> EXPLODE route by default (HOF lambdas run
+    # interpreted; the codegen explode path measured 2.7x faster at 1M
+    # vertices — RUNTIME_ITERATED note in proj.py)
     got = pipeline.OPS["project"](
         spark, feats, {"name": "mollweide", "out": ["wx", "wy"]}
     )
-    assert "Exchange" not in got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in got._jdf.queryExecution().executedPlan().toString()
     want = proj_fn.project_layer(feats, proj_fn.mollweide, out=("wx", "wy"))
+    assert _rows(got, cols) == _rows(want, cols)
+    # ... and the explicit "inplace": true override forces the
+    # zero-shuffle builder route, still bitwise-identical
+    got = pipeline.OPS["project"](
+        spark, feats, {"name": "mollweide", "out": ["wx", "wy"], "inplace": True}
+    )
+    assert "Exchange" not in got._jdf.queryExecution().executedPlan().toString()
     assert _rows(got, cols) == _rows(want, cols)
     # winkel's forward is closed-form -> in-place route too
     got = pipeline.OPS["project"](
