@@ -70,6 +70,60 @@ def test_exact_substring_spans_matches_python_reference(spark):
     assert multi >= 50
 
 
+def test_exact_substring_spans_edge_docs(spark, tmp_path):
+    """Cross-engine parity on the edge docs the driver fixture never
+    carries: 1-word and 3-word docs (no 4-grams — zero spans, never
+    dropped), an exactly-4-word duplicated pair (whole doc = one
+    span, dup_frac exactly 1.0), and a doc repeating its own 4-gram
+    (within-doc dup counts, per ExactSubstr)."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_harness import normalize
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "one",
+                "just three words",
+                "alpha beta gamma delta",  # dup pair with doc 3
+                "alpha beta gamma delta",
+                # within-doc repeat: 'p q r s' occurs twice
+                "p q r s x p q r s",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["src0"] * 5,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len()
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet")
+
+    got = normalize(
+        Q.QUERIES["exact_substring_spans"](spark, d).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = normalize(
+        con.sql(Q.ORACLES["exact_substring_spans"]).df()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0].dup_spans == 0 and by_id.loc[1].dup_spans == 0
+    for doc in (2, 3):
+        assert by_id.loc[doc].dup_spans == 1
+        assert by_id.loc[doc].dup_words == 4
+        assert by_id.loc[doc].dup_frac == 1.0
+    # the self-repeating doc: positions 0 and 5 both carry 'p q r s',
+    # gap 5 > L=4 -> two separate spans of 4 words each
+    assert by_id.loc[4].dup_spans == 2
+    assert by_id.loc[4].dup_words == 8
+
+
 def test_bpe_merge_scan_contract(spark):
     """The merge pass is one left-to-right non-overlapping scan — the
     cross-engine contract bpe_apply_merges leans on, checked directly
