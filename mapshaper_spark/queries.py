@@ -3439,7 +3439,10 @@ def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLAN at 100 TB: the model is vocab^2-bounded metadata (groupBy on
     the reference split only) and BROADCASTS to the corpus bigram
     scan — the corpus itself never shuffles by gram; the only
-    corpus-wide shuffle is the per-doc aggregation. Parity tail: the
+    corpus-wide shuffle is the per-doc aggregation. Docs with < 2
+    words carry no bigrams and drop from the output, mirroring the
+    oracle's aggregation (same contract as cross_doc_ngram_overlap;
+    pinned in tests/test_text_dedup.py). Parity tail: the
     corpus-derived-broadcast-model family keeps
     importance_weights_hashed in the driver window."""
     d = testdata.load(spark, sf_dir, "documents").select(

@@ -124,6 +124,43 @@ def test_exact_substring_spans_edge_docs(spark, tmp_path):
     assert by_id.loc[4].dup_words == 8
 
 
+def test_lm_familiarity_edge_docs(spark, tmp_path):
+    """Cross-engine parity on edge docs: a 1-word doc carries no
+    bigrams and DROPS from the output in both engines (the documented
+    contract, shared with cross_doc_ngram_overlap); a 2-word doc
+    scores on its single bigram."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_harness import normalize
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 10],
+            "text": ["solo", "two words", "two words"],
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len()
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet")
+
+    got = normalize(
+        Q.QUERIES["lm_familiarity_buckets"](spark, d).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    want = normalize(con.sql(Q.ORACLES["lm_familiarity_buckets"]).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got.doc_id) == {1, 10}  # the 1-word doc drops
+    # doc 10 is the reference split: its bigram trivially matches
+    row = got.set_index("doc_id").loc[10]
+    assert row.n_bigrams == 1 and row.matched == 1 and row.ref_mass == 1
+
+
 def test_bpe_merge_scan_contract(spark):
     """The merge pass is one left-to-right non-overlapping scan — the
     cross-engine contract bpe_apply_merges leans on, checked directly
