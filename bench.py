@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     # join + per-doc ranking window)
     "bpe_apply_merges",
     "tfidf_top_terms",
+    "url_dedup_canonical",
 ]
 
 

@@ -3498,6 +3498,72 @@ def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "url_dedup_canonical",
+    """
+    WITH u AS (SELECT doc_id,
+                 'HTTPS://WWW.' || source || '.Example.com/page/' ||
+                 CAST(length(text) % 5 AS VARCHAR) ||
+                 '?utm_source=feed&ref=' || lang AS url
+               FROM documents),
+    c AS (SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '^https?://', ''),
+                     '^www\\.', ''),
+                   '\\?.*$', '') AS canon_url
+          FROM u)
+    SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM c GROUP BY canon_url
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup with canonicalization [task brief:
+    deduplication; the C4/CCNet pattern — web corpora dedup by
+    canonical URL before any content pass: lowercase, strip scheme
+    and www, drop the query string (tracking params), keep the first
+    fetch per canonical URL]. The fixture carries no URL column, so
+    BOTH engines derive the same deterministic URL from existing
+    columns (mixed-case scheme+www host from source, a path segment
+    from length(text) % 5, utm tracking params from lang — 100
+    canonical URLs over 500 docs, up to 11 collisions each) and the
+    canonicalization chain does real work on it. Regexes are
+    anchored-or-single-match so Spark's replace-ALL and DuckDB's
+    replace-FIRST semantics coincide (the documented regexp
+    portability rule); character-class-only patterns per the
+    token_bpe_regex Java-vs-RE2 rule. Map-only string math + one
+    keep-first groupBy — at 100 TB the same shape as exact dedup,
+    keyed on the canonical URL. Parity tail: the dedup family keeps
+    dedup_exact's plan in-window via the span/cluster rows."""
+    d = testdata.load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.com/page/"),
+        (F.length("text") % 5).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("lang"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "^https?://", ""),
+            "^www\\.",
+            "",
+        ),
+        "\\?.*$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
 # Ranked merge list applied by bpe_apply_merges — fixed literals (the
 # way a trained tokenizer ships its merges file), chosen to occur in
 # the fixture at both graded SFs; the self-adjacent 'order order'
