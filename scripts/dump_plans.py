@@ -59,6 +59,7 @@ NAMES = (
     "lm_familiarity_buckets",
     "bpe_apply_merges",
     "tfidf_top_terms",
+    "url_dedup_canonical",
 )
 
 
