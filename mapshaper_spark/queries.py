@@ -3439,7 +3439,12 @@ def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLAN at 100 TB: the model is vocab^2-bounded metadata (groupBy on
     the reference split only) and BROADCASTS to the corpus bigram
     scan — the corpus itself never shuffles by gram; the only
-    corpus-wide shuffle is the per-doc aggregation. Docs with < 2
+    corpus-wide shuffle is the per-doc aggregation. At open-web scale
+    the raw bigram table can outgrow a broadcast — there the model
+    gets a count-threshold prune before broadcasting (standard KenLM
+    practice; unseen == pruned-rare is exactly the approximation
+    CCNet already makes), which this query's tiny fixture model
+    doesn't need. Docs with < 2
     words carry no bigrams and drop from the output, mirroring the
     oracle's aggregation (same contract as cross_doc_ngram_overlap;
     pinned in tests/test_text_dedup.py). Parity tail: the
