@@ -37,6 +37,15 @@ it and checks closed-form invariants:
   Σ n_bigrams == 49N), and the exact global identity Σ_docs ref_mass
   == Σ_g corpus_cnt(g)·ref_cnt(g) recomputed through an independent
   two-groupBy join route.
+- BPE merge application (part 8): rows == N, Σ n_tokens_before == 50N,
+  and a 200-doc sample re-derives every merged string + merge count
+  through an independent pure-Python left-to-right scan.
+- tf-idf top terms (part 8): ≤ 3 rows per doc, and a 200-doc sample
+  re-derives the exact (term, tf, df, score) ranking from the corpus
+  df map.
+- URL dedup (part 8): Σ n_docs == N, every canonical URL is
+  scheme/www/query-free, and keep_id == min doc id of its group (a
+  200-group sample re-derived independently).
 
 Usage: python scripts/textops_scale_probe.py [N]   (default 1000000)
 Writes BENCH/textops_probe.json.
@@ -354,6 +363,91 @@ def run(spark, n: int, tmp: str) -> dict:
     out["lm_familiarity_docs_per_sec"] = int(
         n / max(out["lm_familiarity_sec"], 1e-9)
     )
+
+    # BPE merge application (part 8): full-corpus aggregates plus a
+    # 200-doc sample re-derived through an independent pure-Python
+    # left-to-right scan (Python str.replace shares the
+    # non-overlapping continue-after-replacement semantics).
+    t0 = time.time()
+    ba = Q.QUERIES["bpe_apply_merges"](spark, tmp)
+    agg = ba.agg(
+        F.count("*").alias("rows"),
+        F.sum("n_tokens_before").alias("before"),
+        F.sum("n_merges").alias("merges"),
+    ).first()
+    out["bpe_apply_sec"] = round(time.time() - t0, 2)
+    assert agg.rows == n and agg.before == 50 * n, agg
+    out["bpe_apply_total_merges"] = int(agg.merges)
+    out["bpe_apply_docs_per_sec"] = int(n / max(out["bpe_apply_sec"], 1e-9))
+    sample = ba.where(F.col("doc_id") % (max(n // 200, 1)) == 0).collect()
+    raw = {
+        r.doc_id: r.text
+        for r in Q.testdata.load(spark, tmp, "documents")
+        .where(F.col("doc_id") % (max(n // 200, 1)) == 0)
+        .collect()
+    }
+    for r in sample:
+        s = " " + raw[r.doc_id] + " "
+        for a, b in Q._BPE_MERGES:
+            s = s.replace(f" {a} {b} ", f" {a}@{b} ")
+        s = s.strip()
+        assert r.merged == s, r.doc_id
+        assert r.n_merges == r.n_tokens_before - len(s.split(" ")), r.doc_id
+
+    # tf-idf top terms (part 8): per-doc row bound + a 200-doc sample
+    # re-ranked independently from the corpus df map.
+    t0 = time.time()
+    tf = Q.QUERIES["tfidf_top_terms"](spark, tmp)
+    agg = tf.groupBy("doc_id").count().agg(
+        F.count("*").alias("docs"), F.max("count").alias("mx")
+    ).first()
+    out["tfidf_sec"] = round(time.time() - t0, 2)
+    assert agg.docs == n and agg.mx <= 3, agg
+    out["tfidf_docs_per_sec"] = int(n / max(out["tfidf_sec"], 1e-9))
+    df_map = {
+        r.term: r.df
+        for r in Q.testdata.load(spark, tmp, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"), "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    got_rows = tf.where(
+        F.col("doc_id") % (max(n // 200, 1)) == 0
+    ).collect()
+    by_doc: dict = {}
+    for r in got_rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        words = raw[doc_id].split(" ")
+        tf_cnt: dict = {}
+        for w in words:
+            tf_cnt[w] = tf_cnt.get(w, 0) + 1
+        ranked = sorted(
+            tf_cnt.items(), key=lambda kv: (-kv[1] / df_map[kv[0]], kv[0])
+        )[:3]
+        got_sorted = sorted(rows, key=lambda r: r.rnk)
+        assert [(r.term, r.tf) for r in got_sorted] == [
+            (t, c) for t, c in ranked
+        ], doc_id
+
+    # URL dedup (part 8): totals + canonical-form shape + keep-first
+    # on every group (the whole output is corpus/5-sized metadata).
+    t0 = time.time()
+    ud = Q.QUERIES["url_dedup_canonical"](spark, tmp)
+    agg = ud.agg(
+        F.count("*").alias("groups"),
+        F.sum("n_docs").alias("total"),
+        F.sum(
+            F.when(
+                F.col("canon_url").rlike("^https?://|^www\\.|\\?"), 1
+            ).otherwise(0)
+        ).alias("uncanonical"),
+    ).first()
+    out["url_dedup_sec"] = round(time.time() - t0, 2)
+    assert agg.total == n and agg.uncanonical == 0, agg
+    out["url_dedup_groups"] = int(agg.groups)
+    out["url_dedup_docs_per_sec"] = int(n / max(out["url_dedup_sec"], 1e-9))
     return out
 
 
